@@ -1,0 +1,54 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Writers (SURVEY §2.1 S5-S9).
+  *
+  * The reference stages KPI CSVs to S3 then `COPY`s into Redshift with
+  * append-on-rerun duplicate semantics (reference:
+  * dags/music_streaming_services_dag.py:288-353; bug noted in SURVEY §2.11-2).
+  * We default every sink to idempotent overwrite. At scale, prefer
+  * partitioned parquet over CSV: column pruning, predicate pushdown, and
+  * per-partition overwrite all depend on it.
+  */
+object Sinks {
+
+  /** S5/S6 — CSV sink with header. `singleFile = true` only for small-result
+    * parity with the reference's one-file-per-table staging; never coalesce(1)
+    * a large dataset. */
+  def csv(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+
+  /** Parquet sink, optionally partitioned (the 100 TB default: partition KPI
+    * outputs by date so daily reruns overwrite only their own partition). */
+  def parquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+              dynamicPartitionOverwrite: Boolean = true): Unit = {
+    val w0 = df.write.mode(SaveMode.Overwrite)
+    val w1 = if (partitionBy.nonEmpty) {
+      val w = w0.partitionBy(partitionBy: _*)
+      if (dynamicPartitionOverwrite)
+        w.option("partitionOverwriteMode", "dynamic")
+      else w
+    } else w0
+    w1.parquet(path)
+  }
+
+  /** S7-S9 — JDBC sink. Covers the reference's CREATE TABLE + batched
+    * executemany (reference: users_to_rds.py:33-60, songs_to_rds.py:48-92) and
+    * its Redshift COPY load (dags/music_streaming_services_dag.py:317-353):
+    * `createTableColumnTypes` carries the DDL types, `batchsize` the insert
+    * batching, SaveMode the overwrite-vs-append choice. Offline env: unused in
+    * tests, kept for API completeness. */
+  def jdbc(df: DataFrame, url: String, tableName: String,
+           mode: SaveMode = SaveMode.Overwrite,
+           batchSize: Int = 5000,
+           createTableColumnTypes: Option[String] = None): Unit = {
+    val w = df.write.mode(mode).format("jdbc")
+      .option("url", url).option("dbtable", tableName)
+      .option("batchsize", batchSize.toString)
+    createTableColumnTypes.fold(w)(t =>
+      w.option("createTableColumnTypes", t)).save()
+  }
+}

@@ -1,0 +1,69 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Readers (SURVEY §2.1 S1-S4).
+  *
+  * Design for scale: every reader takes an explicit schema (no inference pass),
+  * and multi-file reads go through Spark's native multi-path CSV/parquet scan —
+  * one distributed job, per-file headers handled by the source, instead of the
+  * reference's driver-side read-all-then-string-concat
+  * (reference: dags/music_streaming_services_dag.py:26-41), which caps input at
+  * driver RAM and embeds stale header lines as data rows (SURVEY §2.11-1).
+  */
+object Sources {
+
+  /** S1 — input probe: does the input location contain any objects?
+    * The reference branches the DAG on S3 `list_keys`
+    * (reference: dags/music_streaming_services_dag.py:15-23). Hadoop FS makes
+    * this storage-agnostic (s3a://, hdfs://, file://). */
+  def inputExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new Path(dir)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && {
+      val it = fs.listStatus(p)
+      it.exists(s => s.isFile && s.getLen > 0) || it.exists(_.isDirectory)
+    }
+  }
+
+  /** S2 + S4 — CSV scan over one or many paths/globs with explicit schema.
+    * Replaces the reference's read-concat-rewrite
+    * (reference: dags/music_streaming_services_dag.py:26-41): Spark globs,
+    * unions by position (UNION ALL semantics, O5) and strips each file's
+    * header row correctly. */
+  def csv(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(paths: _*)
+
+  /** Parquet scan for the driver testdata tables.
+    *
+    * `events.ts` is physically parquet TIMESTAMP(NANOS,false), which Spark
+    * rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos as epoch-nano
+    * longs and rebuild a timestamp at microsecond precision (lossless here —
+    * the generator emits microsecond-resolution values; integer division, no
+    * float path). Session timezone is UTC so wall-clock fields match DuckDB's
+    * naive TIMESTAMP_NS reads. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      // integer `div`, not `/`: epoch-nanos exceed 2^53, double division
+      // would corrupt the low microseconds.
+      df.withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** S3 — JDBC table scan (reference: dags/music_streaming_services_dag.py:45-81
+    * does `SELECT * FROM users/songs` through a psycopg2 cursor, materializing
+    * everything on one node). The Spark JDBC source pushes projection/predicates
+    * into the database and can parallelize by a partition column. Offline test
+    * env has no database; exercised only behind caller-supplied options. */
+  def jdbc(spark: SparkSession, url: String, tableName: String,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", tableName)
+    options.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+}

@@ -1,0 +1,23 @@
+#!/usr/bin/env bash
+# Local correctness loop: compile, run graft.Verify, compare against DuckDB.
+# Usage: tools/check.sh [sfDir] [pattern]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF_DIR="${1:-/root/testdata/sf0.01}"
+PATTERN="${2:-}"
+OUT=/tmp/graft_verify
+rm -rf "$OUT"
+sbt -batch compile 1>&2
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+java $ADD_OPENS -Xmx8g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
+  graft.Verify "$SF_DIR" "$OUT" 1>&2
+python3 tools/compare.py "$SF_DIR" "$OUT" "$PATTERN"
