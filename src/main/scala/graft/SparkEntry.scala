@@ -13,6 +13,8 @@ object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
     CoreQueries,
+    OperatorQueries,
+    RollupQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)

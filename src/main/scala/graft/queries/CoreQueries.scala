@@ -64,50 +64,62 @@ object CoreQueries extends QueryGroup {
         col("most_popular_track"), col("most_popular_track_popularity"))
       .orderBy("date", "track_genre")
 
-  private val genreKpisOracle: String = enrichedSql +
+  /** CTE chain ending in a `genre_kpis` relation — reused by the rollup
+    * oracles (Documentation.pdf validation queries run ON the KPI table). */
+  val genreKpisCtes: String = enrichedSql +
     """, f AS (SELECT * FROM enriched
       |        WHERE c_mktsegment IS NOT NULL AND date IS NOT NULL),
       |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY date, c_mktsegment
       |        ORDER BY c_acctbal DESC NULLS LAST, event_type ASC NULLS LAST,
       |                 event_id ASC) AS rn
-      |      FROM f)
-      |SELECT CAST(date AS VARCHAR) AS date, c_mktsegment AS track_genre,
-      |       COUNT(event_id) AS listen_count,
-      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-      |         / COUNT(value) AS avg_duration_ms,
-      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-      |         / COUNT(c_acctbal) AS popularity_index,
-      |       MAX(CASE WHEN rn = 1 THEN event_type END) AS most_popular_track,
-      |       MAX(CASE WHEN rn = 1 THEN CAST(c_acctbal AS DOUBLE) END)
-      |         AS most_popular_track_popularity
-      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |      FROM f),
+      |genre_kpis AS (
+      |  SELECT CAST(date AS VARCHAR) AS date, c_mktsegment AS track_genre,
+      |         COUNT(event_id) AS listen_count,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |           / COUNT(value) AS avg_duration_ms,
+      |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |           / COUNT(c_acctbal) AS popularity_index,
+      |         MAX(CASE WHEN rn = 1 THEN event_type END) AS most_popular_track,
+      |         MAX(CASE WHEN rn = 1 THEN CAST(c_acctbal AS DOUBLE) END)
+      |           AS most_popular_track_popularity
+      |  FROM r GROUP BY 1, 2)
+      |""".stripMargin
+
+  private val genreKpisOracle: String =
+    genreKpisCtes + "SELECT * FROM genre_kpis ORDER BY date, track_genre"
 
   /** Hourly KPIs (A5-A8 + P3 + W2 + J3). */
-  private def hourlyKpis(s: SparkSession, dir: String): DataFrame =
+  def hourlyKpis(s: SparkSession, dir: String): DataFrame =
     HourlyKpis.compute(enrichedEvents(s, dir), hourlyCols)
       .withColumnRenamed("c_name", "top_artist")
       .withColumn("date", col("date").cast("string"))
       .orderBy("date", "hour")
 
-  private val hourlyKpisOracle: String = enrichedSql +
-    """, f AS (SELECT * FROM enriched WHERE date IS NOT NULL),
+  /** CTE chain ending in an `hourly_kpis` relation (see [[genreKpisCtes]]). */
+  val hourlyKpisCtes: String = enrichedSql +
+    """, hf AS (SELECT * FROM enriched WHERE date IS NOT NULL),
       |agg AS (SELECT date, hour,
       |          COUNT(DISTINCT user_id) AS unique_listeners,
       |          COUNT(event_type) AS total_plays,
       |          COUNT(DISTINCT event_type) AS unique_tracks
-      |        FROM f GROUP BY 1, 2),
+      |        FROM hf GROUP BY 1, 2),
       |pc AS (SELECT date, hour, c_name, COUNT(event_type) AS play_count
-      |       FROM f WHERE c_name IS NOT NULL GROUP BY 1, 2, 3),
+      |       FROM hf WHERE c_name IS NOT NULL GROUP BY 1, 2, 3),
       |top AS (SELECT date, hour, c_name AS top_artist FROM
       |          (SELECT *, ROW_NUMBER() OVER (PARTITION BY date, hour
       |             ORDER BY play_count DESC, c_name ASC) AS rn FROM pc)
-      |        WHERE rn = 1)
-      |SELECT CAST(a.date AS VARCHAR) AS date, a.hour, a.unique_listeners,
-      |       t.top_artist,
-      |       CAST(a.unique_tracks AS DOUBLE) / a.total_plays
-      |         AS track_diversity_index
-      |FROM agg a LEFT JOIN top t ON a.date = t.date AND a.hour = t.hour
-      |ORDER BY 1, 2""".stripMargin
+      |        WHERE rn = 1),
+      |hourly_kpis AS (
+      |  SELECT CAST(a.date AS VARCHAR) AS date, a.hour, a.unique_listeners,
+      |         t.top_artist,
+      |         CAST(a.unique_tracks AS DOUBLE) / a.total_plays
+      |           AS track_diversity_index
+      |  FROM agg a LEFT JOIN top t ON a.date = t.date AND a.hour = t.hour)
+      |""".stripMargin
+
+  private val hourlyKpisOracle: String =
+    hourlyKpisCtes + "SELECT * FROM hourly_kpis ORDER BY date, hour"
 
   /** TPC-H Q1-shaped headline aggregate over lineitem (A1-A3/A9 analog at
     * bench scale; exact decimal arithmetic end-to-end). */

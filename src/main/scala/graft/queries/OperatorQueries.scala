@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.etl.{Enrich, GenreKpis, HourlyKpis}
+import graft.io.Sources
+import CoreQueries.{enrichedEvents, enrichedSql}
+
+/** One named query per remaining SURVEY §2 operator row (the KPI flagships
+  * live in [[CoreQueries]]). Each exercises the operator in isolation so the
+  * correctness gate pins its semantics, not just the fused pipelines. */
+object OperatorQueries extends QueryGroup {
+
+  private val genreCols = GenreKpis.Cols(date = "date", genre = "c_mktsegment",
+    track = "event_type", duration = "value", popularity = "c_acctbal",
+    rowId = "event_id")
+  private val hourlyCols = HourlyKpis.Cols(date = "date", hour = "hour",
+    user = "user_id", track = "event_type", artist = "c_name")
+
+  /** S2/O5 — multi-file union scan: per-batch frames union by position, then
+    * aggregate. (Real multi-file CSV reads are covered in SourcesSpec; here
+    * the union semantics get an oracle.) */
+  private def unionScan(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.table(s, dir, "events")
+    ev.union(ev).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt")).orderBy("event_type")
+  }
+
+  /** P1-P3 — projection, rename, derived ratio column. */
+  private def projectDerive(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .select(col("event_id"), col("user_id").as("listener_id"), col("value"),
+        (col("value") / lit(10.0d)).as("value_ratio"))
+      .orderBy("event_id")
+
+  /** P4 — string→timestamp with coerce-to-null (try_to_timestamp, the
+    * non-ANSI parse the reference's pd.to_datetime(errors="coerce") implies;
+    * reference: dags/music_streaming_services_dag.py:155-156). `props` never
+    * parses → always null → `coerced_null` is true everywhere. */
+  private def timestampCoerce(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_str"),
+        col("props"))
+      .select(col("event_id"),
+        expr("try_to_timestamp(ts_str)").as("parsed"),
+        expr("try_to_timestamp(props)").isNull.as("coerced_null"))
+      .select(col("event_id"),
+        col("parsed").cast("date").cast("string").as("date"),
+        hour(col("parsed")).as("hour"),
+        col("coerced_null"))
+      .orderBy("event_id")
+
+  /** P5 — date / hour-of-day extraction. */
+  private def dateHour(s: SparkSession, dir: String): DataFrame =
+    Enrich.withDateHour(Sources.table(s, dir, "events"), "ts")
+      .select(col("event_id"), col("date").cast("string").as("date"),
+        col("hour"))
+      .orderBy("event_id")
+
+  /** W1/A4 — most popular track per (date, genre), window formulation. */
+  private def w1Top1(s: SparkSession, dir: String): DataFrame =
+    GenreKpis.mostPopularTrack(enrichedEvents(s, dir), genreCols)
+      .select(col("date").cast("string").as("date"),
+        col("c_mktsegment").as("track_genre"),
+        col("most_popular_track"), col("most_popular_track_popularity"))
+      .orderBy("date", "track_genre")
+
+  /** J2 — aggregate LEFT JOIN top-1 (the reference's two-frame formulation;
+    * must equal the fused genre_kpis result). */
+  private def j2Join(s: SparkSession, dir: String): DataFrame =
+    GenreKpis.computeViaJoin(enrichedEvents(s, dir), genreCols,
+        mean = c => (sum(col(c).cast("decimal(18,2)")).cast("double") /
+          count(col(c))))
+      .select(col("date").cast("string").as("date"),
+        col("c_mktsegment").as("track_genre"),
+        col("listen_count"), col("avg_duration_ms"), col("popularity_index"),
+        col("most_popular_track"), col("most_popular_track_popularity"))
+      .orderBy("date", "track_genre")
+
+  /** A5-A7 + P3 — hourly aggregate with two exact distincts in one pass. */
+  private def hourlyAgg(s: SparkSession, dir: String): DataFrame =
+    HourlyKpis.aggregate(enrichedEvents(s, dir), hourlyCols)
+      .select(col("date").cast("string").as("date"), col("hour"),
+        col("unique_listeners"), col("total_plays"), col("unique_tracks"),
+        col("track_diversity_index"))
+      .orderBy("date", "hour")
+
+  /** A8 + O1 — play counts per (date, hour, artist), multi-key mixed sort. */
+  private def playCounts(s: SparkSession, dir: String): DataFrame =
+    HourlyKpis.playCounts(enrichedEvents(s, dir), hourlyCols)
+      .select(col("date").cast("string").as("date"), col("hour"),
+        col("c_name"), col("play_count"))
+      .orderBy(col("date").asc, col("hour").asc, col("play_count").desc,
+        col("c_name").asc)
+
+  /** W2/O2 — top artist per (date, hour) with pinned tie-break. */
+  private def w2TopArtist(s: SparkSession, dir: String): DataFrame =
+    HourlyKpis.topArtist(enrichedEvents(s, dir), hourlyCols)
+      .select(col("date").cast("string").as("date"), col("hour"),
+        col("top_artist"))
+      .orderBy("date", "hour")
+
+  /** A4 corner — argmax over a group whose popularity is entirely null
+    * (pandas idxmax raises; the window yields the tie-broken first row,
+    * SURVEY §2.11-4). MACHINERY's popularity is nulled to force it. */
+  private def argmaxAllNull(s: SparkSession, dir: String): DataFrame = {
+    val e = Enrich.dropNullKeys(enrichedEvents(s, dir), "c_mktsegment", "date")
+      .withColumn("popularity",
+        when(col("c_mktsegment") === "MACHINERY", lit(null))
+          .otherwise(col("c_acctbal")))
+    val w = Window.partitionBy(col("date"), col("c_mktsegment"))
+      .orderBy(col("popularity").desc_nulls_last,
+        col("event_type").asc_nulls_last, col("event_id").asc)
+    e.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("date").cast("string").as("date"),
+        col("c_mktsegment").as("track_genre"),
+        col("event_type").as("top_track"),
+        col("popularity").as("top_popularity"))
+      .orderBy("date", "track_genre")
+  }
+
+  /** F2 — per-column null-count scan (the diagnostic the seed script prints;
+    * reference: songs_to_rds.py:21-29). */
+  private def nullScan(s: SparkSession, dir: String): DataFrame =
+    enrichedEvents(s, dir).agg(
+      (count(lit(1)) - count(col("c_name"))).as("nulls_c_name"),
+      (count(lit(1)) - count(col("c_mktsegment"))).as("nulls_c_mktsegment"),
+      (count(lit(1)) - count(col("c_acctbal"))).as("nulls_c_acctbal"))
+
+  /** F3 — fill nulls in string columns with the reference's (sic) "Unkown"
+    * (reference: songs_to_rds.py:31; sane-ified semantics per SURVEY §1.3). */
+  private def fillNull(s: SparkSession, dir: String): DataFrame =
+    enrichedEvents(s, dir)
+      .select("event_id", "c_name", "c_mktsegment")
+      .na.fill("Unkown")
+      .orderBy("event_id")
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("s2_o5_union_scan", unionScan, Some(
+      """SELECT event_type, COUNT(*) AS cnt
+        |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    QueryDef("p1_project_derive", projectDerive, Some(
+      """SELECT event_id, user_id AS listener_id, value,
+        |       value / CAST(10.0 AS DOUBLE) AS value_ratio
+        |FROM events ORDER BY event_id""".stripMargin)),
+    QueryDef("p4_timestamp_coerce", timestampCoerce, Some(
+      """SELECT event_id,
+        |  CAST(CAST(TRY_CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)
+        |       AS DATE) AS VARCHAR) AS date,
+        |  CAST(EXTRACT(hour FROM TRY_CAST(strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |       AS TIMESTAMP)) AS INTEGER) AS hour,
+        |  (TRY_CAST(props AS TIMESTAMP) IS NULL) AS coerced_null
+        |FROM events ORDER BY event_id""".stripMargin)),
+    QueryDef("p5_date_hour", dateHour, Some(
+      """SELECT event_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+        |       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour
+        |FROM events ORDER BY event_id""".stripMargin)),
+    QueryDef("w1_most_popular_track", w1Top1, Some(enrichedSql +
+      """, f AS (SELECT * FROM enriched
+        |        WHERE c_mktsegment IS NOT NULL AND date IS NOT NULL),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY date, c_mktsegment
+        |        ORDER BY c_acctbal DESC NULLS LAST, event_type ASC NULLS LAST,
+        |                 event_id ASC) AS rn FROM f)
+        |SELECT CAST(date AS VARCHAR) AS date, c_mktsegment AS track_genre,
+        |       event_type AS most_popular_track,
+        |       CAST(c_acctbal AS DOUBLE) AS most_popular_track_popularity
+        |FROM r WHERE rn = 1 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("j2_genre_kpis_join", j2Join, Some(
+      CoreQueries.genreKpisCtes +
+        "SELECT * FROM genre_kpis ORDER BY date, track_genre")),
+    QueryDef("a5_a7_hourly_agg", hourlyAgg, Some(enrichedSql +
+      """, hf AS (SELECT * FROM enriched WHERE date IS NOT NULL)
+        |SELECT CAST(date AS VARCHAR) AS date, hour,
+        |       COUNT(DISTINCT user_id) AS unique_listeners,
+        |       COUNT(event_type) AS total_plays,
+        |       COUNT(DISTINCT event_type) AS unique_tracks,
+        |       CAST(COUNT(DISTINCT event_type) AS DOUBLE) / COUNT(event_type)
+        |         AS track_diversity_index
+        |FROM hf GROUP BY date, hour ORDER BY 1, 2""".stripMargin)),
+    QueryDef("a8_play_counts", playCounts, Some(enrichedSql +
+      """SELECT CAST(date AS VARCHAR) AS date, hour, c_name,
+        |       COUNT(event_type) AS play_count
+        |FROM enriched
+        |WHERE date IS NOT NULL AND c_name IS NOT NULL
+        |GROUP BY date, hour, c_name
+        |ORDER BY 1 ASC, 2 ASC, 4 DESC, 3 ASC""".stripMargin)),
+    QueryDef("w2_top_artist", w2TopArtist, Some(enrichedSql +
+      """, hf AS (SELECT * FROM enriched WHERE date IS NOT NULL),
+        |pc AS (SELECT date, hour, c_name, COUNT(event_type) AS play_count
+        |       FROM hf WHERE c_name IS NOT NULL GROUP BY 1, 2, 3)
+        |SELECT CAST(date AS VARCHAR) AS date, hour, c_name AS top_artist FROM
+        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY date, hour
+        |     ORDER BY play_count DESC, c_name ASC) AS rn FROM pc)
+        |WHERE rn = 1 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("a4_argmax_all_null", argmaxAllNull, Some(enrichedSql +
+      """, f AS (SELECT *, CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+        |                       ELSE c_acctbal END AS popularity
+        |         FROM enriched
+        |         WHERE c_mktsegment IS NOT NULL AND date IS NOT NULL),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY date, c_mktsegment
+        |        ORDER BY popularity DESC NULLS LAST, event_type ASC NULLS LAST,
+        |                 event_id ASC) AS rn FROM f)
+        |SELECT CAST(date AS VARCHAR) AS date, c_mktsegment AS track_genre,
+        |       event_type AS top_track, popularity AS top_popularity
+        |FROM r WHERE rn = 1 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("f2_null_scan", nullScan, Some(enrichedSql +
+      """SELECT COUNT(*) - COUNT(c_name) AS nulls_c_name,
+        |       COUNT(*) - COUNT(c_mktsegment) AS nulls_c_mktsegment,
+        |       COUNT(*) - COUNT(c_acctbal) AS nulls_c_acctbal
+        |FROM enriched""".stripMargin)),
+    QueryDef("f3_fill_null", fillNull, Some(enrichedSql +
+      """SELECT event_id, COALESCE(c_name, 'Unkown') AS c_name,
+        |       COALESCE(c_mktsegment, 'Unkown') AS c_mktsegment
+        |FROM enriched ORDER BY event_id""".stripMargin)),
+  )
+}
