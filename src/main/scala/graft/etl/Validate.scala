@@ -1,0 +1,40 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structural validation (SURVEY §2.3 F1-F3).
+  *
+  * The reference's only data-quality gates are a required-column name-set
+  * check that branches the DAG to a stop node
+  * (reference: dags/music_streaming_services_dag.py:92-137) and a per-column
+  * null diagnostic in the seed script (reference: songs_to_rds.py:21-29).
+  * Both are cheap, driver-side or single-pass — no reason to change semantics,
+  * only to fail fast instead of swallowing errors (SURVEY §2.11-3).
+  */
+object Validate {
+
+  final case class MissingColumns(table: String, missing: Set[String])
+
+  /** F1 — order-insensitive required-column subset check. Pure schema
+    * inspection: no job runs, so it scales to any input size for free. */
+  def requiredColumns(table: String, df: DataFrame, required: Set[String])
+      : Either[MissingColumns, DataFrame] = {
+    val missing = required -- df.columns.toSet
+    if (missing.isEmpty) Right(df) else Left(MissingColumns(table, missing))
+  }
+
+  /** F2 — per-column null counts in ONE aggregation pass (the reference
+    * loops over rows in Python, reference: songs_to_rds.py:25-29 — O(n)
+    * driver-side; this is a single distributed scan). */
+  def nullScan(df: DataFrame): DataFrame =
+    df.agg(
+      (count(lit(1)) - count(col(df.columns.head))).as(df.columns.head),
+      df.columns.tail.map(c => (count(lit(1)) - count(col(c))).as(c)): _*)
+
+  /** F3 — fill nulls in string columns with the reference's (sic) "Unkown"
+    * (reference: songs_to_rds.py:31). pandas applies the string to numeric
+    * columns too (upcasting to object); we keep columns typed and fill only
+    * string columns — documented sane-ified semantics (SURVEY §1.3). */
+  def fillUnknown(df: DataFrame): DataFrame = df.na.fill("Unkown")
+}

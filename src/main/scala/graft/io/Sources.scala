@@ -28,13 +28,27 @@ object Sources {
     }
   }
 
-  /** S2 + S4 — CSV scan over one or many paths/globs with explicit schema.
-    * Replaces the reference's read-concat-rewrite
-    * (reference: dags/music_streaming_services_dag.py:26-41): Spark globs,
-    * unions by position (UNION ALL semantics, O5) and strips each file's
-    * header row correctly. */
+  /** S2 + S4 — CSV scan over one or many paths/globs, keeping the files' own
+    * header columns (all strings). Replaces the reference's
+    * read-concat-rewrite (reference: dags/music_streaming_services_dag.py:26-41):
+    * Spark globs, unions by position (UNION ALL semantics, O5) and strips each
+    * file's header row correctly. Kept schemaless so column validation (F1)
+    * sees what's actually in the files — an imposed schema would mask missing
+    * or reordered columns. */
+  def csvRaw(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("header", "true").csv(paths: _*)
+
+  /** Conform a raw (string-typed) frame to a declared schema BY NAME: select
+    * the declared columns in order and cast. Column order in the file is
+    * irrelevant (the reference's check is order-insensitive, SURVEY §2.3 F1);
+    * extra columns are dropped. Call after Validate.requiredColumns. */
+  def conform(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.toSeq.map(f =>
+      org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)): _*)
+
+  /** CSV scan conformed to an explicit schema (no validation step). */
   def csv(spark: SparkSession, schema: StructType, paths: String*): DataFrame =
-    spark.read.option("header", "true").schema(schema).csv(paths: _*)
+    conform(csvRaw(spark, paths: _*), schema)
 
   /** Parquet scan for the driver testdata tables.
     *
