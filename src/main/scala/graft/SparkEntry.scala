@@ -15,6 +15,7 @@ object SparkEntry {
     CoreQueries,
     OperatorQueries,
     RollupQueries,
+    ExtensionQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)

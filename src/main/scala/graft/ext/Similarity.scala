@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k, computed in two phases: rank within
+  * (query, scan-partition) — an exchange hashed over partitions × queries,
+  * well distributed — keep k, then rank only the `numPartitions × k`
+  * survivors per query. A direct global window would instead sort the entire
+  * scored corpus through one reducer per query (Q reducers for Q queries —
+  * unusable skew at 100 TB); queries are broadcast so the scoring pass
+  * itself never shuffles the corpus.
+  *
+  * Scale path: IVF-style partition pruning — vectors carry a coarse cluster
+  * id (here the `label` column stands in for a trained quantizer's cell
+  * assignment); each query searches only its own cell, cutting the scanned
+  * fraction to 1/cells. Same two-phase top-k inside the cell.
+  *
+  * All ranking happens on cosine ROUNDED to 4 dp with vec_id tie-break, so
+  * results are total-ordered and engine-independent.
+  */
+object Similarity {
+
+  /** Local-then-global top-k: rank within (query, scan partition), keep k,
+    * re-rank globally per query. Results identical to a single global
+    * window, but the global step only sees survivors. */
+  private def twoPhaseTopK(scored: DataFrame, k: Int): DataFrame = {
+    val local = Window
+      .partitionBy(col("query_id"), spark_partition_id())
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    val global = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    scored
+      .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= k)
+      .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+  }
+
+  /** Brute-force exact top-k neighbors for each query vector. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val scored = corpus.select(col(idCol), col(vecCol).as("cv"))
+      .crossJoin(q)
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine", cosineRounded(col("qv"), col("cv")))
+    twoPhaseTopK(scored, k)
+  }
+
+  /** IVF-bucketed ANN: search only the query's own coarse cell. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+              cellCol: String = "label", idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(cellCol), col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val scored = corpus.select(col(cellCol), col(idCol), col(vecCol).as("cv"))
+      .join(q, Seq(cellCol))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine", cosineRounded(col("qv"), col("cv")))
+    twoPhaseTopK(scored, k)
+  }
+
+  /** Random-hyperplane (sign) LSH signatures: `planes` deterministic
+    * pseudo-random hyperplanes derived from md5(plane, dim) parity; bit p of
+    * the signature is the sign of ⟨v, plane_p⟩. Vectors sharing a signature
+    * land in one bucket → candidate set for ANN at corpus scale. */
+  def signLsh(emb: DataFrame, planes: Int = 16, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    // weight(p, d) ∈ {+1, -1} from the low bit of md5("p:d")
+    val sigBits = (0 until planes).map { p =>
+      val dotExpr =
+        s"""aggregate(
+           |  zip_with($vecCol, sequence(0, size($vecCol) - 1),
+           |    (x, d) -> CAST(x AS DOUBLE) *
+           |      (CAST(conv(substring(md5(concat('$p', ':', d)), 1, 2), 16, 10)
+           |            AS INT) % 2 * 2 - 1)),
+           |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin
+      when(expr(dotExpr) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col(idCol), sigBits.as("lsh_sig"))
+  }
+}

@@ -1,0 +1,260 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.io.Sources
+
+/** North-star extension queries (BASELINE.json): dedup, similarity search,
+  * text analysis, multimodal metadata — each oracle-checked on the
+  * `documents` / `embeddings` tables.
+  *
+  * Shared oracle building blocks: `d` (normalized docs), `sh` (char
+  * 8-shingles, stride 4) — the DuckDB twins of TextAnalysis.normalize /
+  * charShingles; `e`/cosine fragments — the twins of VectorFunctions.
+  */
+object ExtensionQueries extends QueryGroup {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "embeddings")
+
+  // ---- shared DuckDB fragments ----
+
+  private val dCte: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |""".stripMargin
+
+  private val shCte: String =
+    """, sh AS (SELECT doc_id, substr(norm, i, 8) AS shingle FROM
+      |   (SELECT doc_id, norm,
+      |      unnest(range(1, greatest(length(norm)-7, 0)+1, 4)) AS i
+      |    FROM d WHERE length(norm) >= 8))
+      |""".stripMargin
+
+  private val sigCte: String =
+    """, sig AS (SELECT doc_id, band,
+      |    min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
+      |  FROM sh, (SELECT unnest([0,1,2,3]) AS band) bands
+      |  GROUP BY doc_id, band)
+      |""".stripMargin
+
+  private val candSql: String =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM sig a JOIN sig b
+      |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |""".stripMargin
+
+  /** DuckDB cosine over DOUBLE[] lists, rounded to 4 dp (the cross-engine
+    * contract; see VectorFunctions). */
+  private def cosSql(a: String, b: String): String =
+    s"""round(list_aggregate(list_transform(list_zip($a, $b),
+       |        z -> z[1] * z[2]), 'sum') /
+       |  (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum')) *
+       |   sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum'))), 4)
+       |""".stripMargin
+
+  private val eCte: String =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+      |           FROM embeddings)
+      |""".stripMargin
+
+  // ---- dedup ----
+
+  private def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(s, dir)).orderBy("content_hash")
+
+  private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCandidates(docs(s, dir)).orderBy("doc_a", "doc_b")
+
+  private def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.ngramJaccard(d, Dedup.minhashCandidates(d))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir)).orderBy("doc_id")
+
+  private def dedupSimhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docs(s, dir)).orderBy("doc_a", "doc_b")
+
+  private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(emb(s, dir)).orderBy("doc_a", "doc_b")
+
+  /** Generated SimHash SQL: 32 per-bit vote sums, then bit packing —
+    * the same structure Dedup.simhash builds as Column expressions. */
+  private val simhashCtes: String = {
+    val votes = (0 until 32)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n      ")
+    val packed = (0 until 32)
+      .map(j => s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    dCte +
+      """, toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+        |           FROM d)
+        |, th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        |         FROM toks WHERE length(tok) > 0)
+        |""".stripMargin +
+      s", votes AS (SELECT doc_id,\n      $votes\n    FROM th GROUP BY doc_id)\n" +
+      s", sims AS (SELECT doc_id, $packed AS simhash FROM votes)\n"
+  }
+
+  // ---- similarity search ----
+
+  private def simBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.bruteForceTopK(e.filter(col("vec_id") < 10), e)
+      .orderBy("query_id", "rank")
+  }
+
+  private def simIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.ivfTopK(e.filter(col("vec_id") < 10), e)
+      .orderBy("query_id", "rank")
+  }
+
+  private def topkOracle(sameCell: Boolean): String = {
+    val cellPred = if (sameCell) " AND e.label = q.qlabel" else ""
+    eCte +
+      s""", q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+         |        FROM e WHERE vec_id < 10),
+         |scored AS (SELECT q.query_id, e.vec_id,
+         |    ${cosSql("q.qv", "e.v")} AS cosine
+         |  FROM e JOIN q ON e.vec_id <> q.query_id$cellPred),
+         |r AS (SELECT query_id, vec_id, cosine,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // ---- text analysis ----
+
+  private def textTokens(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")
+
+  private def textQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
+
+  private def textLangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(docs(s, dir)).orderBy("doc_id")
+
+  private def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")
+
+  private val langScores: String = TextAnalysis.langScoreSql
+    .map { case (l, sql) => s"$sql AS score_$l" }.mkString(",\n    ")
+
+  // ---- multimodal ----
+
+  /** Metadata + stub-decode dimensions over the text payload treated as an
+    * opaque binary column (same formulas as Multimodal.fakeDecode). */
+  private def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.asMedia(docs(s, dir), "doc_id", "text", "text")
+      .withColumn("width", ((col("byte_len") * 7) % 640 + 1).cast("int"))
+      .withColumn("height", ((col("byte_len") * 13) % 480 + 1).cast("int"))
+      .withColumn("n_frames", (col("byte_len") % 30 + 1).cast("int"))
+      .select("media_id", "modality", "byte_len", "content_hash",
+        "width", "height", "n_frames")
+      .orderBy("media_id")
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_exact_groups", dedupExact, Some(
+      """SELECT md5(text) AS content_hash, COUNT(*) AS copies,
+        |       MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin)),
+    QueryDef("dedup_minhash_pairs", dedupMinhash, Some(
+      dCte + shCte + sigCte + candSql + "ORDER BY doc_a, doc_b")),
+    QueryDef("dedup_ngram_jaccard", dedupJaccard, Some(
+      dCte + shCte + sigCte +
+        """, cand AS (""".stripMargin + candSql + ")" +
+        """
+          |, g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+          |  FROM (SELECT doc_id, toks,
+          |          unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+          |        FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM d)
+          |        WHERE len(toks) >= 3))
+          |, gs AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
+          |, inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+          |  FROM cand p
+          |  JOIN g ga ON ga.doc_id = p.doc_a
+          |  JOIN g gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+          |  GROUP BY p.doc_a, p.doc_b)
+          |SELECT i.doc_a, i.doc_b,
+          |  CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter)
+          |    AS jaccard
+          |FROM inter i
+          |JOIN gs sa ON sa.doc_id = i.doc_a
+          |JOIN gs sb ON sb.doc_id = i.doc_b
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+    QueryDef("dedup_simhash", dedupSimhash, Some(
+      simhashCtes + "SELECT doc_id, simhash FROM sims ORDER BY doc_id")),
+    QueryDef("dedup_simhash_pairs", dedupSimhashPairs, Some(
+      simhashCtes +
+        """, banded AS (SELECT doc_id, simhash, byte_i,
+          |    (simhash >> (byte_i * 8)) & 255 AS byte_v
+          |  FROM sims, (SELECT unnest([0,1,2,3]) AS byte_i) bytes)
+          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+          |FROM banded a JOIN banded b
+          |  ON a.byte_i = b.byte_i AND a.byte_v = b.byte_v
+          | AND a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+    QueryDef("dedup_embedding_neardup", dedupEmbedding, Some(
+      eCte +
+        s"""SELECT * FROM (
+           |  SELECT a.label, a.vec_id AS doc_a, b.vec_id AS doc_b,
+           |    ${cosSql("a.v", "b.v")} AS cosine
+           |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+           |WHERE cosine >= 0.45 ORDER BY doc_a, doc_b""".stripMargin)),
+    QueryDef("sim_bruteforce_topk", simBruteForce, Some(topkOracle(false))),
+    QueryDef("sim_ivf_topk", simIvf, Some(topkOracle(true))),
+    QueryDef("text_token_stats", textTokens, Some(dCte +
+      """SELECT doc_id,
+        |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(length(norm) AS BIGINT) AS n_chars,
+        |  CAST(length(replace(norm, ' ', '')) AS DOUBLE)
+        |    / len(string_split(norm, ' ')) AS avg_token_len
+        |FROM d ORDER BY doc_id""".stripMargin)),
+    QueryDef("text_quality", textQuality, Some(dCte +
+      s""", q AS (SELECT doc_id, norm,
+         |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(length(norm) AS BIGINT) AS n_chars,
+         |  ${TextAnalysis.langScoreSql.find(_._1 == "en").get._2} AS stop_hits
+         |  FROM d)
+         |SELECT doc_id, n_tokens, n_chars,
+         |  stop_hits / n_tokens AS stopword_ratio,
+         |  length(regexp_replace(norm, '[a-z ]', '', 'g')) / length(norm)
+         |    AS nonalpha_ratio,
+         |  least(n_tokens / 100.0, 1.0) * 0.5 +
+         |    least(stop_hits / n_tokens * 5.0, 1.0) * 0.5 AS quality_score
+         |FROM q ORDER BY doc_id""".stripMargin)),
+    QueryDef("text_langid", textLangId, Some(dCte +
+      s""", scored AS (SELECT doc_id, lang, norm,
+         |    $langScores
+         |  FROM d)
+         |SELECT doc_id, ${TextAnalysis.langCaseSql} AS pred_lang, lang,
+         |  (${TextAnalysis.langCaseSql}) = lang AS matches_label
+         |FROM scored ORDER BY doc_id""".stripMargin)),
+    QueryDef("text_fingerprint", textFingerprint, Some(dCte + shCte +
+      """SELECT doc_id, min(md5(shingle)) AS fingerprint
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    QueryDef("multimodal_meta", multimodalMeta, Some(
+      """SELECT doc_id AS media_id, 'text' AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  md5(text) AS content_hash,
+        |  CAST((octet_length(encode(text)) * 7) % 640 + 1 AS INTEGER) AS width,
+        |  CAST((octet_length(encode(text)) * 13) % 480 + 1 AS INTEGER) AS height,
+        |  CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY media_id""".stripMargin)),
+  )
+}
