@@ -16,6 +16,7 @@ object SparkEntry {
     OperatorQueries,
     RollupQueries,
     ExtensionQueries,
+    StreamingQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)

@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and AGAIN"), // near-dup
+    (4L, "completely different content talking about spark query engines"),
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds duplicate texts, keeps min id") {
+    val g = Dedup.exactGroups(docs).filter($"copies" > 1).collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("copies") == 2)
+    assert(g.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("exactDedup keeps one row per text") {
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("minhash LSH pairs exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashCandidates(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))      // identical docs always collide
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated excluded
+  }
+
+  test("ngram jaccard: identical docs = 1.0, near-dups high, ordered pairs") {
+    val j = Dedup.ngramJaccard(docs, Dedup.minhashCandidates(docs))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    val m = j.map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(m.get((1L, 2L)).contains(1.0))
+    m.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+  }
+
+  test("simhash: identical docs share signatures; hamming(near-dup) small") {
+    val sig = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val ham13 = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    val ham14 = java.lang.Long.bitCount(sig(1L) ^ sig(4L))
+    assert(ham13 < ham14) // near-dup closer than unrelated
+    val pairs = Dedup.simhashPairs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embedding near-dup finds identical vectors within a bucket") {
+    val emb = Seq(
+      (1L, 0, Array(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Array(1.0f, 0.0f, 0.0f)),   // identical
+      (3L, 0, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (4L, 1, Array(1.0f, 0.0f, 0.0f)),   // other bucket — never compared
+    ).toDF("vec_id", "label", "embedding")
+    val pairs = Dedup.embeddingNearDup(emb, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

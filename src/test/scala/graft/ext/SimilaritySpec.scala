@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randVec(seed: Int, dim: Int = 16): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(dim)(r.nextGaussian().toFloat)
+  }
+
+  private val corpus = (0L until 50L).map(i =>
+    (i, (i % 3).toInt, randVec(i.toInt))).toDF("vec_id", "label", "embedding")
+
+  test("bruteForceTopK: an identical vector ranks first with cosine 1.0") {
+    val dup = Seq((999L, 0, randVec(7))).toDF("vec_id", "label", "embedding")
+    val all = corpus.union(dup)
+    val top = Similarity.bruteForceTopK(all.filter($"vec_id" === 7L), all)
+      .filter($"rank" === 1).head()
+    assert(top.getAs[Long]("vec_id") == 999L)
+    assert(top.getAs[Double]("cosine") == 1.0)
+  }
+
+  test("two-phase top-k equals a naive global ranking") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
+    val queries = corpus.filter($"vec_id" < 3)
+    val got = Similarity.bruteForceTopK(queries, corpus, k = 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    val naive = corpus.select($"vec_id", $"embedding".as("cv"))
+      .crossJoin(queries.select($"vec_id".as("query_id"), $"embedding".as("qv")))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cosine", VectorFunctions.cosineRounded($"qv", $"cv"))
+      .withColumn("rank", row_number().over(Window.partitionBy($"query_id")
+        .orderBy($"cosine".desc, $"vec_id".asc)))
+      .filter($"rank" <= 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(got == naive)
+  }
+
+  test("ivfTopK searches only the query's cell") {
+    val res = Similarity.ivfTopK(corpus.filter($"vec_id" === 0L), corpus)
+      .join(corpus.select($"vec_id", $"label".as("nlabel")), Seq("vec_id"))
+    assert(res.filter($"nlabel" =!= 0).isEmpty)
+  }
+
+  test("signLsh is deterministic and bucket-compatible for identical vectors") {
+    val dup = Seq((999L, 0, randVec(7))).toDF("vec_id", "label", "embedding")
+    val sigs = Similarity.signLsh(corpus.union(dup))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = Similarity.signLsh(corpus.union(dup))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs == again)          // deterministic across runs
+    assert(sigs(7L) == sigs(999L)) // identical vectors share every plane sign
+  }
+}
