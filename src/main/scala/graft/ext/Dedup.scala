@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
+import graft.io.Sources.scatter
 
 /** Deduplication operators for training-data pipelines, each designed around
   * its shuffle profile at 100 TB:
@@ -20,8 +21,9 @@ import graft.functions.VectorFunctions
   *    pairs);
   *  - embedding cosine: within-partition (label/IVF-cell) pairs only.
   *
-  * Hash family: lexicographic min over hex `md5(band || ':' || shingle)` —
-  * a salt-per-band min-wise family that any SQL engine reproduces exactly.
+  * Hash family: the four 32-bit windows of one `md5(shingle)` digest act as
+  * four independent min-wise hash functions — one digest per shingle, and
+  * any SQL engine reproduces the family exactly.
   */
 object Dedup {
 
@@ -41,24 +43,39 @@ object Dedup {
       .filter(col("rn") === 1).drop("rn")
   }
 
-  /** Per-band MinHash signatures over char shingles.
-    * One row per (doc, band); `bands` independent hash functions via salt. */
+  /** Banded MinHash signatures over char shingles: b=2 bands × r=2 rows
+    * (standard (b,r) banding — per-band collision probability J^r). The four
+    * independent 32-bit minhash functions are DISJOINT 8-hex windows of a
+    * single md5 per shingle, so hashing costs one digest per shingle; the
+    * groupBy computes all four mins in one pass (map-side partial min, one
+    * row per doc into the shuffle). r=2 matters at corpus scale: with r=1,
+    * every pair of documents sharing one common min-shingle collides —
+    * low-similarity word-soup pairs flood the candidate set (measured 405k
+    * candidate pairs on 5k synthetic docs; J² banding cuts an order of
+    * magnitude). Exact duplicates still collide on every band. */
   def minhashSignatures(docs: DataFrame, idCol: String = "doc_id",
-                        k: Int = 8, stride: Int = 4, bands: Int = 4)
-      : DataFrame =
-    TextAnalysis.charShingles(docs, idCol, k, stride)
-      .select(col(idCol),
-        explode(expr(s"sequence(0, ${bands - 1})")).as("band"),
-        col("shingle"))
-      .groupBy(col(idCol), col("band"))
-      .agg(min(md5(concat(col("band"), lit(":"), col("shingle"))))
-        .as("sig"))
+                        k: Int = 8, stride: Int = 4): DataFrame = {
+    def mh(w: Int) =
+      min(conv(substring(col("h"), w * 8 + 1, 8), 16, 10).cast("long"))
+        .as(s"m$w")
+    val mins = TextAnalysis.charShingles(docs, idCol, k, stride)
+      .withColumn("h", md5(col("shingle")))
+      .groupBy(col(idCol))
+      .agg(mh(0), mh(1), mh(2), mh(3))
+    mins.select(col(idCol), explode(array(
+        struct(lit(0).as("band"),
+          concat_ws(":", col("m0"), col("m1")).as("sig")),
+        struct(lit(1).as("band"),
+          concat_ws(":", col("m2"), col("m3")).as("sig")))).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
 
   /** LSH candidate pairs: docs agreeing on any band's signature. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
-                        k: Int = 8, stride: Int = 4, bands: Int = 4)
-      : DataFrame = {
-    val sig = minhashSignatures(docs, idCol, k, stride, bands)
+                        k: Int = 8, stride: Int = 4): DataFrame = {
+    // persist: the self-join consumes the signature subplan twice; without
+    // caching the whole shingle+hash pipeline runs twice.
+    val sig = minhashSignatures(docs, idCol, k, stride).persist()
     val a = sig.select(col("band"), col("sig"), col(idCol).as("doc_a"))
     val b = sig.select(col("band"), col("sig"), col(idCol).as("doc_b"))
     a.join(b, Seq("band", "sig"))
@@ -69,8 +86,8 @@ object Dedup {
   /** Word n-gram (shingle-of-tokens) sets, one row per (doc, gram). */
   def wordNgrams(docs: DataFrame, idCol: String = "doc_id", n: Int = 3)
       : DataFrame =
-    docs.select(col(idCol),
-        TextAnalysis.tokens(TextAnalysis.normalize(col("text"))).as("toks"))
+    scatter(docs.select(col(idCol),
+        TextAnalysis.tokens(TextAnalysis.normalize(col("text"))).as("toks")))
       .filter(size(col("toks")) >= n)
       .select(col(idCol),
         explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
@@ -78,21 +95,27 @@ object Dedup {
       .distinct()
 
   /** Exact n-gram Jaccard similarity for given candidate pairs
-    * (|A∩B| / |A∪B| — integer cardinalities, exact division). */
+    * (|A∩B| / |A∪B| — integer cardinalities, exact division).
+    *
+    * Set-per-doc formulation: one groupBy builds each document's distinct
+    * gram set once; each pair then costs a single `array_intersect` instead
+    * of re-joining at gram granularity (which replicates every pair by the
+    * gram count of its left doc — the dominant shuffle at corpus scale).
+    * Pairs sharing no gram are omitted (as the join formulation would). */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame,
                    idCol: String = "doc_id", n: Int = 3): DataFrame = {
-    val grams = wordNgrams(docs, idCol, n)
-    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
-    val inter = pairs
-      .join(grams.select(col(idCol).as("doc_a"), col("gram")), Seq("doc_a"))
-      .join(grams.select(col(idCol).as("doc_b"), col("gram")),
-        Seq("doc_b", "gram"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col(idCol).as("doc_a"), col("n_grams").as("na")),
-        Seq("doc_a"))
-      .join(sizes.select(col(idCol).as("doc_b"), col("n_grams").as("nb")),
-        Seq("doc_b"))
+    val sets = wordNgrams(docs, idCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("gram")).as("grams"))
+      .select(col(idCol), col("grams"), size(col("grams")).as("n_grams"))
+      .persist() // consumed twice (doc_a / doc_b sides)
+    pairs
+      .join(sets.select(col(idCol).as("doc_a"), col("grams").as("ga"),
+        col("n_grams").as("na")), Seq("doc_a"))
+      .join(sets.select(col(idCol).as("doc_b"), col("grams").as("gb"),
+        col("n_grams").as("nb")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
+      .filter(col("n_inter") > 0)
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") /
           (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
@@ -103,16 +126,22 @@ object Dedup {
     * signature bit. One groupBy with 32 conditional sums — a single shuffle
     * of (doc, 32 longs). */
   def simhash(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val toks = docs
+    // Hash DISTINCT (doc, token) pairs and weight votes by occurrence count:
+    // natural-language token frequency makes distinct pairs several times
+    // fewer than raw tokens, and md5 is the dominant per-row cost.
+    val toks = scatter(docs
       .select(col(idCol),
-        explode(TextAnalysis.tokens(TextAnalysis.normalize(col("text"))))
-          .as("tok"))
+        TextAnalysis.normalize(col("text")).as("norm")))
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(col("norm"))).as("tok"))
       .filter(length(col("tok")) > 0)
-      .select(col(idCol),
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col(idCol), col("cnt"),
         conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
     val votes = (0 until 32).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$j"))
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$j"))
     val packed = (0 until 32).map(j =>
       when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce((a: Column, b: Column) => a + b)
@@ -126,7 +155,7 @@ object Dedup {
     * Hamming filter. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
                    maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs, idCol)
+    val sig = simhash(docs, idCol).persist() // self-joined below
     val banded = sig.select(col(idCol), col("simhash"),
         explode(expr("sequence(0, 3)")).as("byte_i"))
       .withColumn("byte_v", expr("shiftright(simhash, byte_i * 8) & 255"))
@@ -148,8 +177,8 @@ object Dedup {
   def embeddingNearDup(emb: DataFrame, partitionCol: String = "label",
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        threshold: Double = 0.45): DataFrame = {
-    val a = emb.select(col(partitionCol), col(idCol).as("doc_a"),
-      col(vecCol).as("va"))
+    val a = scatter(emb.select(col(partitionCol), col(idCol).as("doc_a"),
+      col(vecCol).as("va")))
     val b = emb.select(col(partitionCol), col(idCol).as("doc_b"),
       col(vecCol).as("vb"))
     a.join(b, Seq(partitionCol))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
+import graft.io.Sources.scatter
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -47,7 +48,7 @@ object Similarity {
       : DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv")))
-    val scored = corpus.select(col(idCol), col(vecCol).as("cv"))
+    val scored = scatter(corpus.select(col(idCol), col(vecCol).as("cv")))
       .crossJoin(q)
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cosine", cosineRounded(col("qv"), col("cv")))
@@ -60,7 +61,8 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(cellCol), col(idCol).as("query_id"),
       col(vecCol).as("qv")))
-    val scored = corpus.select(col(cellCol), col(idCol), col(vecCol).as("cv"))
+    val scored = scatter(corpus.select(col(cellCol), col(idCol),
+        col(vecCol).as("cv")))
       .join(q, Seq(cellCol))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cosine", cosineRounded(col("qv"), col("cv")))

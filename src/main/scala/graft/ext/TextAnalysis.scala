@@ -3,6 +3,8 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.io.Sources.scatter
+
 /** Text-analysis operators for a training-data pipeline: normalization,
   * token statistics, quality scoring, n-gram-heuristic language ID, and
   * rolling-hash document fingerprinting.
@@ -29,7 +31,7 @@ object TextAnalysis {
     * standard trade at corpus scale. Requires `norm` length ≥ k (guarded). */
   def charShingles(docs: DataFrame, idCol: String, k: Int, stride: Int)
       : DataFrame =
-    docs.select(col(idCol), normalize(col("text")).as("norm"))
+    scatter(docs.select(col(idCol), normalize(col("text")).as("norm")))
       .filter(length(col("norm")) >= k)
       .select(col(idCol),
         explode(expr(s"sequence(1, length(norm) - ${k - 1}, $stride)"))
@@ -72,7 +74,7 @@ object TextAnalysis {
   /** Token statistics: token count, char count, mean token length (exact —
     * integer counts divided once in double). */
   def tokenStats(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
-    docs.select(col(idCol), normalize(col("text")).as("norm"))
+    scatter(docs.select(col(idCol), normalize(col("text")).as("norm")))
       .select(col(idCol),
         size(tokens(col("norm"))).cast("long").as("n_tokens"),
         length(col("norm")).cast("long").as("n_chars"),
@@ -83,7 +85,7 @@ object TextAnalysis {
     * fixed-weight composite score. All terms are exact integer ratios
     * combined by one identical expression per engine. */
   def qualityScore(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val base = docs.select(col(idCol), normalize(col("text")).as("norm"))
+    val base = scatter(docs.select(col(idCol), normalize(col("text")).as("norm")))
       .withColumn("n_tokens", size(tokens(col("norm"))).cast("long"))
       .withColumn("n_chars", length(col("norm")).cast("long"))
       .withColumn("stop_hits",
@@ -100,7 +102,8 @@ object TextAnalysis {
   /** Language ID over the marker heuristic. */
   def languageId(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val scored = langScoreSql.foldLeft(
-      docs.select(col(idCol), col("lang"), normalize(col("text")).as("norm"))) {
+      scatter(docs.select(col(idCol), col("lang"),
+        normalize(col("text")).as("norm")))) {
       case (d, (l, sql)) => d.withColumn(s"score_$l", expr(sql))
     }
     scored.select(col(idCol), expr(langCaseSql).as("pred_lang"), col("lang"),

@@ -26,8 +26,17 @@ object VectorFunctions {
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity dot/(‖a‖·‖b‖). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity dot/(‖a‖·‖b‖) — HOF formulation (interpreted lambda
+    * per element; kept as the semantic reference for the codegen'd path). */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Cosine similarity via the codegen'd [[CosineSimilarityExpr]]: same
+    * value bitwise, ~an order of magnitude faster in the hot path. */
+  def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(CosineSimilarityExpr(
+      GraftShims.expression(a), GraftShims.expression(b)))
+  }
 
   /** Cosine rounded to `d` decimals — the cross-engine-stable form used for
     * thresholding and ranking. */

@@ -69,6 +69,16 @@ object Sources {
     else df
   }
 
+  /** Redistribute a (narrow, already-projected) frame across the cluster's
+    * default parallelism. Single-file / single-row-group inputs arrive as ONE
+    * scan partition — any CPU-heavy map pipeline (hashing, shingling, vector
+    * math) would run on one core until its first shuffle. Call this after
+    * projecting down to the columns the pipeline needs, so the exchange moves
+    * the minimum bytes. At scale this is the same defense against skewed
+    * file layouts (a few huge inputs among many). */
+  def scatter(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** S3 — JDBC table scan (reference: dags/music_streaming_services_dag.py:45-81
     * does `SELECT * FROM users/songs` through a psycopg2 cursor, materializing
     * everything on one node). The Spark JDBC source pushes projection/predicates

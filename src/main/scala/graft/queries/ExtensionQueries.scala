@@ -37,10 +37,20 @@ object ExtensionQueries extends QueryGroup {
       |""".stripMargin
 
   private val sigCte: String =
-    """, sig AS (SELECT doc_id, band,
-      |    min(md5(CAST(band AS VARCHAR) || ':' || shingle)) AS sig
-      |  FROM sh, (SELECT unnest([0,1,2,3]) AS band) bands
-      |  GROUP BY doc_id, band)
+    """, mins AS (SELECT doc_id,
+      |    min(('0x' || substr(md5(shingle),  1, 8))::BIGINT) AS m0,
+      |    min(('0x' || substr(md5(shingle),  9, 8))::BIGINT) AS m1,
+      |    min(('0x' || substr(md5(shingle), 17, 8))::BIGINT) AS m2,
+      |    min(('0x' || substr(md5(shingle), 25, 8))::BIGINT) AS m3
+      |  FROM sh GROUP BY doc_id)
+      |, sig AS (
+      |  SELECT doc_id, 0 AS band,
+      |         CAST(m0 AS VARCHAR) || ':' || CAST(m1 AS VARCHAR) AS sig
+      |  FROM mins
+      |  UNION ALL
+      |  SELECT doc_id, 1 AS band,
+      |         CAST(m2 AS VARCHAR) || ':' || CAST(m3 AS VARCHAR) AS sig
+      |  FROM mins)
       |""".stripMargin
 
   private val candSql: String =
@@ -90,7 +100,7 @@ object ExtensionQueries extends QueryGroup {
     * the same structure Dedup.simhash builds as Column expressions. */
   private val simhashCtes: String = {
     val votes = (0 until 32)
-      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN cnt ELSE -cnt END) AS b$j")
       .mkString(",\n      ")
     val packed = (0 until 32)
       .map(j => s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) " +
@@ -99,8 +109,11 @@ object ExtensionQueries extends QueryGroup {
     dCte +
       """, toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
         |           FROM d)
-        |, th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
-        |         FROM toks WHERE length(tok) > 0)
+        |, tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks
+        |         WHERE length(tok) > 0 GROUP BY doc_id, tok)
+        |, th AS (SELECT doc_id, cnt,
+        |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+        |         FROM tc)
         |""".stripMargin +
       s", votes AS (SELECT doc_id,\n      $votes\n    FROM th GROUP BY doc_id)\n" +
       s", sims AS (SELECT doc_id, $packed AS simhash FROM votes)\n"

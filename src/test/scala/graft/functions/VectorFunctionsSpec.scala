@@ -1,0 +1,40 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = {
+    val r = new scala.util.Random(1234)
+    (0L until 200L).map(i => (i, Array.fill(64)(r.nextGaussian().toFloat)))
+      .toDF("id", "v")
+  }
+
+  test("codegen cosine expression is bitwise identical to the HOF formula") {
+    val pairs = vecs.select($"id".as("ia"), $"v".as("va"))
+      .crossJoin(vecs.select($"id".as("ib"), $"v".as("vb")))
+      .filter($"ia" < $"ib").limit(5000)
+    val diffs = pairs.select(
+      VectorFunctions.cosine($"va", $"vb").as("fast"),
+      VectorFunctions.cosineHof($"va", $"vb").as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(diffs.isEmpty)
+  }
+
+  test("cosine of a vector with itself is 1.0; orthogonal is 0.0") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 3.0f)))
+      .toDF("a", "a2", "b")
+    val r = df.select(
+      VectorFunctions.cosine($"a", $"a2").as("same"),
+      VectorFunctions.cosine($"a", $"b").as("orth")).head()
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 0.0)
+  }
+
+  test("null array yields null similarity") {
+    val df = Seq((Some(Array(1.0f)), Option.empty[Array[Float]]))
+      .toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine($"a", $"b")).head().isNullAt(0))
+  }
+}
