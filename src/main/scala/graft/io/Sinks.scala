@@ -35,6 +35,19 @@ object Sinks {
     w1.parquet(path)
   }
 
+  /** Bucketed managed table: co-locates future joins/aggregations on
+    * `bucketCols` — two tables bucketed the same way join with NO exchange
+    * on either side (verified in SinksSpec by plan inspection). At 100 TB
+    * this is the difference between re-shuffling the fact table per join and
+    * never shuffling it at all; sortBy makes the merge join zip directly. */
+  def bucketedTable(df: DataFrame, name: String, bucketCols: Seq[String],
+                    buckets: Int = 64): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(name)
+
   /** S7-S9 — JDBC sink. Covers the reference's CREATE TABLE + batched
     * executemany (reference: users_to_rds.py:33-60, songs_to_rds.py:48-92) and
     * its Redshift COPY load (dags/music_streaming_services_dag.py:317-353):

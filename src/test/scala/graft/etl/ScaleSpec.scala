@@ -1,0 +1,70 @@
+package graft.etl
+
+import graft.SparkSpec
+import graft.io.Sinks
+import org.apache.spark.sql.functions._
+
+/** At-scale mechanics: salting equivalence and bucketed shuffle-free joins. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted count/sum equal their direct formulations") {
+    val df = (1 to 500).map(i => (if (i % 10 == 0) "hot" else s"k$i", i * 1.0))
+      .toDF("k", "v").repartition(8)
+    val direct = df.groupBy("k").agg(count(lit(1)).as("count"))
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCount(df, Seq("k"))
+      .as[(String, Long)].collect().toMap
+    assert(salted == direct)
+    val directSum = df.groupBy("k").agg(sum($"v").as("sum"))
+      .as[(String, Double)].collect().toMap
+    val saltedSum = Skew.saltedSum(df, Seq("k"), "v")
+      .as[(String, Double)].collect().toMap
+    assert(saltedSum.keySet == directSum.keySet)
+    saltedSum.foreach { case (k, v) =>
+      assert(math.abs(v - directSum(k)) < 1e-9)
+    }
+  }
+
+  test("salted join equals plain left join") {
+    val facts = (1L to 300L).map(i => (i % 7, i)).toDF("k", "fact_id")
+    val dim = (0L to 4L).map(k => (k, s"d$k")).toDF("k", "attr")
+    val plain = facts.join(dim, Seq("k"), "left")
+      .select("fact_id", "attr").as[(Long, String)].collect().toSet
+    val salted = Skew.saltedJoin(facts, dim, "k")
+      .select("fact_id", "attr").as[(Long, String)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("same-bucketed tables join without an exchange") {
+    spark.sql("DROP TABLE IF EXISTS g_bucket_a")
+    spark.sql("DROP TABLE IF EXISTS g_bucket_b")
+    // a crashed prior run can leave the managed location behind after the
+    // metadata is gone — saveAsTable refuses to reuse it
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("g_bucket_a", "g_bucket_b").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+    Sinks.bucketedTable((1L to 1000L).map(i => (i, i * 2)).toDF("id", "x"),
+      "g_bucket_a", Seq("id"), buckets = 8)
+    Sinks.bucketedTable((1L to 1000L).map(i => (i, i * 3)).toDF("id", "y"),
+      "g_bucket_b", Seq("id"), buckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("g_bucket_a")
+        .join(spark.table("g_bucket_b"), "id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+}
