@@ -2,14 +2,22 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.streaming.StreamingKpis
+import graft.io.Sources
+import graft.streaming.{Sessionize, StreamingKpis}
 
-/** Streaming parity query: the Structured Streaming hourly counts must equal
-  * the equivalent batch aggregation — DuckDB computes the batch twin. */
+/** Streaming parity queries: the Structured Streaming hourly counts must
+  * equal the equivalent batch aggregation (DuckDB computes the batch twin),
+  * and gap-based sessionization is checked in its batch-window formulation
+  * (the streaming flatMapGroupsWithState twin is asserted equal in
+  * SessionizeSpec). */
 object StreamingQueries extends QueryGroup {
 
   private def hourly(s: SparkSession, dir: String): DataFrame =
     StreamingKpis.runAvailableNow(s, dir)
+
+  private def sessions(s: SparkSession, dir: String): DataFrame =
+    Sessionize.batch(Sources.table(s, dir, "events"), 30 * 60 * 1000L)
+      .orderBy("user_id", "session_no")
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("streaming_hourly_counts", hourly, Some(
@@ -17,5 +25,20 @@ object StreamingQueries extends QueryGroup {
         |       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
         |       event_type, COUNT(*) AS plays
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+    QueryDef("sessionize_batch", sessions, Some(
+      """WITH o AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |b AS (SELECT user_id, ts_ms,
+        |        CASE WHEN ts_ms - lag(ts_ms) OVER
+        |               (PARTITION BY user_id ORDER BY ts_ms) > 1800000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s AS (SELECT user_id, ts_ms,
+        |        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |      FROM b)
+        |SELECT user_id, session_no,
+        |       MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
   )
 }
