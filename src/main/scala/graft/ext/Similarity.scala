@@ -42,6 +42,25 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
   }
 
+  /** Aggregator-based top-k: one shuffle, map-side partial top-k — each
+    * scan partition contributes at most k candidates per query to the
+    * exchange (see TopKAggregator). Same result set as the window
+    * formulation (asserted in SimilaritySpec). */
+  def topKViaAggregator(scored: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TopKAggregator
+    import scored.sparkSession.implicits._
+    scored.select(col("query_id"), col("vec_id"), col("cosine"))
+      .as[(Long, Long, Double)]
+      .map { case (q, v, c) => (q, TopKAggregator.Scored(v, c)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(TopKAggregator.topK(k).toColumn.name("top"))
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case (s, i) => (qid, i + 1, s.id, s.score) }
+      }
+      .toDF("query_id", "rank", "vec_id", "cosine")
+  }
+
   /** Brute-force exact top-k neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5,
                      idCol: String = "vec_id", vecCol: String = "embedding")

@@ -61,7 +61,10 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
+    // Guarded by actual type, not just table name: a regenerated dataset
+    // with micro-precision timestamps must pass through untouched.
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       // integer `div`, not `/`: epoch-nanos exceed 2^53, double division
       // would corrupt the low microseconds.
       df.withColumn("ts", org.apache.spark.sql.functions.expr(

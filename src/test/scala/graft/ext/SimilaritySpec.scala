@@ -42,6 +42,21 @@ class SimilaritySpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("aggregator top-k equals the window formulation") {
+    import graft.functions.VectorFunctions
+    val queries = corpus.filter($"vec_id" < 3)
+    val scored = corpus.select($"vec_id", $"embedding".as("cv"))
+      .crossJoin(broadcast(queries.select($"vec_id".as("query_id"),
+        $"embedding".as("qv"))))
+      .filter($"vec_id" =!= $"query_id")
+      .withColumn("cosine", VectorFunctions.cosineRounded($"qv", $"cv"))
+    val viaAgg = Similarity.topKViaAggregator(scored, 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val viaWindow = Similarity.bruteForceTopK(queries, corpus, 5)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
   test("ivfTopK searches only the query's cell") {
     val res = Similarity.ivfTopK(corpus.filter($"vec_id" === 0L), corpus)
       .join(corpus.select($"vec_id", $"label".as("nlabel")), Seq("vec_id"))
