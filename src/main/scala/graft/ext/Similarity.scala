@@ -74,7 +74,9 @@ object Similarity {
     twoPhaseTopK(scored, k)
   }
 
-  /** IVF-bucketed ANN: search only the query's own coarse cell. */
+  /** IVF-bucketed ANN: search only the query's own coarse cell. Ranking
+    * goes through the bounded TopKAggregator (single shuffle, map-side
+    * partial top-k) — the other ranking shape, also oracle-verified. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5,
               cellCol: String = "label", idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
@@ -85,7 +87,8 @@ object Similarity {
       .join(q, Seq(cellCol))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cosine", cosineRounded(col("qv"), col("cv")))
-    twoPhaseTopK(scored, k)
+      .withColumnRenamed(idCol, "vec_id")
+    topKViaAggregator(scored, k)
   }
 
   /** Random-hyperplane (sign) LSH signatures: `planes` deterministic
