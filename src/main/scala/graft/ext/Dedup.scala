@@ -171,6 +171,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Connected components over a candidate-pair edge list: groups near-dup
+    * pairs into clusters, labeling every member with the cluster's min doc
+    * id (the canonical keeper). Iterative min-label propagation — each round
+    * is one join + one aggregate; rounds needed = O(log(max component
+    * diameter)), and near-dup components are small by construction, so this
+    * converges in a handful of rounds even on corpus-scale edge lists.
+    * Convergence check: Σ labels is strictly decreasing while anything
+    * changes (labels only ever drop to a smaller id), so an unchanged sum
+    * is a fixpoint — one cheap scalar per round, no row diffing. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("n"), col("doc_b").as("m"))
+      .union(pairs.select(col("doc_b").as("n"), col("doc_a").as("m")))
+      .persist()
+    // localCheckpoint (eager) each round: without truncating the lineage,
+    // the nested plan grows exponentially expensive to analyze — the
+    // standard requirement for iterative DataFrame algorithms.
+    var comp = sym.select(col("n")).distinct()
+      .withColumn("comp", col("n")).localCheckpoint()
+    var prevSum = comp.agg(sum(col("comp"))).head().getLong(0)
+    var done = false
+    var iter = 0
+    while (!done && iter < maxIter) {
+      val neighborMin = sym
+        .join(comp.select(col("n").as("m"), col("comp").as("mcomp")), "m")
+        .groupBy(col("n")).agg(min(col("mcomp")).as("ncomp"))
+      comp = comp.join(neighborMin, Seq("n"), "left")
+        .select(col("n"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val s = comp.agg(sum(col("comp"))).head().getLong(0)
+      done = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    sym.unpersist()
+    comp.select(col("n").as("doc_id"), col("comp").as("cluster_id"))
+  }
+
   /** Embedding near-duplicates: cosine ≥ threshold among pairs sharing a
     * partition key (IVF cell / provided label) — never all-pairs. Threshold
     * compares the ROUNDED cosine so engines agree at the boundary. */

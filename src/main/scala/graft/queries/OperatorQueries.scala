@@ -122,6 +122,22 @@ object OperatorQueries extends QueryGroup {
       .orderBy("date", "track_genre")
   }
 
+  /** Beyond-reference aggregate: exact discrete median (lower median, ties
+    * by event_id) via row-position selection — deterministic in any engine,
+    * unlike interpolating percentile implementations. */
+  private def medianDisc(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val w = byType.orderBy(col("value").asc, col("event_id").asc)
+    Sources.table(s, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(byType))
+      .filter(col("rn") === floor((col("cnt") + lit(1)) / lit(2.0)))
+      .select(col("event_type"), col("value").as("median_value"),
+        col("cnt").as("n"))
+      .orderBy("event_type")
+  }
+
   /** F2 — per-column null-count scan (the diagnostic the seed script prints;
     * reference: songs_to_rds.py:21-29). */
   private def nullScan(s: SparkSession, dir: String): DataFrame =
@@ -207,6 +223,15 @@ object OperatorQueries extends QueryGroup {
         |SELECT CAST(date AS VARCHAR) AS date, c_mktsegment AS track_genre,
         |       event_type AS top_track, popularity AS top_popularity
         |FROM r WHERE rn = 1 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("a_median_disc", medianDisc, Some(
+      """WITH r AS (SELECT event_type, value, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events)
+        |SELECT event_type, value AS median_value, cnt AS n
+        |FROM r WHERE rn = CAST(floor((cnt + 1) / 2.0) AS BIGINT)
+        |ORDER BY event_type""".stripMargin)),
     QueryDef("f2_null_scan", nullScan, Some(enrichedSql +
       """SELECT COUNT(*) - COUNT(c_name) AS nulls_c_name,
         |       COUNT(*) - COUNT(c_mktsegment) AS nulls_c_mktsegment,
