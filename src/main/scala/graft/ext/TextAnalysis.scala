@@ -110,6 +110,31 @@ object TextAnalysis {
       (expr(langCaseSql) === col("lang")).as("matches_label"))
   }
 
+  /** TF-IDF as joins + aggregates (no ML pipeline): term frequency per
+    * (doc, token), document frequency per token, score = tf · ln(N/df),
+    * top `k` terms per doc. Two aggregations + one join, all on token keys —
+    * uniform cardinality, no skew; N is a driver-side scalar (one count,
+    * like the reference's F5). Scores are rounded to 6 dp and ranked on the
+    * rounded value (cross-engine contract). */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String = "doc_id", k: Int = 3)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = scatter(docs.select(col(idCol), normalize(col("text")).as("norm")))
+      .select(col(idCol), explode(tokens(col("norm"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("tok"), col("tfidf"))
+  }
+
   /** Rolling-hash fingerprint: min-md5 over char shingles (winnowing-style
     * representative hash; equal fingerprints ⇒ shared rare shingle). */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id", k: Int = 8,

@@ -183,6 +183,9 @@ object ExtensionQueries extends QueryGroup {
   private def textFingerprint(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")
 
+  private def textTfIdf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(docs(s, dir)).orderBy("doc_id", "rank")
+
   private val langScores: String = TextAnalysis.langScoreSql
     .map { case (l, sql) => s"$sql AS score_$l" }.mkString(",\n    ")
 
@@ -282,6 +285,20 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("text_fingerprint", textFingerprint, Some(dCte + shCte +
       """SELECT doc_id, min(md5(shingle)) AS fingerprint
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    QueryDef("text_tfidf_top_terms", textTfIdf, Some(dCte +
+      """, toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+        |           FROM d)
+        |, tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+        |         WHERE length(tok) > 0 GROUP BY doc_id, tok)
+        |, dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+        |, nn AS (SELECT COUNT(*) AS n FROM documents)
+        |, scored AS (SELECT t.doc_id, t.tok,
+        |    round(t.tf * ln(CAST(nn.n AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tf t JOIN dfreq USING (tok), nn)
+        |, r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, tok ASC) AS INTEGER) AS rank FROM scored)
+        |SELECT doc_id, rank, tok, tfidf FROM r WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin)),
     QueryDef("multimodal_meta", multimodalMeta, Some(
       """SELECT doc_id AS media_id, 'text' AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
