@@ -116,10 +116,17 @@ object TextAnalysis {
     * uniform cardinality, no skew; N is a driver-side scalar (one count,
     * like the reference's F5). Scores are rounded to 6 dp and ranked on the
     * rounded value (cross-engine contract). */
-  def tfIdfTopTerms(docs: DataFrame, idCol: String = "doc_id", k: Int = 3)
-      : DataFrame = {
+  /** Default top-terms cutoff — referenced by the oracle SQL generator so
+    * Spark and DuckDB can never disagree about k. */
+  val TfIdfTopK: Int = 3
+
+  def tfIdfTopTerms(docs: DataFrame, idCol: String = "doc_id",
+                    k: Int = TfIdfTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
+    // N as a lazy broadcast scalar (one-row aggregate cross join), not a
+    // driver-side count(): constructing the frame must not run a job, and
+    // execution must not scan the source twice.
+    val n = broadcast(docs.agg(count(lit(1)).cast("double").as("_n")))
     val tf = scatter(docs.select(col(idCol), normalize(col("text")).as("norm")))
       .select(col(idCol), explode(tokens(col("norm"))).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -127,9 +134,9 @@ object TextAnalysis {
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("tfidf").desc, col("tok").asc)
-    tf.join(dfreq, "tok")
+    tf.join(dfreq, "tok").crossJoin(n)
       .withColumn("tfidf",
-        round(col("tf") * log(lit(n.toDouble) / col("df")), 6))
+        round(col("tf") * log(col("_n") / col("df")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("rank"), col("tok"), col("tfidf"))

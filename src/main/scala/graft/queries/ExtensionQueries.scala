@@ -96,6 +96,16 @@ object ExtensionQueries extends QueryGroup {
   private def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDup(emb(s, dir)).orderBy("doc_a", "doc_b")
 
+  /** Shared tokenization fragment: distinct (doc, token) with counts — the
+    * DuckDB twin of explode(tokens(norm)) + groupBy; used by SimHash and
+    * TF-IDF so both engines (and both queries) share one token definition. */
+  private val tokCtes: String =
+    """, toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+      |           FROM d)
+      |, tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks
+      |         WHERE length(tok) > 0 GROUP BY doc_id, tok)
+      |""".stripMargin
+
   /** Generated SimHash SQL: 32 per-bit vote sums, then bit packing —
     * the same structure Dedup.simhash builds as Column expressions. */
   private val simhashCtes: String = {
@@ -106,12 +116,8 @@ object ExtensionQueries extends QueryGroup {
       .map(j => s"CASE WHEN b$j > 0 THEN CAST(${1L << j} AS BIGINT) " +
         "ELSE CAST(0 AS BIGINT) END")
       .mkString(" + ")
-    dCte +
-      """, toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
-        |           FROM d)
-        |, tc AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM toks
-        |         WHERE length(tok) > 0 GROUP BY doc_id, tok)
-        |, th AS (SELECT doc_id, cnt,
+    dCte + tokCtes +
+      """, th AS (SELECT doc_id, cnt,
         |         ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
         |         FROM tc)
         |""".stripMargin +
@@ -285,19 +291,16 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("text_fingerprint", textFingerprint, Some(dCte + shCte +
       """SELECT doc_id, min(md5(shingle)) AS fingerprint
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
-    QueryDef("text_tfidf_top_terms", textTfIdf, Some(dCte +
-      """, toks AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
-        |           FROM d)
-        |, tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
-        |         WHERE length(tok) > 0 GROUP BY doc_id, tok)
-        |, dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)
+    QueryDef("text_tfidf_top_terms", textTfIdf, Some(dCte + tokCtes +
+      s""", dfreq AS (SELECT tok, COUNT(*) AS df FROM tc GROUP BY tok)
         |, nn AS (SELECT COUNT(*) AS n FROM documents)
         |, scored AS (SELECT t.doc_id, t.tok,
-        |    round(t.tf * ln(CAST(nn.n AS DOUBLE) / df), 6) AS tfidf
-        |  FROM tf t JOIN dfreq USING (tok), nn)
+        |    round(t.cnt * ln(CAST(nn.n AS DOUBLE) / df), 6) AS tfidf
+        |  FROM tc t JOIN dfreq USING (tok), nn)
         |, r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
         |    ORDER BY tfidf DESC, tok ASC) AS INTEGER) AS rank FROM scored)
-        |SELECT doc_id, rank, tok, tfidf FROM r WHERE rank <= 3
+        |SELECT doc_id, rank, tok, tfidf FROM r
+        |WHERE rank <= ${TextAnalysis.TfIdfTopK}
         |ORDER BY doc_id, rank""".stripMargin)),
     QueryDef("multimodal_meta", multimodalMeta, Some(
       """SELECT doc_id AS media_id, 'text' AS modality,
