@@ -181,8 +181,12 @@ object Dedup {
     * changes (labels only ever drop to a smaller id), so an unchanged sum
     * is a fixpoint — one cheap scalar per round, no row diffing. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val sym = pairs.select(col("doc_a").as("n"), col("doc_b").as("m"))
-      .union(pairs.select(col("doc_b").as("n"), col("doc_a").as("m")))
+    // persist the edge list FIRST: the symmetrizing union consumes it twice,
+    // which would otherwise run the upstream (e.g. LSH candidate) pipeline
+    // twice before iteration even starts.
+    val edges = pairs.persist()
+    val sym = edges.select(col("doc_a").as("n"), col("doc_b").as("m"))
+      .union(edges.select(col("doc_b").as("n"), col("doc_a").as("m")))
       .persist()
     // localCheckpoint (eager) each round: without truncating the lineage,
     // the nested plan grows exponentially expensive to analyze — the
@@ -206,6 +210,7 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
+    edges.unpersist()
     comp.select(col("n").as("doc_id"), col("comp").as("cluster_id"))
   }
 
