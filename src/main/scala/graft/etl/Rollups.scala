@@ -9,8 +9,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SQL surface, not the DataFrame API.
   *
   * Averages over double-valued KPI columns go through DECIMAL(28,10) so the
-  * result is independent of partial-aggregation order (bitwise reproducible,
-  * and hash-identical to an external engine running the same text).
+  * result is independent of partial-aggregation order, then round to 6 dp:
+  * once the decimal sum exceeds ~16 significant digits, DECIMAL→DOUBLE
+  * conversion differs by 1 ulp between engines (DuckDB computes int128/10^s
+  * in floating point — two roundings; the JVM converts exactly), and the
+  * rounding absorbs it. Found by the sf0.1 differential run.
   */
 object Rollups {
 
@@ -24,14 +27,15 @@ object Rollups {
         |ORDER BY total_listen_count DESC, track_genre""".stripMargin,
     "rollup_1b_avg_duration_by_genre" ->
       """SELECT track_genre,
-        |       CAST(SUM(CAST(avg_duration_ms AS DECIMAL(28,10))) AS DOUBLE)
-        |         / COUNT(avg_duration_ms) AS avg_listening_duration
+        |       round(CAST(SUM(CAST(avg_duration_ms AS DECIMAL(28,10)))
+        |         AS DOUBLE) / COUNT(avg_duration_ms), 6)
+        |         AS avg_listening_duration
         |FROM genre_kpis GROUP BY track_genre
         |ORDER BY avg_listening_duration DESC, track_genre""".stripMargin,
     "rollup_1c_avg_popularity_by_genre" ->
       """SELECT track_genre,
-        |       CAST(SUM(CAST(popularity_index AS DECIMAL(28,10))) AS DOUBLE)
-        |         / COUNT(popularity_index) AS avg_popularity
+        |       round(CAST(SUM(CAST(popularity_index AS DECIMAL(28,10)))
+        |         AS DOUBLE) / COUNT(popularity_index), 6) AS avg_popularity
         |FROM genre_kpis GROUP BY track_genre
         |ORDER BY avg_popularity DESC, track_genre""".stripMargin,
     "rollup_1d_most_popular_track_per_day" ->
@@ -47,8 +51,9 @@ object Rollups {
         |FROM hourly_kpis ORDER BY date, hour""".stripMargin,
     "rollup_2c_diversity_by_hour" ->
       """SELECT date, hour,
-        |       CAST(SUM(CAST(track_diversity_index AS DECIMAL(28,10))) AS DOUBLE)
-        |         / COUNT(track_diversity_index) AS avg_diversity
+        |       round(CAST(SUM(CAST(track_diversity_index AS DECIMAL(28,10)))
+        |         AS DOUBLE) / COUNT(track_diversity_index), 6)
+        |         AS avg_diversity
         |FROM hourly_kpis GROUP BY date, hour ORDER BY date, hour""".stripMargin,
   )
 
