@@ -17,6 +17,7 @@ object SparkEntry {
     RollupQueries,
     ExtensionQueries,
     StreamingQueries,
+    EngineQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Engine-capability queries beyond the reference's own operator set
+  * (SURVEY §2.7 notes the reference has no semi/anti joins, grouping sets,
+  * pivots, or window frames — a user switching engines gets them here, each
+  * oracle-checked).
+  */
+object EngineQueries extends QueryGroup {
+
+  /** Left-semi join: events whose user exists in the high-balance dim
+    * (EXISTS). Broadcast the dim → no fact shuffle, early row elimination. */
+  private def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Sources.table(s, dir, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("user_id"))
+    Sources.table(s, dir, "events")
+      .join(broadcast(dim), Seq("user_id"), "left_semi")
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  /** Left-anti join: events with NO matching high-balance user (NOT
+    * EXISTS) — the complement used for orphan detection in ingest QA. */
+  private def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = Sources.table(s, dir, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("user_id"))
+    Sources.table(s, dir, "events")
+      .join(broadcast(dim), Seq("user_id"), "left_anti")
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  /** ROLLUP grouping sets: per-(type,date) counts plus per-type subtotals
+    * plus a grand total in ONE pass (Expand-based, single shuffle) —
+    * replaces three separate aggregations at scale. */
+  private def rollupSets(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("date"))
+      .rollup(col("event_type"), col("date"))
+      .agg(count(lit(1)).as("plays"))
+      .orderBy(col("event_type").asc_nulls_first, col("date").asc_nulls_first)
+
+  /** Pivot: event types to columns, one row per date. The column list is
+    * pinned (never inferred with an extra pass — required at scale and for
+    * a stable schema). */
+  private def pivotCounts(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .select(to_date(col("ts")).cast("string").as("date"), col("event_type"))
+      .groupBy(col("date"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("date")
+
+  /** Window frame: per-user running play count ordered by time (ROWS
+    * UNBOUNDED PRECEDING — the frame spec surface the reference never
+    * uses). Tie-broken by event_id for a total order. */
+  private def runningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.table(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("running_plays", count(lit(1)).over(w))
+      .select("user_id", "event_id", "running_plays")
+      .orderBy("user_id", "event_id")
+  }
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("j_semi_join", semiJoin, Some(
+      """SELECT event_id, user_id, event_type FROM events e
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = e.user_id AND c.c_acctbal > 5000)
+        |ORDER BY event_id""".stripMargin)),
+    QueryDef("j_anti_join", antiJoin, Some(
+      """SELECT event_id, user_id, event_type FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = e.user_id AND c.c_acctbal > 5000)
+        |ORDER BY event_id""".stripMargin)),
+    QueryDef("a_rollup_sets", rollupSets, Some(
+      """SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+        |       COUNT(*) AS plays
+        |FROM events GROUP BY ROLLUP(event_type, date)
+        |ORDER BY event_type ASC NULLS FIRST, date ASC NULLS FIRST"""
+        .stripMargin)),
+    QueryDef("p_pivot_counts", pivotCounts, Some(
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("w_running_total", runningTotal, Some(
+      """SELECT user_id, event_id,
+        |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS running_plays
+        |FROM events ORDER BY user_id, event_id""".stripMargin)),
+  )
+}
