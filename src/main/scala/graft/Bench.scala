@@ -33,7 +33,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // n_queries/mean_sec make round-over-round totals comparable as the
+    // query set grows (a larger total can mean MORE coverage, not less
+    // speed).
+    val mean = if (results.nonEmpty) total / results.size else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
