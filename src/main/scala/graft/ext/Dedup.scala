@@ -214,6 +214,16 @@ object Dedup {
     comp.select(col("n").as("doc_id"), col("comp").as("cluster_id"))
   }
 
+  /** Apply clustering to the corpus: keep documents that are in no near-dup
+    * cluster, plus each cluster's canonical member (the min-id label). The
+    * final step of the dedup pipeline — candidates → clusters → cleaned
+    * corpus. Cluster table is tiny relative to the corpus → broadcast. */
+  def applyClusters(docs: DataFrame, clusters: DataFrame,
+                    idCol: String = "doc_id"): DataFrame =
+    docs.join(broadcast(clusters), Seq(idCol), "left")
+      .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
+      .drop("cluster_id")
+
   /** Embedding near-duplicates: cosine ≥ threshold among pairs sharing a
     * partition key (IVF cell / provided label) — never all-pairs. Threshold
     * compares the ROUNDED cosine so engines agree at the boundary. */

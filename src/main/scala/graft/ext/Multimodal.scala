@@ -81,4 +81,39 @@ object Multimodal {
   /** Metadata-only projection (never reads payload bytes after pruning). */
   def metadata(media: DataFrame): DataFrame =
     media.select("media_id", "modality", "byte_len", "content_hash")
+
+  /** Frame sampling: every `stride`-th frame index of each media item, with
+    * a deterministic per-frame content hash (stub: real decoders hash the
+    * decoded frame). Pure columnar explode — no UDF, codegen end to end;
+    * at scale the per-frame fan-out happens executor-side after pruning to
+    * (id, hash, n_frames). Frame count derives from byte_len exactly like
+    * `fakeDecode` (`len % 30 + 1`). */
+  def sampleFrames(media: DataFrame, stride: Int = 2): DataFrame =
+    media.select(col("media_id"), col("content_hash"),
+        ((col("byte_len") % 30) + 1).cast("int").as("n_frames"))
+      .select(col("media_id"), col("content_hash"), col("n_frames"),
+        explode(expr(s"sequence(0, n_frames - 1, $stride)")).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        md5(concat(col("content_hash"), lit(":"), col("frame_idx")))
+          .as("frame_hash"))
+
+  /** Resize metadata: fit (width, height) into a bounding box preserving
+    * aspect ratio. Width-limited when maxW·h ≤ maxH·w, else height-limited;
+    * the scaled side is floor(x·max/side) — small exact integers through
+    * one double division, identical in any engine. The actual pixel
+    * resample lives behind the same decode stub boundary. */
+  def resizePlan(decoded: DataFrame, maxW: Int = 224, maxH: Int = 224)
+      : DataFrame = {
+    val widthLimited = lit(maxW) * col("height") <= lit(maxH) * col("width")
+    decoded.select(col("media_id"), col("width"), col("height"))
+      .withColumn("out_w",
+        when(widthLimited, lit(maxW))
+          .otherwise(floor(col("width") * lit(maxH) / col("height")))
+          .cast("int"))
+      .withColumn("out_h",
+        when(widthLimited,
+          floor(col("height") * lit(maxW) / col("width")))
+          .otherwise(lit(maxH))
+          .cast("int"))
+  }
 }

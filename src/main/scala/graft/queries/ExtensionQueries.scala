@@ -145,6 +145,31 @@ object ExtensionQueries extends QueryGroup {
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
       .replaceFirst("WITH d AS", "WITH RECURSIVE d AS")
 
+  private def dedupApply(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.applyClusters(d,
+        Dedup.connectedComponents(Dedup.minhashCandidates(d)))
+      .select("doc_id").orderBy("doc_id")
+  }
+
+  private val dedupApplyOracle: String =
+    (dCte + shCte + sigCte + ", cand AS (" + candSql + ")" +
+      """
+        |, sym AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        |          UNION SELECT doc_b, doc_a FROM cand)
+        |, nodes AS (SELECT DISTINCT a AS n FROM sym)
+        |, reach(src, dst) AS (
+        |    SELECT n, n FROM nodes
+        |    UNION
+        |    SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+        |, comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |           FROM reach GROUP BY src)
+        |SELECT d2.doc_id FROM documents d2
+        |LEFT JOIN comp c ON d2.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL OR c.cluster_id = d2.doc_id
+        |ORDER BY d2.doc_id""".stripMargin)
+      .replaceFirst("WITH d AS", "WITH RECURSIVE d AS")
+
   // ---- similarity search ----
 
   private def simBruteForce(s: SparkSession, dir: String): DataFrame = {
@@ -196,6 +221,18 @@ object ExtensionQueries extends QueryGroup {
     .map { case (l, sql) => s"$sql AS score_$l" }.mkString(",\n    ")
 
   // ---- multimodal ----
+
+  private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.sampleFrames(
+        graft.ext.Multimodal.asMedia(docs(s, dir), "doc_id", "text", "text"))
+      .orderBy("media_id", "frame_idx")
+
+  private def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Multimodal.resizePlan(
+        graft.ext.Multimodal.asMedia(docs(s, dir), "doc_id", "text", "text")
+          .withColumn("width", ((col("byte_len") * 7) % 640 + 1).cast("int"))
+          .withColumn("height", ((col("byte_len") * 13) % 480 + 1).cast("int")))
+      .orderBy("media_id")
 
   /** Metadata + stub-decode dimensions over the text payload treated as an
     * opaque binary column (same formulas as Multimodal.fakeDecode). */
@@ -259,6 +296,7 @@ object ExtensionQueries extends QueryGroup {
            |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
            |WHERE cosine >= 0.45 ORDER BY doc_a, doc_b""".stripMargin)),
     QueryDef("dedup_clusters", dedupClusters, Some(clustersOracle)),
+    QueryDef("dedup_apply", dedupApply, Some(dedupApplyOracle)),
     QueryDef("sim_bruteforce_topk", simBruteForce, Some(topkOracle(false))),
     QueryDef("sim_ivf_topk", simIvf, Some(topkOracle(true))),
     QueryDef("text_token_stats", textTokens, Some(dCte +
@@ -310,5 +348,28 @@ object ExtensionQueries extends QueryGroup {
         |  CAST((octet_length(encode(text)) * 13) % 480 + 1 AS INTEGER) AS height,
         |  CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin)),
+    QueryDef("multimodal_frame_sample", multimodalFrames, Some(
+      """WITH m AS (SELECT doc_id AS media_id, md5(text) AS content_hash,
+        |    CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+        |  FROM documents)
+        |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |       md5(content_hash || ':' || frame_idx) AS frame_hash
+        |FROM (SELECT media_id, content_hash,
+        |        unnest(range(0, n_frames, 2)) AS frame_idx FROM m)
+        |ORDER BY media_id, frame_idx""".stripMargin)),
+    QueryDef("multimodal_resize", multimodalResize, Some(
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CAST((octet_length(encode(text)) * 7) % 640 + 1 AS INTEGER)
+        |      AS width,
+        |    CAST((octet_length(encode(text)) * 13) % 480 + 1 AS INTEGER)
+        |      AS height
+        |  FROM documents)
+        |SELECT media_id, width, height,
+        |  CAST(CASE WHEN 224 * height <= 224 * width THEN 224
+        |       ELSE floor(width * 224 / height) END AS INTEGER) AS out_w,
+        |  CAST(CASE WHEN 224 * height <= 224 * width
+        |       THEN floor(height * 224 / width) ELSE 224 END AS INTEGER)
+        |    AS out_h
+        |FROM m ORDER BY media_id""".stripMargin)),
   )
 }
