@@ -22,22 +22,28 @@ object Bench {
     // pay one-time session costs.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    def runAll(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // Pass 1 (cold) is the headline `value`; pass 2 (warm) strips one-time
+    // JVM/codegen-compile costs — the stabler round-over-round signal.
+    val results = runAll()
+    val warm = runAll()
+    def js(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val warmTotal = warm.map(_._2).sum
     // n_queries/mean_sec make round-over-round totals comparable as the
     // query set grows (a larger total can mean MORE coverage, not less
     // speed).
     val mean = if (results.nonEmpty) total / results.size else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"queries":${js(results)},"queries_warm":${js(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
