@@ -22,10 +22,15 @@ object Sources {
   def inputExists(spark: SparkSession, dir: String): Boolean = {
     val p = new Path(dir)
     val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && {
-      val it = fs.listStatus(p)
-      it.exists(s => s.isFile && s.getLen > 0) || it.exists(_.isDirectory)
-    }
+    // globStatus, not exists(): the location is routinely a glob
+    // ("batches/*.csv") — exists() on a glob is always false and would
+    // wrongly end the run. For literal paths globStatus behaves like
+    // exists+list.
+    val matches = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
+    matches.exists(s => s.isDirectory && {
+      val inner = fs.listStatus(s.getPath)
+      inner.exists(f => (f.isFile && f.getLen > 0) || f.isDirectory)
+    }) || matches.exists(s => s.isFile && s.getLen > 0)
   }
 
   /** S2 + S4 — CSV scan over one or many paths/globs, keeping the files' own

@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+
+/** Generated-corpus invariants for the dedup stack: properties that must
+  * hold for ANY input, checked over ScalaCheck corpora at fixed seeds. */
+class DedupPropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vocab = Vector("spark", "query", "join", "filter", "window",
+    "stream", "table", "scan", "merge", "sort", "row", "data", "fast",
+    "slow", "small", "key", "order", "group", "customer", "part")
+
+  private val genDoc: Gen[String] =
+    Gen.chooseNum(12, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+
+  private def corpus(seedNo: Long): Seq[(Long, String)] = {
+    val texts = Gen.listOfN(30, genDoc)
+      .pureApply(Gen.Parameters.default, Seed(seedNo))
+    val base = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // inject exact duplicates of docs 0 and 1
+    base ++ Seq((100L, base(0)._2), (101L, base(1)._2))
+  }
+
+  test("dedup invariants hold on generated corpora (3 seeds)") {
+    (1L to 3L).foreach { seedNo =>
+      val docs = corpus(seedNo).toDF("doc_id", "text")
+
+      // exact duplicates ALWAYS collide in every LSH band
+      val cand = Dedup.minhashCandidates(docs)
+        .as[(Long, Long)].collect().toSet
+      assert(cand.contains((0L, 100L)), s"seed $seedNo: dup 0/100 missed")
+      assert(cand.contains((1L, 101L)), s"seed $seedNo: dup 1/101 missed")
+
+      // jaccard: identical docs = 1.0; all values in (0, 1]
+      val jac = Dedup.ngramJaccard(docs, cand.toSeq.toDF("doc_a", "doc_b"))
+        .as[(Long, Long, Double)].collect()
+      val jmap = jac.map { case (a, b, v) => (a, b) -> v }.toMap
+      assert(jmap((0L, 100L)) == 1.0)
+      jac.foreach { case (_, _, v) => assert(v > 0.0 && v <= 1.0) }
+
+      // simhash: identical docs share signatures; hamming within 0..32
+      val sig = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+      assert(sig(0L) == sig(100L) && sig(1L) == sig(101L))
+      sig.values.foreach(s => assert(s >= 0L && s < (1L << 32)))
+
+      // clustering: labels are cluster minima and idempotent under re-run
+      val comp = Dedup.connectedComponents(cand.toSeq.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      comp.foreach { case (doc, cl) => assert(cl <= doc) }
+      assert(comp(100L) <= 0L || comp(100L) == comp(0L))
+
+      // applying clusters keeps exactly one representative per cluster
+      val kept = Dedup.applyClusters(docs,
+          comp.toSeq.toDF("doc_id", "cluster_id"))
+        .select("doc_id").as[Long].collect().toSet
+      comp.groupBy(_._2).foreach { case (cl, members) =>
+        assert(members.keySet.intersect(kept) == Set(cl),
+          s"seed $seedNo cluster $cl: kept ${members.keySet.intersect(kept)}")
+      }
+    }
+  }
+}
