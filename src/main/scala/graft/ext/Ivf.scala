@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.io.Sources.scatter
+
+/** IVF (inverted-file) ANN index with a TRAINED coarse quantizer — the real
+  * version of the label-as-cell stand-in in [[Similarity.ivfTopK]].
+  *
+  * Build: k-means (Spark MLlib — Lloyd's with fixed seed, deterministic for
+  * a given input) over a sample of the corpus; every vector is assigned to
+  * its nearest centroid cell. Search: score the query against the C
+  * centroids (tiny), take the `nprobe` nearest cells, and scan ONLY those
+  * cells' vectors — corpus fraction scanned ≈ nprobe/C. Both the centroid
+  * table and the query set broadcast; the corpus partitioned by cell never
+  * re-shuffles per query.
+  *
+  * ANN trade-off is explicit: recall < 1 (bounded in IvfSpec against brute
+  * force); raise `nprobe` to trade latency for recall.
+  */
+object Ivf {
+
+  final case class Index(centroids: DataFrame, assignments: DataFrame)
+
+  /** Train the quantizer and assign every vector to a cell. */
+  def build(emb: DataFrame, cells: Int = 16, seed: Long = 42L,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
+    val vecs = scatter(emb.select(col(idCol), col(vecCol)))
+      .withColumn("features",
+        array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(vecs)
+    val assignments = model.transform(vecs)
+      .select(col(idCol), col("cell"))
+    val ss = emb.sparkSession
+    import ss.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("cell", "centroid")
+    Index(centroids, assignments)
+  }
+
+  /** Top-k search probing the `nprobe` nearest cells per query. */
+  def search(index: Index, corpus: DataFrame, queries: DataFrame, k: Int = 5,
+             nprobe: Int = 2, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // rank cells per query by centroid similarity; keep nprobe
+    val cellRank = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("cell").asc)
+    val probed = q.crossJoin(broadcast(index.centroids))
+      .withColumn("c_sim",
+        VectorFunctions.cosine(col("qv"), col("centroid")))
+      .withColumn("crn", row_number().over(cellRank))
+      .filter(col("crn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cell"))
+    // scan only the probed cells' vectors
+    val celled = corpus.select(col(idCol), col(vecCol).as("cv"))
+      .join(index.assignments.withColumnRenamed(idCol, "__aid"),
+        col(idCol) === col("__aid")).drop("__aid")
+    val scored = celled.join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("cosine",
+        VectorFunctions.cosineRounded(col("qv"), col("cv")))
+      .withColumnRenamed(idCol, "vec_id")
+    Similarity.topKViaAggregator(scored, k)
+  }
+}
