@@ -74,7 +74,9 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         k: Int = 8, stride: Int = 4): DataFrame = {
     // persist: the self-join consumes the signature subplan twice; without
-    // caching the whole shingle+hash pipeline runs twice.
+    // caching the whole shingle+hash pipeline runs twice. Deliberately not
+    // unpersisted — the result is lazy, so there is no safe point inside
+    // this function; caches are small (1 row/doc/band) and evict LRU.
     val sig = minhashSignatures(docs, idCol, k, stride).persist()
     val a = sig.select(col("band"), col("sig"), col(idCol).as("doc_a"))
     val b = sig.select(col("band"), col("sig"), col(idCol).as("doc_b"))
@@ -193,7 +195,12 @@ object Dedup {
     // standard requirement for iterative DataFrame algorithms.
     var comp = sym.select(col("n")).distinct()
       .withColumn("comp", col("n")).localCheckpoint()
-    var prevSum = comp.agg(sum(col("comp"))).head().getLong(0)
+    // sum() over zero rows is NULL — an empty edge list (no near-dups at
+    // all) must yield an empty labeling, not an NPE.
+    def labelSum(): Long =
+      Option(comp.agg(sum(col("comp"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+    var prevSum = labelSum()
     var done = false
     var iter = 0
     while (!done && iter < maxIter) {
@@ -204,7 +211,7 @@ object Dedup {
         .select(col("n"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
         .localCheckpoint()
-      val s = comp.agg(sum(col("comp"))).head().getLong(0)
+      val s = labelSum()
       done = s == prevSum
       prevSum = s
       iter += 1

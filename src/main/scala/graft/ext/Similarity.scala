@@ -71,6 +71,7 @@ object Similarity {
       .crossJoin(q)
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cosine", cosineRounded(col("qv"), col("cv")))
+      .withColumnRenamed(idCol, "vec_id") // twoPhaseTopK's fixed output name
     twoPhaseTopK(scored, k)
   }
 

@@ -23,8 +23,15 @@ object TopKAggregator {
 
   case class Scored(id: Long, score: Double)
 
-  private val ord: Ordering[Scored] =
-    Ordering.by((s: Scored) => (-s.score, s.id))
+  /** score DESC (NaN ranks FIRST, matching Spark's ORDER BY cosine DESC,
+    * where NaN sorts as the largest double — Ordering.by(-score) would
+    * invert that, since -NaN is still NaN and sorts last), then id ASC. */
+  private val ord: Ordering[Scored] = new Ordering[Scored] {
+    override def compare(x: Scored, y: Scored): Int = {
+      val c = java.lang.Double.compare(y.score, x.score)
+      if (c != 0) c else java.lang.Long.compare(x.id, y.id)
+    }
+  }
 
   class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
     override def zero: Seq[Scored] = Vector.empty

@@ -80,8 +80,16 @@ object Sinks {
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val old = new Path(path + "._graft_old")
     fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
+    // Check every rename: Hadoop rename returns false on failure (and on
+    // some stores renames INTO an existing dir) — proceeding blindly could
+    // delete the only pre-merge copy. Fail loudly instead; the backup is
+    // only dropped once the new data is in place.
+    if (fs.exists(target) && !fs.rename(target, old))
+      throw new java.io.IOException(s"upsert: cannot move $target aside")
+    if (!fs.rename(tmp, target)) {
+      if (fs.exists(old)) fs.rename(old, target) // restore the backup
+      throw new java.io.IOException(s"upsert: cannot commit $tmp -> $target")
+    }
     fs.delete(old, true)
   }
 

@@ -20,8 +20,9 @@ object CoreQueries extends QueryGroup {
 
   /** Exact mean of a 2-dp fixed-point column: decimal sum → double / count.
     * Bitwise equal to DuckDB's CAST(SUM(CAST(x AS DECIMAL(18,2))) AS
-    * DOUBLE)/COUNT(x). */
-  private def exactAvg(c: String) =
+    * DOUBLE)/COUNT(x). Shared with OperatorQueries.j2Join, whose result
+    * must stay bitwise-equal to the fused genre_kpis. */
+  private[queries] def exactAvg(c: String) =
     sum(col(c).cast(dec)).cast("double") / count(col(c))
 
   private def exactSum(c: String) = sum(col(c).cast(dec)).cast("double")
@@ -92,7 +93,6 @@ object CoreQueries extends QueryGroup {
   /** Hourly KPIs (A5-A8 + P3 + W2 + J3). */
   def hourlyKpis(s: SparkSession, dir: String): DataFrame =
     HourlyKpis.compute(enrichedEvents(s, dir), hourlyCols)
-      .withColumnRenamed("c_name", "top_artist")
       .withColumn("date", col("date").cast("string"))
       .orderBy("date", "hour")
 

@@ -72,8 +72,7 @@ object OperatorQueries extends QueryGroup {
     * must equal the fused genre_kpis result). */
   private def j2Join(s: SparkSession, dir: String): DataFrame =
     GenreKpis.computeViaJoin(enrichedEvents(s, dir), genreCols,
-        mean = c => (sum(col(c).cast("decimal(18,2)")).cast("double") /
-          count(col(c))))
+        mean = CoreQueries.exactAvg)
       .select(col("date").cast("string").as("date"),
         col("c_mktsegment").as("track_genre"),
         col("listen_count"), col("avg_duration_ms"), col("popularity_index"),

@@ -14,6 +14,9 @@ object RollupQueries extends QueryGroup {
   // seven validations against them; mirror that by persisting the two KPI
   // frames per (session, sfDir) instead of recomputing the full pipeline
   // for every rollup. The tables are tiny (days × genres / days × 24).
+  // Entries are never evicted — acceptable for the Verify/Bench process
+  // lifetime this serves; a long-lived multi-session server would want
+  // weak keys here.
   private val kpiCache =
     scala.collection.concurrent.TrieMap
       .empty[(SparkSession, String), (DataFrame, DataFrame)]

@@ -62,6 +62,10 @@ object Sessionize {
           } else {
             // Merge new events (sorted; micro-batches may interleave) into
             // the open session, closing any session a gap terminates.
+            // Out-of-order events within the watermark can precede the open
+            // session: within gap of its start they extend it BACKWARD;
+            // more than a gap earlier they are their own (already-final)
+            // session — the previous open session's span never reached them.
             val sorted = it.map(e => e.ts.getTime).toSeq.sorted
             var open = state.getOption
             val closed = Seq.newBuilder[Session]
@@ -70,8 +74,11 @@ object Sessionize {
                 case Some(s) if t - s.last > gapMs =>
                   closed += Session(user, s.start, s.last, s.n)
                   open = Some(OpenSession(t, t, 1))
+                case Some(s) if s.start - t > gapMs =>
+                  closed += Session(user, t, t, 1)
                 case Some(s) =>
-                  open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                  open = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1))
                 case None =>
                   open = Some(OpenSession(t, t, 1))
               }

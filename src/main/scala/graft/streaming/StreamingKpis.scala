@@ -42,9 +42,13 @@ object StreamingKpis {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // glob, not a bare file path: the file stream source requires a
     // directory/glob to monitor.
-    val stream = spark.readStream.schema(schema)
-      .parquet(s"$dir/events.*")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+    // Same type guard as Sources.table: only rebuild when ts arrived as
+    // epoch-nano longs; native-timestamp data passes through.
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
     val q = hourlyCounts(stream).writeStream
       .format("memory")
       .queryName("graft_streaming_hourly")

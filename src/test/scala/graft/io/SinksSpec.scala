@@ -34,6 +34,11 @@ class SinksSpec extends SparkSpec {
       .select("v").as[String].head() == "a_new")
   }
 
+  test("connectedComponents returns empty for an empty edge list (no NPE)") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).isEmpty)
+  }
+
   test("connectedComponents labels clusters with their min doc id") {
     // two chains: {1-2, 2-3} and {10-11}; singleton edges only
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")

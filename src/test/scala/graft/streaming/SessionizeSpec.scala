@@ -64,4 +64,29 @@ class SessionizeSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("out-of-order event in a later batch extends the session backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val stream = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "30 minutes") // allow late events
+      .as[Sessionize.SessionEvent]
+    val q = Sessionize.streaming(stream, gapMs).writeStream
+      .format("memory").queryName("graft_sessions_ooo")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(Seq((7L, ts(20)), (7L, ts(25))))
+      q.processAllAvailable()
+      mem.addData(Seq((7L, ts(10)))) // late, within gap of start → merge
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts(10000))))
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts(20000))))
+      q.processAllAvailable()
+      val s = spark.table("graft_sessions_ooo").filter($"user_id" === 7L)
+        .select("session_start_ms", "session_end_ms", "n_events")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(s == Seq((ts(10).getTime, ts(25).getTime, 3L)))
+    } finally q.stop()
+  }
 }
