@@ -4,7 +4,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarityExpr
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CosineSimilarityExpr, RollingHashExpr}
 
 /** SQL-surface registration for graft's native expressions.
   *
@@ -20,6 +23,7 @@ import graft.functions.CosineSimilarityExpr
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
+    ext.injectFunction(GraftExtensions.rollingHashDescriptor)
   }
 }
 
@@ -39,8 +43,29 @@ object GraftExtensions {
     build,
   )
 
+  private def buildRolling(args: Seq[Expression]): Expression = {
+    require(args.length == 3,
+      s"rolling_hash expects (str, k, stride), got ${args.length} args")
+    def intLit(e: Expression, name: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"rolling_hash: $name must be an integer literal, got $other")
+    }
+    RollingHashExpr(args.head, intLit(args(1), "k"), intLit(args(2), "stride"))
+  }
+
+  val rollingHashDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("rolling_hash"),
+    new ExpressionInfo(classOf[RollingHashExpr].getName, "rolling_hash"),
+    buildRolling,
+  )
+
   /** Register on an existing session (temp function registry). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", build, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "rolling_hash", buildRolling, "built-in")
+  }
 }

@@ -149,4 +149,19 @@ object TextAnalysis {
     charShingles(docs, idCol, k, stride)
       .groupBy(col(idCol))
       .agg(min(md5(col("shingle"))).as("fingerprint"))
+
+  /** O(n) variant of [[fingerprint]] via the codegen'd Rabin-Karp
+    * expression: one array per doc, min taken with array_min — no shingle
+    * explode, no per-window digest (see RollingHashExpr scaladoc; verified
+    * against a reference implementation in RollingHashSpec, not the DuckDB
+    * oracle — SQL BIGINT traps on overflow). */
+  def fingerprintRolling(docs: DataFrame, idCol: String = "doc_id",
+                         k: Int = 8, stride: Int = 4): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    val hashes = GraftShims.column(graft.functions.RollingHashExpr(
+      GraftShims.expression(normalize(col("text"))), k, stride))
+    scatter(docs.select(col(idCol), hashes.as("hashes")))
+      .filter(size(col("hashes")) > 0)
+      .select(col(idCol), array_min(col("hashes")).as("fingerprint"))
+  }
 }

@@ -12,6 +12,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 1.0)
   }
 
+  test("rolling_hash is callable from SQL with literal window args") {
+    GraftExtensions.register(spark)
+    Seq("abcdefghij").toDF("t").createOrReplaceTempView("rh")
+    val arr = spark.sql("SELECT rolling_hash(t, 4, 2) AS h FROM rh")
+      .head().getSeq[Long](0)
+    assert(arr.nonEmpty)
+    // non-literal k must be rejected, not silently miscomputed
+    intercept[Exception] {
+      spark.sql("SELECT rolling_hash(t, length(t), 2) FROM rh").collect()
+    }
+  }
+
   test("extensions hook applies cleanly to a SparkSessionExtensions") {
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // injectFunction must accept the descriptor
