@@ -70,20 +70,65 @@ object Dedup {
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** LSH candidate pairs: docs agreeing on any band's signature. */
-  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
-                        k: Int = 8, stride: Int = 4): DataFrame = {
+  /** Rolling-hash variant of [[minhashSignatures]]: one O(n) pass per
+    * document (RollingHashExpr), no shingle explode, no md5. Four
+    * independent min-wise functions derive from the one hash array by
+    * xor-multiply mixing (h ⊕ cᵢ)·mᵢ with odd multipliers — a standard
+    * universal-hash-style family. Same (b=2, r=2) banding and output shape
+    * as the md5 variant; exact duplicates still collide on every band.
+    * Spec-verified (cross-engine oracle stays with the md5 family — SQL
+    * BIGINT traps on the wraparound arithmetic). */
+  def minhashSignaturesRolling(docs: DataFrame, idCol: String = "doc_id",
+                               k: Int = 8, stride: Int = 4): DataFrame = {
+    import org.apache.spark.sql.GraftShims
+    val mixers = Seq(
+      (0x9e3779b97f4a7c15L, 0xff51afd7ed558ccdL),
+      (0xc2b2ae3d27d4eb4fL, 0xc4ceb9fe1a85ec53L),
+      (0x165667b19e3779f9L, 0x27d4eb2f165667c5L),
+      (0x2545f4914f6cdd1dL, 0x9e6c63d0876a9f4bL))
+    val hashes = GraftShims.column(graft.functions.RollingHashExpr(
+      GraftShims.expression(TextAnalysis.normalize(col("text"))), k, stride))
+    val base = scatter(docs.select(col(idCol), hashes.as("hs")))
+      .filter(size(col("hs")) > 0)
+    // Mix64Expr, not a SQL lambda: ANSI mode traps `*` overflow, but hash
+    // mixing needs 64-bit wraparound.
+    val mins = mixers.zipWithIndex.foldLeft(base) { case (d, ((x, m), i)) =>
+      d.withColumn(s"m$i", array_min(GraftShims.column(
+        graft.functions.Mix64Expr(GraftShims.expression(col("hs")), x, m))))
+    }
+    mins.select(col(idCol), explode(array(
+        struct(lit(0).as("band"),
+          concat_ws(":", col("m0"), col("m1")).as("sig")),
+        struct(lit(1).as("band"),
+          concat_ws(":", col("m2"), col("m3")).as("sig")))).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** Candidate pairs from any (doc, band, sig) signature table. */
+  private def candidatesFromSignatures(sigRaw: DataFrame, idCol: String)
+      : DataFrame = {
     // persist: the self-join consumes the signature subplan twice; without
     // caching the whole shingle+hash pipeline runs twice. Deliberately not
     // unpersisted — the result is lazy, so there is no safe point inside
     // this function; caches are small (1 row/doc/band) and evict LRU.
-    val sig = minhashSignatures(docs, idCol, k, stride).persist()
+    val sig = sigRaw.persist()
     val a = sig.select(col("band"), col("sig"), col(idCol).as("doc_a"))
     val b = sig.select(col("band"), col("sig"), col(idCol).as("doc_b"))
     a.join(b, Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }
+
+  /** LSH candidate pairs: docs agreeing on any band's signature. */
+  def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
+                        k: Int = 8, stride: Int = 4): DataFrame =
+    candidatesFromSignatures(minhashSignatures(docs, idCol, k, stride), idCol)
+
+  /** Candidate pairs over the O(n) rolling-hash signature family. */
+  def minhashCandidatesRolling(docs: DataFrame, idCol: String = "doc_id",
+                               k: Int = 8, stride: Int = 4): DataFrame =
+    candidatesFromSignatures(
+      minhashSignaturesRolling(docs, idCol, k, stride), idCol)
 
   /** Word n-gram (shingle-of-tokens) sets, one row per (doc, gram). */
   def wordNgrams(docs: DataFrame, idCol: String = "doc_id", n: Int = 3)

@@ -30,11 +30,19 @@ class DedupPropertiesSpec extends SparkSpec {
     (1L to 3L).foreach { seedNo =>
       val docs = corpus(seedNo).toDF("doc_id", "text")
 
-      // exact duplicates ALWAYS collide in every LSH band
+      // exact duplicates ALWAYS collide in every LSH band — both families
       val cand = Dedup.minhashCandidates(docs)
         .as[(Long, Long)].collect().toSet
       assert(cand.contains((0L, 100L)), s"seed $seedNo: dup 0/100 missed")
       assert(cand.contains((1L, 101L)), s"seed $seedNo: dup 1/101 missed")
+      val candRolling = Dedup.minhashCandidatesRolling(docs)
+        .as[(Long, Long)].collect().toSet
+      assert(candRolling.contains((0L, 100L)) &&
+        candRolling.contains((1L, 101L)),
+        s"seed $seedNo: rolling family missed an exact dup")
+      // determinism of the rolling family
+      assert(candRolling == Dedup.minhashCandidatesRolling(docs)
+        .as[(Long, Long)].collect().toSet)
 
       // jaccard: identical docs = 1.0; all values in (0, 1]
       val jac = Dedup.ngramJaccard(docs, cand.toSeq.toDF("doc_a", "doc_b"))
