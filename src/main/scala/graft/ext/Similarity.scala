@@ -111,4 +111,45 @@ object Similarity {
     }.reduce(_ + _)
     emb.select(col(idCol), sigBits.as("lsh_sig"))
   }
+
+  /** Banded sign-LSH: `tables` independent hash tables of `planesPerTable`
+    * hyperplanes each. One table of b bits finds a near-dup pair (angle θ)
+    * with probability (1-θ/π)^b; ANY-of-`tables` boosts recall to
+    * 1-(1-p)^tables while each bucket stays selective — the same (b,r)
+    * trade MinHash banding makes. Output (id, table, sig). */
+  def signLshBanded(emb: DataFrame, tables: Int = 4, planesPerTable: Int = 8,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val all = signLsh(emb, tables * planesPerTable, idCol, vecCol)
+    val mask = (1L << planesPerTable) - 1
+    all.select(col(idCol), col("lsh_sig"),
+        explode(expr(s"sequence(0, ${tables - 1})")).as("table"))
+      .withColumn("sig",
+        expr(s"shiftright(lsh_sig, table * $planesPerTable) & $mask"))
+      .select(col(idCol), col("table"), col("sig"))
+  }
+
+  /** Embedding near-duplicates via banded sign-LSH: candidate pairs share
+    * at least one table's bucket, then the exact (rounded) cosine filter
+    * keeps true near-dups. The hash-bucketed alternative to the IVF-cell
+    * pairing in Dedup.embeddingNearDup — no trained structure needed, and
+    * bucket sizes are probabilistically bounded regardless of data skew. */
+  def nearDupLsh(emb: DataFrame, threshold: Double = 0.9, tables: Int = 4,
+                 planesPerTable: Int = 8, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val sig = signLshBanded(emb, tables, planesPerTable, idCol, vecCol)
+      .persist() // self-joined below
+    val pairs = sig.select(col("table"), col("sig"), col(idCol).as("id_a"))
+      .join(sig.select(col("table"), col("sig"), col(idCol).as("id_b")),
+        Seq("table", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = emb.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
+      .withColumn("cosine", cosineRounded(col("va"), col("vb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }

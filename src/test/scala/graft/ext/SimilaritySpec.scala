@@ -63,6 +63,21 @@ class SimilaritySpec extends SparkSpec {
     assert(res.filter($"nlabel" =!= 0).isEmpty)
   }
 
+  test("banded sign-LSH near-dup finds identical and near-identical vectors") {
+    val base = randVec(7)
+    val near = base.clone(); near(0) = near(0) + 0.01f // tiny perturbation
+    val dup = Seq((990L, 0, base), (991L, 0, near)).toDF(
+      "vec_id", "label", "embedding")
+    val pairs = Similarity.nearDupLsh(corpus.union(dup), threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, 990L)))  // identical: every table collides
+    assert(pairs.contains((990L, 991L)) || pairs.contains((7L, 991L)))
+    // no pair below the cosine threshold survives
+    val cos = Similarity.nearDupLsh(corpus.union(dup), threshold = 0.9)
+      .select("cosine").as[Double].collect()
+    cos.foreach(c => assert(c >= 0.9))
+  }
+
   test("signLsh is deterministic and bucket-compatible for identical vectors") {
     val dup = Seq((999L, 0, randVec(7))).toDF("vec_id", "label", "embedding")
     val sigs = Similarity.signLsh(corpus.union(dup))
