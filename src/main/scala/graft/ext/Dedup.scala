@@ -104,17 +104,20 @@ object Dedup {
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** Candidate pairs from any (doc, band, sig) signature table. */
-  private def candidatesFromSignatures(sigRaw: DataFrame, idCol: String)
-      : DataFrame = {
+  /** Candidate pairs from any (id, bucketKeys...) signature table: ids
+    * sharing a bucket, deduplicated, as (doc_a, doc_b) with doc_a < doc_b.
+    * Shared by the MinHash families here and Similarity.nearDupLsh. */
+  private[ext] def candidatesFromSignatures(sigRaw: DataFrame, idCol: String,
+      bucketKeys: Seq[String] = Seq("band", "sig")): DataFrame = {
     // persist: the self-join consumes the signature subplan twice; without
-    // caching the whole shingle+hash pipeline runs twice. Deliberately not
+    // caching the whole signature pipeline runs twice. Deliberately not
     // unpersisted — the result is lazy, so there is no safe point inside
     // this function; caches are small (1 row/doc/band) and evict LRU.
     val sig = sigRaw.persist()
-    val a = sig.select(col("band"), col("sig"), col(idCol).as("doc_a"))
-    val b = sig.select(col("band"), col("sig"), col(idCol).as("doc_b"))
-    a.join(b, Seq("band", "sig"))
+    val keys = bucketKeys.map(col)
+    val a = sig.select(keys :+ col(idCol).as("doc_a"): _*)
+    val b = sig.select(keys :+ col(idCol).as("doc_b"): _*)
+    a.join(b, bucketKeys)
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
   }

@@ -13,31 +13,36 @@ import graft.io.Sources.scatter
   * version of the label-as-cell stand-in in [[Similarity.ivfTopK]].
   *
   * Build: k-means (Spark MLlib — Lloyd's with fixed seed, deterministic for
-  * a given input) over a sample of the corpus; every vector is assigned to
-  * its nearest centroid cell. Search: score the query against the C
-  * centroids (tiny), take the `nprobe` nearest cells, and scan ONLY those
-  * cells' vectors — corpus fraction scanned ≈ nprobe/C. Both the centroid
-  * table and the query set broadcast; the corpus partitioned by cell never
-  * re-shuffles per query.
+  * a given input) over the corpus (sample upstream with `df.sample` when
+  * training cost matters — Lloyd's runs maxIter full passes); every vector
+  * is assigned to its nearest centroid cell, and the assignment table KEEPS
+  * the vector so search never joins back to the corpus. Search: score the
+  * query against the C centroids (tiny), take the `nprobe` nearest cells,
+  * and scan ONLY those cells' vectors via a broadcast join on cell — no
+  * corpus shuffle at all; the cosine work is ≈ nprobe/C of the corpus.
   *
   * ANN trade-off is explicit: recall < 1 (bounded in IvfSpec against brute
   * force); raise `nprobe` to trade latency for recall.
   */
 object Ivf {
 
+  /** `assignments` carries (id, cell, vector) — the celled corpus itself. */
   final case class Index(centroids: DataFrame, assignments: DataFrame)
 
   /** Train the quantizer and assign every vector to a cell. */
   def build(emb: DataFrame, cells: Int = 16, seed: Long = 42L,
             idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
+    // persist: fit() makes maxIter passes and transform() one more — the
+    // scatter+cast+vectorize pipeline must not recompute each time.
     val vecs = scatter(emb.select(col(idCol), col(vecCol)))
       .withColumn("features",
         array_to_vector(col(vecCol).cast("array<double>")))
+      .persist()
     val model = new KMeans().setK(cells).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(vecs)
     val assignments = model.transform(vecs)
-      .select(col(idCol), col("cell"))
+      .select(col(idCol), col("cell"), col(vecCol))
     val ss = emb.sparkSession
     import ss.implicits._
     val centroids = model.clusterCenters.zipWithIndex.toSeq
@@ -47,7 +52,7 @@ object Ivf {
   }
 
   /** Top-k search probing the `nprobe` nearest cells per query. */
-  def search(index: Index, corpus: DataFrame, queries: DataFrame, k: Int = 5,
+  def search(index: Index, queries: DataFrame, k: Int = 5,
              nprobe: Int = 2, idCol: String = "vec_id",
              vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -60,11 +65,11 @@ object Ivf {
       .withColumn("crn", row_number().over(cellRank))
       .filter(col("crn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
-    // scan only the probed cells' vectors
-    val celled = corpus.select(col(idCol), col(vecCol).as("cv"))
-      .join(index.assignments.withColumnRenamed(idCol, "__aid"),
-        col(idCol) === col("__aid")).drop("__aid")
-    val scored = celled.join(broadcast(probed), Seq("cell"))
+    // the index IS the celled corpus — broadcast-join the tiny probed set,
+    // no corpus-side exchange
+    val scored = index.assignments
+      .select(col(idCol), col("cell"), col(vecCol).as("cv"))
+      .join(broadcast(probed), Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))
       .withColumn("cosine",
         VectorFunctions.cosineRounded(col("qv"), col("cv")))

@@ -49,7 +49,11 @@ object Similarity {
   def topKViaAggregator(scored: DataFrame, k: Int): DataFrame = {
     import graft.functions.TopKAggregator
     import scored.sparkSession.implicits._
+    // Requires bigint query_id/vec_id and a double cosine. Null scores
+    // (null embeddings) are excluded from ranking — the primitive-Double
+    // encoder would NPE on them otherwise.
     scored.select(col("query_id"), col("vec_id"), col("cosine"))
+      .filter(col("cosine").isNotNull)
       .as[(Long, Long, Double)]
       .map { case (q, v, c) => (q, TopKAggregator.Scored(v, c)) }
       .groupByKey(_._1)
@@ -98,6 +102,8 @@ object Similarity {
     * land in one bucket → candidate set for ANN at corpus scale. */
   def signLsh(emb: DataFrame, planes: Int = 16, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    // one long holds the signature; `1L << p` would silently alias past 63
+    require(planes >= 1 && planes <= 64, s"planes must be 1..64, got $planes")
     // weight(p, d) ∈ {+1, -1} from the low bit of md5("p:d")
     val sigBits = (0 until planes).map { p =>
       val dotExpr =
@@ -120,6 +126,11 @@ object Similarity {
   def signLshBanded(emb: DataFrame, tables: Int = 4, planesPerTable: Int = 8,
                     idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
+    require(planesPerTable >= 1 && planesPerTable <= 63,
+      s"planesPerTable must be 1..63, got $planesPerTable") // mask uses 1L<<b
+    require(tables * planesPerTable <= 64,
+      s"tables*planesPerTable must fit one long signature, " +
+        s"got ${tables * planesPerTable}")
     val all = signLsh(emb, tables * planesPerTable, idCol, vecCol)
     val mask = (1L << planesPerTable) - 1
     all.select(col(idCol), col("lsh_sig"),
@@ -137,13 +148,10 @@ object Similarity {
   def nearDupLsh(emb: DataFrame, threshold: Double = 0.9, tables: Int = 4,
                  planesPerTable: Int = 8, idCol: String = "vec_id",
                  vecCol: String = "embedding"): DataFrame = {
-    val sig = signLshBanded(emb, tables, planesPerTable, idCol, vecCol)
-      .persist() // self-joined below
-    val pairs = sig.select(col("table"), col("sig"), col(idCol).as("id_a"))
-      .join(sig.select(col("table"), col("sig"), col(idCol).as("id_b")),
-        Seq("table", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val pairs = Dedup.candidatesFromSignatures(
+      signLshBanded(emb, tables, planesPerTable, idCol, vecCol), idCol,
+      bucketKeys = Seq("table", "sig"))
+      .withColumnRenamed("doc_a", "id_a").withColumnRenamed("doc_b", "id_b")
     val vecs = emb.select(col(idCol), col(vecCol))
     pairs
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")

@@ -21,11 +21,13 @@ case class Mix64Expr(child: Expression, xorC: Long, mulC: Long)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) =>
+      // containsNull arrays are rejected: getLong on a null slot would
+      // silently read 0 and fabricate a hash value.
+      case ArrayType(LongType, false) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"mix64 needs array<bigint>, got ${other.sql}")
+          s"mix64 needs array<bigint> without null elements, got ${other.sql}")
     }
 
   override def nullSafeEval(input: Any): Any = {

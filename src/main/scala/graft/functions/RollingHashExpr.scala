@@ -50,19 +50,20 @@ case class RollingHashExpr(child: Expression, k: Int, stride: Int)
     val bytes = input.asInstanceOf[UTF8String].getBytes
     val n = bytes.length
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    // emissions at offsets 0, stride, ..., ≤ n-k: exactly this many
     val out = new Array[Long]((n - k) / stride + 1)
     var h = 0L
     var i = 0
     while (i < k) { h = h * base + (bytes(i) & 0xffL); i += 1 }
-    var w = 0
-    if (0 % stride == 0) { out(0) = h; w = 1 }
+    out(0) = h
+    var w = 1
     var s = 1
     while (s <= n - k) {
       h = (h - (bytes(s - 1) & 0xffL) * topPow) * base + (bytes(s + k - 1) & 0xffL)
       if (s % stride == 0) { out(w) = h; w += 1 }
       s += 1
     }
-    new GenericArrayData(if (w == out.length) out else out.take(w))
+    new GenericArrayData(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
@@ -89,9 +90,6 @@ case class RollingHashExpr(child: Expression, k: Int, stride: Int)
          |    $h = ($h - ($bytes[$s - 1] & 0xffL) * ${topPow}L) * ${base}L
          |        + ($bytes[$s + $k - 1] & 0xffL);
          |    if ($s % $stride == 0) { $out[$w++] = $h; }
-         |  }
-         |  if ($w != $out.length) {
-         |    $out = java.util.Arrays.copyOf($out, $w);
          |  }
          |}
          |${ev.value} =

@@ -11,8 +11,10 @@ class IvfSpec extends SparkSpec {
   private lazy val queries = emb.filter($"vec_id" < 10)
 
   test("IVF build is deterministic for a fixed seed") {
-    val a = Ivf.build(emb).assignments.as[(Long, Int)].collect().toMap
-    val b = Ivf.build(emb).assignments.as[(Long, Int)].collect().toMap
+    val a = Ivf.build(emb).assignments.select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    val b = Ivf.build(emb).assignments.select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
     assert(a == b)
     assert(a.size == emb.count())
   }
@@ -22,7 +24,7 @@ class IvfSpec extends SparkSpec {
     val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
       .select("query_id", "vec_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val approx = Ivf.search(index, emb, queries, k = 5, nprobe = 3)
+    val approx = Ivf.search(index, queries, k = 5, nprobe = 3)
       .select("query_id", "vec_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     // every query must return results, from probed cells only
