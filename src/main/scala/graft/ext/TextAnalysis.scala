@@ -99,6 +99,18 @@ object TextAnalysis {
           lit(0.5)).as("quality_score"))
   }
 
+  /** Apply quality gating: keep documents meeting a minimum composite
+    * score and token count — the filter step a scored corpus feeds. The
+    * threshold compares the same exact-arithmetic score both engines
+    * compute, so the cut is reproducible. */
+  def filterByQuality(docs: DataFrame, minScore: Double = 0.5,
+                      minTokens: Long = 10, idCol: String = "doc_id")
+      : DataFrame =
+    docs.join(qualityScore(docs, idCol)
+        .filter(col("quality_score") >= minScore &&
+          col("n_tokens") >= minTokens)
+        .select(col(idCol)), Seq(idCol))
+
   /** Language ID over the marker heuristic. */
   def languageId(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val scored = langScoreSql.foldLeft(

@@ -217,6 +217,11 @@ object ExtensionQueries extends QueryGroup {
   private def textTfIdf(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tfIdfTopTerms(docs(s, dir)).orderBy("doc_id", "rank")
 
+  private def textQualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.filterByQuality(docs(s, dir), minScore = 0.5,
+        minTokens = 10)
+      .select("doc_id", "lang").orderBy("doc_id")
+
   private val langScores: String = TextAnalysis.langScoreSql
     .map { case (l, sql) => s"$sql AS score_$l" }.mkString(",\n    ")
 
@@ -329,6 +334,16 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("text_fingerprint", textFingerprint, Some(dCte + shCte +
       """SELECT doc_id, min(md5(shingle)) AS fingerprint
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    QueryDef("text_quality_filter", textQualityFilter, Some(dCte +
+      s""", q AS (SELECT doc_id,
+         |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+         |  ${TextAnalysis.langScoreSql.find(_._1 == "en").get._2} AS stop_hits
+         |  FROM d)
+         |SELECT d2.doc_id, d2.lang FROM d d2 JOIN q ON d2.doc_id = q.doc_id
+         |WHERE least(q.n_tokens / 100.0, 1.0) * 0.5 +
+         |      least(q.stop_hits / q.n_tokens * 5.0, 1.0) * 0.5 >= 0.5
+         |  AND q.n_tokens >= 10
+         |ORDER BY d2.doc_id""".stripMargin)),
     QueryDef("text_tfidf_top_terms", textTfIdf, Some(dCte + tokCtes +
       s""", dfreq AS (SELECT tok, COUNT(*) AS df FROM tc GROUP BY tok)
         |, nn AS (SELECT COUNT(*) AS n FROM documents)
