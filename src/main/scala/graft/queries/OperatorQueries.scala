@@ -19,6 +19,16 @@ object OperatorQueries extends QueryGroup {
   private val hourlyCols = HourlyKpis.Cols(date = "date", hour = "hour",
     user = "user_id", track = "event_type", artist = "c_name")
 
+  /** S1 — the input probe as a query: did the stream location contain data?
+    * Runs the REAL Hadoop-FS glob probe against the events parquet; the
+    * oracle confirms from the data itself. */
+  private def inputProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq(Sources.inputExists(s, s"$dir/events.parquet") &&
+        Sources.inputExists(s, s"$dir/*.parquet"))
+      .toDF("has_input")
+  }
+
   /** S2/O5 — multi-file union scan: per-batch frames union by position, then
     * aggregate. (Real multi-file CSV reads are covered in SourcesSpec; here
     * the union semantics get an oracle.) */
@@ -154,6 +164,8 @@ object OperatorQueries extends QueryGroup {
       .orderBy("event_id")
 
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("s1_input_probe", inputProbe, Some(
+      "SELECT COUNT(*) > 0 AS has_input FROM events")),
     QueryDef("s2_o5_union_scan", unionScan, Some(
       """SELECT event_type, COUNT(*) AS cnt
         |FROM (SELECT * FROM events UNION ALL SELECT * FROM events)
