@@ -96,24 +96,38 @@ object Similarity {
     topKViaAggregator(scored, k)
   }
 
+  /** Deterministic ±1 hyperplane weights: plane p, dimension d weight is
+    * the parity of md5("p:d")'s first byte — any engine (or plain Scala,
+    * used here) derives the identical plane. Materialized as literals so
+    * both the Spark plan and an external oracle evaluate the same
+    * constants. */
+  def planeWeights(planes: Int, dims: Int): Seq[Array[Int]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until planes).map { p =>
+      Array.tabulate(dims) { d =>
+        val h = digest.digest(s"$p:$d".getBytes("UTF-8"))
+        ((h(0) & 0xff) % 2) * 2 - 1
+      }
+    }
+  }
+
   /** Random-hyperplane (sign) LSH signatures: `planes` deterministic
-    * pseudo-random hyperplanes derived from md5(plane, dim) parity; bit p of
-    * the signature is the sign of ⟨v, plane_p⟩. Vectors sharing a signature
-    * land in one bucket → candidate set for ANN at corpus scale. */
+    * hyperplanes ([[planeWeights]]); bit p of the signature is the sign of
+    * ⟨v, plane_p⟩. Vectors sharing a signature land in one bucket →
+    * candidate set for ANN at corpus scale. `dims` defaults to probing the
+    * first row (pass it explicitly in production plans). */
   def signLsh(emb: DataFrame, planes: Int = 16, idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
+              vecCol: String = "embedding", dims: Int = -1): DataFrame = {
     // one long holds the signature; `1L << p` would silently alias past 63
     require(planes >= 1 && planes <= 64, s"planes must be 1..64, got $planes")
-    // weight(p, d) ∈ {+1, -1} from the low bit of md5("p:d")
-    val sigBits = (0 until planes).map { p =>
-      val dotExpr =
-        s"""aggregate(
-           |  zip_with($vecCol, sequence(0, size($vecCol) - 1),
-           |    (x, d) -> CAST(x AS DOUBLE) *
-           |      (CAST(conv(substring(md5(concat('$p', ':', d)), 1, 2), 16, 10)
-           |            AS INT) % 2 * 2 - 1)),
-           |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)""".stripMargin
-      when(expr(dotExpr) > 0, lit(1L << p)).otherwise(lit(0L))
+    val d = if (dims > 0) dims
+      else emb.select(size(col(vecCol))).head().getInt(0)
+    val sigBits = planeWeights(planes, d).zipWithIndex.map { case (w, p) =>
+      val dot = aggregate(
+        zip_with(col(vecCol).cast("array<double>"),
+          lit(w).cast("array<double>"), (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     emb.select(col(idCol), sigBits.as("lsh_sig"))
   }

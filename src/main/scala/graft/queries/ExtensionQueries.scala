@@ -200,6 +200,38 @@ object ExtensionQueries extends QueryGroup {
          |ORDER BY query_id, rank""".stripMargin
   }
 
+  private def simNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupLsh(emb(s, dir), threshold = 0.38)
+      .orderBy("id_a", "id_b")
+
+  /** Sign-LSH oracle: the hyperplane ±1 weights are Scala-computed
+    * constants (Similarity.planeWeights) embedded as list literals, so both
+    * engines bucket on the same planes; per-table signatures pack the
+    * per-plane dot signs exactly like the Spark bit extraction. */
+  private val nearDupLshOracle: String = {
+    val tables = 4; val b = 8; val dims = 64
+    val planes = Similarity.planeWeights(tables * b, dims)
+    val sigSelects = (0 until tables).map { t =>
+      val bits = (0 until b).map { j =>
+        val w = planes(t * b + j).mkString("[", ",", "]")
+        s"CASE WHEN list_dot_product(v, ${w}::DOUBLE[]) > 0 " +
+          s"THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT vec_id, $t AS tbl, $bits AS sig, v FROM e"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |""".stripMargin +
+      s""", sig AS (\n$sigSelects)
+         |, cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sig a JOIN sig b
+         |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id)
+         |SELECT * FROM (
+         |  SELECT c.id_a, c.id_b, ${cosSql("ea.v", "eb.v")} AS cosine
+         |  FROM cand c JOIN e ea ON ea.vec_id = c.id_a
+         |              JOIN e eb ON eb.vec_id = c.id_b)
+         |WHERE cosine >= 0.38 ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- text analysis ----
 
   private def textTokens(s: SparkSession, dir: String): DataFrame =
@@ -302,6 +334,7 @@ object ExtensionQueries extends QueryGroup {
            |WHERE cosine >= 0.45 ORDER BY doc_a, doc_b""".stripMargin)),
     QueryDef("dedup_clusters", dedupClusters, Some(clustersOracle)),
     QueryDef("dedup_apply", dedupApply, Some(dedupApplyOracle)),
+    QueryDef("sim_neardup_lsh", simNearDupLsh, Some(nearDupLshOracle)),
     QueryDef("sim_bruteforce_topk", simBruteForce, Some(topkOracle(false))),
     QueryDef("sim_ivf_topk", simIvf, Some(topkOracle(true))),
     QueryDef("text_token_stats", textTokens, Some(dCte +
