@@ -96,17 +96,20 @@ object Sinks {
   /** S7-S9 — JDBC sink. Covers the reference's CREATE TABLE + batched
     * executemany (reference: users_to_rds.py:33-60, songs_to_rds.py:48-92) and
     * its Redshift COPY load (dags/music_streaming_services_dag.py:317-353):
-    * `createTableColumnTypes` carries the DDL types, `batchsize` the insert
-    * batching, SaveMode the overwrite-vs-append choice. Offline env: unused in
-    * tests, kept for API completeness. */
+    * `createTableColumnTypes` carries the DDL types (S7), `batchsize` the
+    * insert batching (S9), SaveMode the overwrite-vs-append choice. Verified
+    * end-to-end against embedded Derby in JdbcRoundTripSpec. `options` passes
+    * driver-specific settings (e.g. the JDBC driver class). */
   def jdbc(df: DataFrame, url: String, tableName: String,
            mode: SaveMode = SaveMode.Overwrite,
            batchSize: Int = 5000,
-           createTableColumnTypes: Option[String] = None): Unit = {
-    val w = df.write.mode(mode).format("jdbc")
+           createTableColumnTypes: Option[String] = None,
+           options: Map[String, String] = Map.empty): Unit = {
+    val w0 = df.write.mode(mode).format("jdbc")
       .option("url", url).option("dbtable", tableName)
       .option("batchsize", batchSize.toString)
-    createTableColumnTypes.fold(w)(t =>
-      w.option("createTableColumnTypes", t)).save()
+    val w1 = options.foldLeft(w0) { case (b, (k, v)) => b.option(k, v) }
+    createTableColumnTypes.fold(w1)(t =>
+      w1.option("createTableColumnTypes", t)).save()
   }
 }

@@ -90,8 +90,9 @@ object Sources {
   /** S3 — JDBC table scan (reference: dags/music_streaming_services_dag.py:45-81
     * does `SELECT * FROM users/songs` through a psycopg2 cursor, materializing
     * everything on one node). The Spark JDBC source pushes projection/predicates
-    * into the database and can parallelize by a partition column. Offline test
-    * env has no database; exercised only behind caller-supplied options. */
+    * into the database and can parallelize by a partition column
+    * (partitionColumn/lowerBound/upperBound/numPartitions via `options`).
+    * Verified end-to-end against embedded Derby in JdbcRoundTripSpec. */
   def jdbc(spark: SparkSession, url: String, tableName: String,
            options: Map[String, String] = Map.empty): DataFrame = {
     val r = spark.read.format("jdbc")
