@@ -55,10 +55,68 @@ object HourlyKpis {
   /** J3 — hourly aggregate LEFT JOIN top-artist on (date, hour)
     * (reference: dags/music_streaming_services_dag.py:225-230), then the P1
     * final projection (:233). Both sides are already tiny post-aggregation
-    * (days × 24 rows), so join cost is irrelevant; keys are unique → 1:1. */
+    * (days × 24 rows), so join cost is irrelevant; keys are unique → 1:1.
+    *
+    * This reference-parity formulation scans the fact table TWICE (once per
+    * branch). [[computeFused]] is the preferred single-scan plan. */
   def compute(enriched: DataFrame, c: Cols = Cols()): DataFrame =
     aggregate(enriched, c)
       .join(topArtist(enriched, c), Seq(c.date, c.hour), "left")
       .select(col(c.date), col(c.hour), col("unique_listeners"),
         col("top_artist"), col("track_diversity_index"))
+
+  /** Single-scan formulation of [[compute]] — identical results, one fact
+    * scan. Both branches consume ONE shared pre-aggregation at the finest
+    * grain either needs, (date, hour, artist, user, track):
+    *
+    *  - the physical plans of the two branches then contain the SAME
+    *    partial-aggregate → exchange subtree, which Spark's exchange reuse
+    *    turns into one executed stage (asserted as ReusedExchange /
+    *    single-scan in PlanSpec) — the fact table is read and shuffled once;
+    *  - map-side partial combine collapses repeat (user, track) plays before
+    *    the only wide exchange, so at 100 TB the shuffle moves at most one
+    *    row per distinct key combination, not one per event;
+    *  - downstream aggregations (the two distincts via Expand, the artist
+    *    ranking) run over the pre-aggregated rows — strictly smaller input
+    *    than the raw scan the join formulation feeds them.
+    *
+    * Null-artist handling differs mechanically from [[topArtist]] but not
+    * observably: instead of filtering null artists before ranking (a filter
+    * that Catalyst would push below the shared subtree, splitting it), null
+    * artists sort LAST in the rank window, so rank 1 is the best non-null
+    * artist, and a group with only null artists yields a null top_artist —
+    * exactly what the parity join's miss produces. */
+  def computeFused(enriched: DataFrame, c: Cols = Cols()): DataFrame = {
+    // hour is dropped alongside date even though it is semantically implied
+    // (hour derives from the same timestamp): the final left join infers an
+    // IsNotNull(hour) constraint on the top-artist branch only, and without
+    // the explicit symmetric filter the two l1 subtrees would no longer be
+    // identical — which is what lets AQE execute the shared stage once.
+    val l1 = Enrich.dropNullKeys(enriched, c.date, c.hour)
+      .groupBy(col(c.date), col(c.hour), col(c.artist), col(c.user),
+        col(c.track))
+      .agg(count(col(c.track)).as("track_rows"))
+
+    val agg = l1.groupBy(col(c.date), col(c.hour))
+      .agg(
+        countDistinct(col(c.user)).as("unique_listeners"),
+        sum(col("track_rows")).as("total_plays"),
+        countDistinct(col(c.track)).as("unique_tracks"))
+      .withColumn("track_diversity_index",
+        col("unique_tracks").cast("double") /
+          col("total_plays").cast("double"))
+
+    val w = Window.partitionBy(col(c.date), col(c.hour))
+      .orderBy(col(c.artist).isNull.asc, col("play_count").desc,
+        col(c.artist).asc)
+    val top = l1.groupBy(col(c.date), col(c.hour), col(c.artist))
+      .agg(sum(col("track_rows")).as("play_count"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(c.date), col(c.hour), col(c.artist).as("top_artist"))
+
+    agg.join(top, Seq(c.date, c.hour), "left")
+      .select(col(c.date), col(c.hour), col("unique_listeners"),
+        col("top_artist"), col("track_diversity_index"))
+  }
 }

@@ -37,4 +37,15 @@ object Validate {
     * columns too (upcasting to object); we keep columns typed and fill only
     * string columns — documented sane-ified semantics (SURVEY §1.3). */
   def fillUnknown(df: DataFrame): DataFrame = df.na.fill("Unkown")
+
+  /** F3 full-parity variant: what the reference's `df.fillna("Unkown")`
+    * ACTUALLY does to a mixed-type frame — every column is upcast to
+    * object/string and nulls in numeric columns become the string too
+    * (reference: songs_to_rds.py:31). Stringify-then-fill, one narrow
+    * projection, no shuffle. Callers that need cross-engine-stable numeric
+    * formatting should pre-cast floating columns to a fixed-scale decimal
+    * (double→string rendering is engine-specific). */
+  def fillUnknownAll(df: DataFrame): DataFrame =
+    df.select(df.columns.toSeq.map(c => col(c).cast("string").as(c)): _*)
+      .na.fill("Unkown")
 }

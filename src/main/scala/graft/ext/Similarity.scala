@@ -114,8 +114,10 @@ object Similarity {
   /** Random-hyperplane (sign) LSH signatures: `planes` deterministic
     * hyperplanes ([[planeWeights]]); bit p of the signature is the sign of
     * ⟨v, plane_p⟩. Vectors sharing a signature land in one bucket →
-    * candidate set for ANN at corpus scale. `dims` defaults to probing the
-    * first row (pass it explicitly in production plans). */
+    * candidate set for ANN at corpus scale. Pass `dims` explicitly (every
+    * production embedding column has a known dimensionality); the first-row
+    * probe is a FALLBACK only — it runs a driver-side job during plan
+    * construction, which no oracle-checked query path does. */
   def signLsh(emb: DataFrame, planes: Int = 16, idCol: String = "vec_id",
               vecCol: String = "embedding", dims: Int = -1): DataFrame = {
     // one long holds the signature; `1L << p` would silently alias past 63
@@ -138,14 +140,14 @@ object Similarity {
     * 1-(1-p)^tables while each bucket stays selective — the same (b,r)
     * trade MinHash banding makes. Output (id, table, sig). */
   def signLshBanded(emb: DataFrame, tables: Int = 4, planesPerTable: Int = 8,
-                    idCol: String = "vec_id", vecCol: String = "embedding")
-      : DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    dims: Int = -1): DataFrame = {
     require(planesPerTable >= 1 && planesPerTable <= 63,
       s"planesPerTable must be 1..63, got $planesPerTable") // mask uses 1L<<b
     require(tables * planesPerTable <= 64,
       s"tables*planesPerTable must fit one long signature, " +
         s"got ${tables * planesPerTable}")
-    val all = signLsh(emb, tables * planesPerTable, idCol, vecCol)
+    val all = signLsh(emb, tables * planesPerTable, idCol, vecCol, dims)
     val mask = (1L << planesPerTable) - 1
     all.select(col(idCol), col("lsh_sig"),
         explode(expr(s"sequence(0, ${tables - 1})")).as("table"))
@@ -161,9 +163,9 @@ object Similarity {
     * bucket sizes are probabilistically bounded regardless of data skew. */
   def nearDupLsh(emb: DataFrame, threshold: Double = 0.9, tables: Int = 4,
                  planesPerTable: Int = 8, idCol: String = "vec_id",
-                 vecCol: String = "embedding"): DataFrame = {
+                 vecCol: String = "embedding", dims: Int = -1): DataFrame = {
     val pairs = Dedup.candidatesFromSignatures(
-      signLshBanded(emb, tables, planesPerTable, idCol, vecCol), idCol,
+      signLshBanded(emb, tables, planesPerTable, idCol, vecCol, dims), idCol,
       bucketKeys = Seq("table", "sig"))
       .withColumnRenamed("doc_a", "id_a").withColumnRenamed("doc_b", "id_b")
     val vecs = emb.select(col(idCol), col(vecCol))

@@ -82,10 +82,22 @@ object Sources {
     * scan partition — any CPU-heavy map pipeline (hashing, shingling, vector
     * math) would run on one core until its first shuffle. Call this after
     * projecting down to the columns the pipeline needs, so the exchange moves
-    * the minimum bytes. At scale this is the same defense against skewed
-    * file layouts (a few huge inputs among many). */
-  def scatter(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * the minimum bytes.
+    *
+    * The exchange is GUARDED: a source that already has at least
+    * `minPartitions` (default: the cluster's parallelism) scan partitions
+    * passes through untouched — on a real many-split 100 TB input this makes
+    * scatter a no-op instead of a gratuitous full shuffle of the projected
+    * data. The partition probe reads the planned partition count only (no
+    * job runs); call sites keep scatter at the scan+project root, where the
+    * plan is narrow, so the probe never materializes an AQE stage. Both the
+    * exchange case and the no-op case are asserted in PlanSpec. */
+  def scatter(df: DataFrame, minPartitions: Int = -1): DataFrame = {
+    val target =
+      if (minPartitions > 0) minPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   /** S3 — JDBC table scan (reference: dags/music_streaming_services_dag.py:45-81
     * does `SELECT * FROM users/songs` through a psycopg2 cursor, materializing

@@ -96,6 +96,15 @@ object CoreQueries extends QueryGroup {
       .withColumn("date", col("date").cast("string"))
       .orderBy("date", "hour")
 
+  /** Preferred plan: same hourly table from ONE fact scan (shared
+    * pre-aggregation + exchange reuse; see HourlyKpis.computeFused). Checked
+    * against the SAME oracle as the join formulation — the rewrite is
+    * physical only. */
+  def hourlyKpisFused(s: SparkSession, dir: String): DataFrame =
+    HourlyKpis.computeFused(enrichedEvents(s, dir), hourlyCols)
+      .withColumn("date", col("date").cast("string"))
+      .orderBy("date", "hour")
+
   /** CTE chain ending in an `hourly_kpis` relation (see [[genreKpisCtes]]). */
   val hourlyKpisCtes: String = enrichedSql +
     """, hf AS (SELECT * FROM enriched WHERE date IS NOT NULL),
@@ -176,6 +185,7 @@ object CoreQueries extends QueryGroup {
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("genre_kpis", genreKpis, Some(genreKpisOracle)),
     QueryDef("hourly_kpis", hourlyKpis, Some(hourlyKpisOracle)),
+    QueryDef("hourly_kpis_fused", hourlyKpisFused, Some(hourlyKpisOracle)),
     QueryDef("q1_agg", q1Agg, Some(q1AggOracle)),
     QueryDef("s4_scan_project", s4Scan, Some(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1")),

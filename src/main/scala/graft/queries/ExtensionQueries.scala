@@ -201,7 +201,9 @@ object ExtensionQueries extends QueryGroup {
   }
 
   private def simNearDupLsh(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupLsh(emb(s, dir), threshold = 0.38)
+    // dims passed explicitly (matching the oracle's 64): no driver-side
+    // first-row probe runs during plan construction on this path.
+    Similarity.nearDupLsh(emb(s, dir), threshold = 0.38, dims = 64)
       .orderBy("id_a", "id_b")
 
   /** Sign-LSH oracle: the hyperplane ±1 weights are Scala-computed

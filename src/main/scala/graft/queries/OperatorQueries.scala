@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.etl.{Enrich, GenreKpis, HourlyKpis}
+import graft.etl.{Enrich, GenreKpis, HourlyKpis, Skew, Validate}
 import graft.io.Sources
 import CoreQueries.{enrichedEvents, enrichedSql}
 
@@ -163,6 +163,36 @@ object OperatorQueries extends QueryGroup {
       .na.fill("Unkown")
       .orderBy("event_id")
 
+  /** Skew-safe two-stage count (etl/Skew.scala): results are identical to a
+    * plain GROUP BY COUNT by construction — the oracle IS the plain form,
+    * which is the whole point of salting being a physical-only rewrite. */
+  private def saltedCount(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedCount(Sources.table(s, dir, "events"), Seq("event_type"),
+        as = "cnt")
+      .orderBy("event_type")
+
+  /** Skew-safe two-stage sum. value is pre-cast to DECIMAL(18,2) so the
+    * two-stage partial sums are exact (double addition would be
+    * partitioning-order-dependent — decimal is associative). */
+  private def saltedSum(s: SparkSession, dir: String): DataFrame =
+    Skew.saltedSum(
+        Sources.table(s, dir, "events")
+          .withColumn("v", col("value").cast("decimal(18,2)")),
+        Seq("event_type"), "v", as = "sum_value")
+      .withColumn("sum_value", col("sum_value").cast("double"))
+      .orderBy("event_type")
+
+  /** F3 full-parity — stringify-everything fillna, exactly what the
+    * reference's pandas does to mixed-type frames (songs_to_rds.py:31).
+    * c_acctbal goes through DECIMAL(12,2) first: double→string rendering
+    * is engine-specific, decimal→string is not. */
+  private def fillNullFull(s: SparkSession, dir: String): DataFrame =
+    Validate.fillUnknownAll(
+        enrichedEvents(s, dir)
+          .withColumn("c_acctbal", col("c_acctbal").cast("decimal(12,2)"))
+          .select("event_id", "c_name", "c_mktsegment", "c_acctbal"))
+      .orderBy(col("event_id").cast("long"))
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("s1_input_probe", inputProbe, Some(
       "SELECT COUNT(*) > 0 AS has_input FROM events")),
@@ -252,5 +282,19 @@ object OperatorQueries extends QueryGroup {
       """SELECT event_id, COALESCE(c_name, 'Unkown') AS c_name,
         |       COALESCE(c_mktsegment, 'Unkown') AS c_mktsegment
         |FROM enriched ORDER BY event_id""".stripMargin)),
+    QueryDef("f3_fill_null_full", fillNullFull, Some(enrichedSql +
+      """SELECT CAST(event_id AS VARCHAR) AS event_id,
+        |       COALESCE(c_name, 'Unkown') AS c_name,
+        |       COALESCE(c_mktsegment, 'Unkown') AS c_mktsegment,
+        |       COALESCE(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
+        |                'Unkown') AS c_acctbal
+        |FROM enriched ORDER BY CAST(event_id AS BIGINT)""".stripMargin)),
+    QueryDef("a_salted_count", saltedCount, Some(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    QueryDef("a_salted_sum", saltedSum, Some(
+      """SELECT event_type,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
   )
 }

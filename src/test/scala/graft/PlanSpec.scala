@@ -46,4 +46,59 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("LeftOuter"),
       "IsNotNull on join output should convert left->inner")
   }
+
+  test("fused hourly KPIs execute the shared pre-aggregation stage once") {
+    val df = CoreQueries.hourlyKpisFused(spark, dir)
+    df.collect() // AQE proves reuse at runtime, not in the static plan
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("Reused"),
+      s"expected the shared l1 stage to be reused (one fact scan):\n$p")
+    // and the result matches the two-scan parity formulation exactly
+    val parity = CoreQueries.hourlyKpis(spark, dir).collect().toSeq
+    assert(df.collect().toSeq === parity)
+  }
+
+  test("scatter adds an exchange for an under-partitioned source") {
+    import graft.io.Sources
+    // testdata parquet is single-row-group → one scan partition → scatter
+    // must introduce the round-robin exchange.
+    val docs = Sources.table(spark, dir, "documents").select("doc_id")
+    assert(docs.rdd.getNumPartitions <
+      spark.sparkContext.defaultParallelism)
+    val out = Sources.scatter(docs)
+    assert(out.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    assert(plan(out).contains("Exchange RoundRobinPartitioning"))
+  }
+
+  test("scatter is a no-op when the source is already parallel enough") {
+    import graft.io.Sources
+    val docs = Sources.table(spark, dir, "documents").select("doc_id")
+    val already = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+    val out = Sources.scatter(already)
+    // same DataFrame back: no second exchange stacked on the first
+    assert(out eq already, "scatter must pass an already-wide frame through")
+    val exchanges = "Exchange RoundRobinPartitioning".r
+      .findAllIn(plan(out)).length
+    assert(exchanges == 1, s"expected only the test's own exchange:\n${plan(out)}")
+  }
+
+  test("sign-LSH query plans without a driver-side data job") {
+    // sign-LSH previously probed dims via head() at plan-construction time.
+    // spark.read.parquet itself runs a fixed footer/schema job, so measure
+    // against that: building the full query must add NO jobs beyond the
+    // plain table read.
+    def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val j0 = jobs
+    graft.io.Sources.table(spark, dir, "embeddings")
+    val scanJobs = jobs - j0
+    val j1 = jobs
+    val df = SparkEntry.queries("sim_neardup_lsh")(spark, dir)
+    val queryJobs = jobs - j1
+    assert(df != null)
+    assert(queryJobs <= scanJobs,
+      s"query construction ran $queryJobs job(s) vs $scanJobs for a bare scan" +
+        " — a data-dependent probe (head()/count()) is back in the plan path")
+  }
 }

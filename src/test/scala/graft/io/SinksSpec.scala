@@ -34,6 +34,50 @@ class SinksSpec extends SparkSpec {
       .select("v").as[String].head() == "a_new")
   }
 
+  test("date-partitioned sink prunes reads to one partition (the 100 TB payoff)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = Files.createTempDirectory("graft_prune").resolve("kpis").toString
+    val kpis = graft.queries.CoreQueries.hourlyKpisFused(
+      spark, "/root/testdata/sf0.001")
+    Sinks.parquet(kpis, dir, partitionBy = Seq("date"))
+
+    val allDates = spark.read.parquet(dir)
+    val nDates = allDates.select("date").distinct().count()
+    assert(nDates > 1, "need multiple date partitions to demonstrate pruning")
+
+    val oneDay = allDates.filter(col("date") === "2024-01-02")
+    val scan = oneDay.queryExecution.executedPlan.collectFirst {
+      case a: AdaptiveSparkPlanExec =>
+        a.executedPlan.collectFirst { case f: FileSourceScanExec => f }
+      case f: FileSourceScanExec => Some(f)
+    }.flatten.getOrElse(fail("no FileSourceScanExec in plan"))
+    // the date predicate must be a PARTITION filter (directory pruning at
+    // planning time), not a data filter evaluated after reading every file
+    assert(scan.partitionFilters.exists(_.toString.contains("date")),
+      s"date filter not in partitionFilters: ${scan.partitionFilters}")
+    assert(scan.dataFilters.isEmpty,
+      s"date filter fell through to dataFilters: ${scan.dataFilters}")
+    // and the scan's file selection really shrank to the one directory
+    assert(scan.relation.location.listFiles(scan.partitionFilters, Nil)
+      .map(_.files.size).sum <
+      scan.relation.location.listFiles(Nil, Nil).map(_.files.size).sum)
+    // pruned read returns exactly that day's rows (sparse hours at sf0.001)
+    assert(oneDay.count() ==
+      kpis.filter(col("date") === "2024-01-02").count())
+    // rerunning the sink for a changed day overwrites ONLY that partition
+    // (dynamic partition overwrite: daily rerun never truncates history)
+    val oneDayNew = kpis.filter(col("date") === "2024-01-02")
+      .withColumn("unique_listeners", lit(0L))
+    Sinks.parquet(oneDayNew, dir, partitionBy = Seq("date"))
+    val back = spark.read.parquet(dir)
+    assert(back.select("date").distinct().count() == nDates,
+      "dynamic overwrite must keep the other partitions")
+    assert(back.filter(col("date") === "2024-01-02")
+      .agg(sum("unique_listeners")).head().getLong(0) == 0L)
+  }
+
   test("connectedComponents returns empty for an empty edge list (no NPE)") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(Dedup.connectedComponents(empty).isEmpty)
