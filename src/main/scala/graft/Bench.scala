@@ -22,11 +22,15 @@ object Bench {
     // pay one-time session costs.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def runAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
+          // record the failure in the JSON too: a broken query must not
+          // masquerade as a fast pass in round-over-round comparisons
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         name -> (System.nanoTime() - t0) / 1e9
@@ -43,7 +47,8 @@ object Bench {
     // query set grows (a larger total can mean MORE coverage, not less
     // speed).
     val mean = if (results.nonEmpty) total / results.size else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"queries":${js(results)},"queries_warm":${js(warm)},"sf":"$sfDir"}""")
+    val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"queries":${js(results)},"queries_warm":${js(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

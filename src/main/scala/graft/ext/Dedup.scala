@@ -266,6 +266,15 @@ object Dedup {
     }
     sym.unpersist()
     edges.unpersist()
+    if (!done)
+      // A component chain of diameter > maxIter would be returned SPLIT —
+      // applyClusters would then silently keep several "canonical" copies
+      // of one near-dup family. Fail loudly; callers with genuinely deep
+      // graphs raise maxIter (min-label propagation halves nothing, so
+      // rounds ≈ diameter — pick maxIter ≥ expected diameter).
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(label sum still decreasing); raise maxIter")
     comp.select(col("n").as("doc_id"), col("comp").as("cluster_id"))
   }
 

@@ -17,12 +17,19 @@ import org.apache.spark.sql.types._
   * VectorFunctionsSpec asserts that.
   *
   * Nulls: null array on either side → null result (BinaryExpression default);
-  * array elements are assumed non-null (embedding columns).
+  * MISMATCHED lengths → null as well, matching the HOF formulation (zip_with
+  * null-pads the shorter array and the null poisons the aggregate) — on
+  * malformed embedding data a visible NULL beats a silently-truncated finite
+  * score. Array elements are assumed non-null (embedding columns).
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // nullable even for non-null children: length mismatch yields null (and
+  // codegen needs an assignable isNull slot for that branch)
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType = e.dataType match {
     case ArrayType(t, _) => t
@@ -49,8 +56,9 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
+    if (a.numElements() != b.numElements()) return null
     val (ta, tb) = (elemType(left), elemType(right))
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = get(a, i, ta); val y = get(b, i, tb)
@@ -71,15 +79,19 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val (dot, na, nb, n, i) = (ctx.freshName("dot"), ctx.freshName("na"),
         ctx.freshName("nb"), ctx.freshName("n"), ctx.freshName("i"))
       s"""
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double x = ${getter(a, i, ta)};
-         |  double y = ${getter(b, i, tb)};
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  int $n = $a.numElements();
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double x = ${getter(a, i, ta)};
+         |    double y = ${getter(b, i, tb)};
+         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |  }
+         |  ${ev.value} = $dot /
+         |    (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot /
-         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
   }

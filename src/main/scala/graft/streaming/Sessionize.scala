@@ -60,32 +60,47 @@ object Sessionize {
             state.remove()
             Iterator.single(Session(user, s.start, s.last, s.n))
           } else {
-            // Merge new events (sorted; micro-batches may interleave) into
-            // the open session, closing any session a gap terminates.
-            // Out-of-order events within the watermark can precede the open
-            // session: within gap of its start they extend it BACKWARD;
-            // more than a gap earlier they are their own (already-final)
-            // session — the previous open session's span never reached them.
-            val sorted = it.map(e => e.ts.getTime).toSeq.sorted
-            var open = state.getOption
-            val closed = Seq.newBuilder[Session]
-            sorted.foreach { t =>
-              open match {
-                case Some(s) if t - s.last > gapMs =>
-                  closed += Session(user, s.start, s.last, s.n)
-                  open = Some(OpenSession(t, t, 1))
-                case Some(s) if s.start - t > gapMs =>
-                  closed += Session(user, t, t, 1)
-                case Some(s) =>
-                  open = Some(s.copy(start = math.min(s.start, t),
-                    last = math.max(s.last, t), n = s.n + 1))
-                case None =>
-                  open = Some(OpenSession(t, t, 1))
-              }
+            // General gap-merge over [open session interval + new events]:
+            // sort every interval by start and coalesce neighbors within
+            // gapMs. This is the batch formulation's logic applied to the
+            // micro-batch, so ANY arrival order converges to the same
+            // sessions — in particular several out-of-order events that all
+            // precede the open session merge with EACH OTHER, not only
+            // against the open session. All merged sessions except the
+            // latest are emitted closed (one-open-session state model: an
+            // in-watermark event that would bridge two of them is treated
+            // as late, exactly like the batch rerun would re-derive it).
+            val intervals =
+              state.getOption.map(s => (s.start, s.last, s.n)).toSeq ++
+                it.map { e => val t = e.ts.getTime; (t, t, 1L) }
+            val merged = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Long, Long)]
+            intervals.sortBy(i => (i._1, i._2)).foreach {
+              case (s0, l0, n0) =>
+                merged.lastOption match {
+                  case Some((ps, pl, pn)) if s0 - pl <= gapMs =>
+                    merged(merged.size - 1) =
+                      (ps, math.max(pl, l0), pn + n0)
+                  case _ => merged += ((s0, l0, n0))
+                }
             }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+            val closed = Seq.newBuilder[Session]
+            merged.dropRight(1).foreach { case (s0, l0, n0) =>
+              closed += Session(user, s0, l0, n0)
+            }
+            merged.lastOption.foreach { case (s0, l0, n0) =>
+              // A data invocation preempts this group's timeout invocation,
+              // and setTimeoutTimestamp rejects timestamps at or before the
+              // current watermark — so a batch of only backward-extending
+              // events for an already-expired session must close it HERE,
+              // not re-arm the timer in the past.
+              if (l0 + gapMs <= state.getCurrentWatermarkMs()) {
+                closed += Session(user, s0, l0, n0)
+                state.remove()
+              } else {
+                state.update(OpenSession(s0, l0, n0))
+                state.setTimeoutTimestamp(l0 + gapMs)
+              }
             }
             closed.result().iterator
           }

@@ -37,4 +37,29 @@ class VectorFunctionsSpec extends SparkSpec {
       .toDF("a", "b")
     assert(df.select(VectorFunctions.cosine($"a", $"b")).head().isNullAt(0))
   }
+
+  test("length-mismatched arrays yield null, like the HOF formulation") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    // codegen path (inside a projection over a real plan)
+    val fast = df.select(VectorFunctions.cosine($"a", $"b").as("c"))
+    assert(fast.head().isNullAt(0),
+      "codegen path must not silently truncate to the shorter array")
+    // the HOF reference formulation agrees (zip_with null-pads → null)
+    val hof = df.select(VectorFunctions.cosineHof($"a", $"b").as("c"))
+    assert(hof.head().isNullAt(0))
+    // interpreted path: eval the expression directly, outside codegen
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    val conv = CatalystTypeConverters
+      .createToCatalystConverter(new org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, false))
+    val expr = CosineSimilarityExpr(
+      Literal(conv(Array(1.0f, 2.0f, 3.0f)),
+        new org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, false)),
+      Literal(conv(Array(1.0f, 2.0f)),
+        new org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, false)))
+    assert(expr.eval(null) == null)
+  }
 }

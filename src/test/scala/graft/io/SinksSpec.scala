@@ -98,4 +98,15 @@ class SinksSpec extends SparkSpec {
     assert(comp.values.toSet == Set(1L))
     assert(comp.size == 20)
   }
+
+  test("connectedComponents fails loudly when maxIter is too small") {
+    // a diameter-9 chain cannot converge in 3 rounds of min-label
+    // propagation; returning split clusters silently would make
+    // applyClusters keep multiple copies of one near-dup family
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("maxIter"))
+  }
 }

@@ -65,6 +65,88 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("two pre-session out-of-order events merge with each other") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    // 4h allowed lateness: the early pair must survive the stateful
+    // operator's late-row filter (Spark drops rows behind the watermark
+    // before they reach flatMapGroupsWithState)
+    val stream = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "4 hours")
+      .as[Sessionize.SessionEvent]
+    val q = Sessionize.streaming(stream, gapMs).writeStream
+      .format("memory").queryName("graft_sessions_early")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(Seq((9L, ts(100)))) // open session at +100
+      q.processAllAvailable()
+      // both events fall more than a gap BEFORE the open session but within
+      // one gap of each other → they must form ONE 2-event session (the
+      // batch formulation's answer), not two singletons
+      mem.addData(Seq((9L, ts(0)), (9L, ts(5))))
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts(10000))))
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts(20000))))
+      q.processAllAvailable()
+      val streamed = spark.table("graft_sessions_early")
+        .filter($"user_id" === 9L)
+        .select("session_start_ms", "session_end_ms", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == Set(
+        (ts(0).getTime, ts(5).getTime, 2L),
+        (ts(100).getTime, ts(100).getTime, 1L)))
+    } finally q.stop()
+  }
+
+  test("backward-only batch after session expiry closes it instead of crashing") {
+    implicit val sqlCtx = spark.sqlContext
+    // The crash window needs the data invocation to happen in the same
+    // batch whose EVICTION watermark already passed the session's timeout,
+    // while the late-row filter (previous batch's watermark) still admits
+    // the event. A no-data micro-batch between the two would fire the
+    // timeout first and hide the bug, so disable it for this query.
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = spark.conf.getOption(noData)
+    spark.conf.set(noData, "false")
+    val mem = MemoryStream[(Long, Timestamp)]
+    val stream = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "30 minutes")
+      .as[Sessionize.SessionEvent]
+    val q = Sessionize.streaming(stream, gapMs).writeStream
+      .format("memory").queryName("graft_sessions_expired")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // session 0..10 opens; the same batch's heartbeat pushes the NEXT
+      // batch's eviction watermark far past the session timeout (+10+gap)
+      mem.addData(Seq((8L, ts(0)), (8L, ts(10)), (99L, ts(10000))))
+      q.processAllAvailable()
+      // data invocation preempts the timeout invocation; the merged session
+      // still ends at +10, and its timeout (+10+gap) is BEHIND the eviction
+      // watermark — setTimeoutTimestamp would throw IllegalArgumentException
+      // and kill the query. The session must be emitted closed instead,
+      // with the backward event folded in.
+      mem.addData(Seq((8L, ts(5))))
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts(20000))))
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts(30000))))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val streamed = spark.table("graft_sessions_expired")
+        .filter($"user_id" === 8L)
+        .select("session_start_ms", "session_end_ms", "n_events")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == Set((ts(0).getTime, ts(10).getTime, 3L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(noData, v)
+        case None => spark.conf.unset(noData)
+      }
+    }
+  }
+
   test("out-of-order event in a later batch extends the session backward") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
