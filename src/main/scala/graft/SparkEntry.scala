@@ -18,6 +18,7 @@ object SparkEntry {
     ExtensionQueries,
     StreamingQueries,
     EngineQueries,
+    OpsQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)

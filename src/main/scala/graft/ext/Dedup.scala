@@ -106,20 +106,32 @@ object Dedup {
 
   /** Candidate pairs from any (id, bucketKeys...) signature table: ids
     * sharing a bucket, deduplicated, as (doc_a, doc_b) with doc_a < doc_b.
-    * Shared by the MinHash families here and Similarity.nearDupLsh. */
+    * Shared by the MinHash families here and Similarity.nearDupLsh.
+    *
+    * Formulated as group-by-bucket + in-bucket pair expansion, NOT a
+    * self-join: the signature pipeline is consumed ONCE (no persist to
+    * manage, no cache accumulating across queries in a long-lived session),
+    * and the single wide shuffle is the bucket aggregation. Pair expansion
+    * is a codegen'd higher-order function over the sorted id list — output
+    * is O(bucket²) pairs exactly like the join, and banding keeps buckets
+    * small by construction (a degenerate giant bucket would have been
+    * quadratic under the self-join too). */
   private[ext] def candidatesFromSignatures(sigRaw: DataFrame, idCol: String,
       bucketKeys: Seq[String] = Seq("band", "sig")): DataFrame = {
-    // persist: the self-join consumes the signature subplan twice; without
-    // caching the whole signature pipeline runs twice. Deliberately not
-    // unpersisted — the result is lazy, so there is no safe point inside
-    // this function; caches are small (1 row/doc/band) and evict LRU.
-    val sig = sigRaw.persist()
     val keys = bucketKeys.map(col)
-    val a = sig.select(keys :+ col(idCol).as("doc_a"): _*)
-    val b = sig.select(keys :+ col(idCol).as("doc_b"): _*)
-    a.join(b, bucketKeys)
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    sigRaw
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      // all (i<j) pairs of the ascending-sorted list: doc_a < doc_b holds
+      // by construction. slice() is 1-based; for element index i (0-based)
+      // the partners start at position i+2.
+      .select(explode(flatten(expr(
+        """transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids)), y ->
+          |    struct(x AS doc_a, y AS doc_b)))""".stripMargin))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
   }
 
   /** LSH candidate pairs: docs agreeing on any band's signature. */

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal / range join operators Spark lacks as built-ins, composed from
+  * relational primitives so Catalyst/Tungsten still drive execution
+  * (preference (a) of the custom-operator ladder: no custom physical node
+  * needed — the semantics ARE expressible, the trick is expressing them
+  * without a cross join).
+  */
+object Joins {
+
+  /** As-of join: attach to each left row the latest right row whose time is
+    * ≤ (or < when `strict`) the left row's time, per key — the canonical
+    * "enrich events with the most recent dimension snapshot" operator
+    * (DuckDB/kdb ASOF JOIN, pandas merge_asof).
+    *
+    * Formulated as union + keyed window, NOT a join:
+    *   tag sides → union → last(right payload, ignoreNulls) over
+    *   (PARTITION BY keys ORDER BY time, side) ROWS UNBOUNDED PRECEDING..CURRENT
+    * so the right values "carry forward" onto subsequent left rows.
+    *
+    * Scale properties: exactly ONE hash exchange (on the keys) for any
+    * input sizes — no broadcast requirement on either side, no range
+    * explosion, no per-key reducer skew beyond what the key distribution
+    * itself has. A join-based formulation would need an inequality
+    * condition (cross-ish) or a broadcast; this shape is how you run it on
+    * two 100 TB tables.
+    *
+    * Contract: right rows with a null key or null time are unmatchable in
+    * SQL semantics and are dropped up front; (keys, rightTime) should be
+    * unique on the right (pre-aggregate otherwise) — ties at identical
+    * time would be order-dependent. Left and right non-key column names
+    * must be disjoint (rename before calling).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               strict: Boolean = false): DataFrame = {
+    val payload = right.columns.filterNot(c => keys.contains(c)).toSeq
+    val leftOther = left.columns.filterNot(c => keys.contains(c)).toSeq
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+
+    // At equal times an inclusive as-of must see the right row (right
+    // sorts first), a strict one must not (left sorts first).
+    val (rightTag, leftTag) = if (strict) (1, 0) else (0, 1)
+
+    val l2 = left.select(
+      keys.map(col) ++
+        Seq(col(leftTime).as("_gt"), lit(leftTag).as("_gs")) ++
+        leftOther.map(col) ++
+        payload.map(c => lit(null).cast(rightTypes(c)).as(c)): _*)
+    val r2 = right
+      .filter(keys.map(col(_).isNotNull).reduceOption(_ && _)
+        .getOrElse(lit(true)) && col(rightTime).isNotNull)
+      .select(
+        keys.map(col) ++
+          Seq(col(rightTime).cast(leftTypes(leftTime)).as("_gt"),
+            lit(rightTag).as("_gs")) ++
+          leftOther.map(c => lit(null).cast(leftTypes(c)).as(c)) ++
+          payload.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_gt").asc, col("_gs").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled: Seq[Column] =
+      payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))
+
+    l2.unionByName(r2)
+      .select(keys.map(col) ++ Seq(col("_gt"), col("_gs")) ++
+        leftOther.map(col) ++ filled: _*)
+      .filter(col("_gs") === leftTag)
+      .select(keys.map(col) ++ leftOther.map(col) ++ payload.map(col): _*)
+  }
+
+  /** Range (interval containment) join: pair each point row with every
+    * interval row of the same `keys` whose [lo, hi] contains the point.
+    * `pointCol` / `loCol` / `hiCol` must share a numeric domain (cast
+    * dates to epoch days first).
+    *
+    * Scale path: overlap bucketing. Intervals replicate to each bucket of
+    * width `bucketWidth` they touch (sequence + explode), points map to
+    * exactly one bucket, and the equi-join runs on (keys :+ bucket) with
+    * the exact containment predicate re-checked after. No cross join for
+    * keyless range joins, no broadcast requirement, and a point is emitted
+    * at most once per containing interval (it lives in one bucket).
+    * Choose bucketWidth ≈ typical interval span: replication factor is
+    * 1 + span/width while bucket selectivity improves with smaller widths.
+    */
+  def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
+                        pointCol: String, loCol: String, hiCol: String,
+                        bucketWidth: Long, keys: Seq[String] = Nil)
+      : DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val p2 = points
+      .filter(col(pointCol).isNotNull)
+      .withColumn("_bkt", floor(col(pointCol) / lit(bucketWidth)))
+    val i2 = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
+      .withColumn("_bkt", explode(sequence(
+        floor(col(loCol) / lit(bucketWidth)),
+        floor(col(hiCol) / lit(bucketWidth)))))
+    p2.join(i2, keys :+ "_bkt")
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_bkt")
+  }
+}

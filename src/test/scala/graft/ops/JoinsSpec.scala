@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofJoin inclusive vs strict at equal timestamps") {
+    val left = Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b")).toDF("k", "rt", "v")
+    val incl = Joins.asofJoin(left, right, Seq("k"), "t", "rt")
+      .orderBy("t").select("t", "rt", "v")
+      .as[(Long, Option[Long], Option[String])].collect().toSeq
+    assert(incl == Seq((10L, Some(10L), Some("a")),
+      (20L, Some(15L), Some("b"))))
+    val strict = Joins.asofJoin(left, right, Seq("k"), "t", "rt",
+        strict = true)
+      .orderBy("t").select("t", "rt", "v")
+      .as[(Long, Option[Long], Option[String])].collect().toSeq
+    assert(strict == Seq((10L, None, None), (20L, Some(15L), Some("b"))))
+  }
+
+  test("asofJoin leaves unmatched and unmatchable rows null") {
+    val left = Seq((1L, 5L), (2L, 50L)).toDF("k", "t")
+    val right = Seq((1L, 10L, "late"), (3L, 1L, "other_key"))
+      .toDF("k", "rt", "v")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "rt")
+      .orderBy("k").select("k", "v")
+      .as[(Long, Option[String])].collect().toSeq
+    // k=1: only right row is AFTER t → null; k=2: no right rows at all
+    assert(out == Seq((1L, None), (2L, None)))
+  }
+
+  test("asofJoin drops null-keyed and null-timed right rows") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq(
+      (Option.empty[Long], Option(5L), "null_key"),
+      (Option(1L), Option.empty[Long], "null_time"),
+      (Option(1L), Option(5L), "good")).toDF("k", "rt", "v")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "rt")
+      .select("v").as[String].collect().toSeq
+    assert(out == Seq("good"))
+  }
+
+  test("asofJoin plans a single hash exchange on the key") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, "a")).toDF("k", "rt", "v")
+    val p = Joins.asofJoin(left, right, Seq("k"), "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("rangeJoinBucketed matches exact containment across bucket edges") {
+    // width 10: intervals straddle bucket boundaries; points sit exactly
+    // on lo, hi, boundary multiples, and just outside
+    val points = Seq(0L, 9L, 10L, 15L, 20L, 21L, 100L)
+      .toDF("p").withColumn("pid", col("p"))
+    val intervals = Seq((5L, 20L, "i1"), (10L, 10L, "i2"), (90L, 99L, "i3"))
+      .toDF("lo", "hi", "iv")
+    val got = Joins.rangeJoinBucketed(points, intervals, "p", "lo", "hi",
+        bucketWidth = 10)
+      .select("p", "iv").as[(Long, String)].collect().toSet
+    val want = (for {
+      p <- Seq(0L, 9L, 10L, 15L, 20L, 21L, 100L)
+      (lo, hi, iv) <- Seq((5L, 20L, "i1"), (10L, 10L, "i2"), (90L, 99L, "i3"))
+      if p >= lo && p <= hi
+    } yield (p, iv)).toSet
+    assert(got == want)
+    // and no duplicates: each (point, interval) pair appears exactly once
+    val n = Joins.rangeJoinBucketed(points, intervals, "p", "lo", "hi", 10)
+      .count()
+    assert(n == want.size)
+  }
+
+  test("rangeJoinBucketed drops invalid intervals and null points") {
+    val points = Seq(Option(5L), Option.empty[Long]).toDF("p")
+    val intervals = Seq((1L, 10L, "ok"), (10L, 1L, "inverted"))
+      .toDF("lo", "hi", "iv")
+    val out = Joins.rangeJoinBucketed(points, intervals, "p", "lo", "hi", 4)
+      .select("iv").as[String].collect().toSeq
+    assert(out == Seq("ok"))
+  }
+}
