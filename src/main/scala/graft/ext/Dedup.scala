@@ -250,11 +250,13 @@ object Dedup {
     val sym = edges.select(col("doc_a").as("n"), col("doc_b").as("m"))
       .union(edges.select(col("doc_b").as("n"), col("doc_a").as("m")))
       .persist()
-    // localCheckpoint (eager) each round: without truncating the lineage,
-    // the nested plan grows exponentially expensive to analyze — the
-    // standard requirement for iterative DataFrame algorithms.
+    // localCheckpoint each round: without truncating the lineage, the
+    // nested plan grows exponentially expensive to analyze — the standard
+    // requirement for iterative DataFrame algorithms. LAZY checkpoints:
+    // the convergence-check action right after materializes them, so an
+    // eager checkpoint would run one extra job per round for nothing.
     var comp = sym.select(col("n")).distinct()
-      .withColumn("comp", col("n")).localCheckpoint()
+      .withColumn("comp", col("n")).localCheckpoint(false)
     // sum() over zero rows is NULL — an empty edge list (no near-dups at
     // all) must yield an empty labeling, not an NPE.
     def labelSum(): Long =
@@ -270,7 +272,7 @@ object Dedup {
       comp = comp.join(neighborMin, Seq("n"), "left")
         .select(col("n"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labelSum()
       done = s == prevSum
       prevSum = s

@@ -47,6 +47,19 @@ object EngineQueries extends QueryGroup {
       .agg(count(lit(1)).as("plays"))
       .orderBy(col("event_type").asc_nulls_first, col("date").asc_nulls_first)
 
+  /** CUBE grouping sets: all four aggregation grains (type×date, type,
+    * date, grand total) in ONE Expand-based pass; grouping_id() tags the
+    * grain so an all-null key row is distinguishable from a subtotal —
+    * the disambiguation CUBE consumers need. */
+  private def cubeSets(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("date"))
+      .cube(col("event_type"), col("date"))
+      .agg(count(lit(1)).as("plays"), grouping_id().cast("long").as("gid"))
+      .select("event_type", "date", "plays", "gid")
+      .orderBy(col("gid").asc, col("event_type").asc_nulls_first,
+        col("date").asc_nulls_first)
+
   /** Pivot: event types to columns, one row per date. The column list is
     * pinned (never inferred with an extra pass — required at scale and for
     * a stable schema). */
@@ -89,6 +102,15 @@ object EngineQueries extends QueryGroup {
         |       COUNT(*) AS plays
         |FROM events GROUP BY ROLLUP(event_type, date)
         |ORDER BY event_type ASC NULLS FIRST, date ASC NULLS FIRST"""
+        .stripMargin)),
+    QueryDef("a_cube_sets", cubeSets, Some(
+      """WITH e AS (SELECT event_type,
+        |             CAST(CAST(ts AS DATE) AS VARCHAR) AS date FROM events)
+        |SELECT event_type, date, COUNT(*) AS plays,
+        |       CAST(2 * GROUPING(event_type) + GROUPING(date) AS BIGINT)
+        |         AS gid
+        |FROM e GROUP BY CUBE(event_type, date)
+        |ORDER BY gid ASC, event_type ASC NULLS FIRST, date ASC NULLS FIRST"""
         .stripMargin)),
     QueryDef("p_pivot_counts", pivotCounts, Some(
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
