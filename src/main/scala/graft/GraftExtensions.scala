@@ -24,6 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineDescriptor)
     ext.injectFunction(GraftExtensions.rollingHashDescriptor)
+    // HOF vector patterns → fused codegen expressions (bitwise-preserving)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteVectorOps)
   }
 }
 
