@@ -72,6 +72,24 @@ object EngineQueries extends QueryGroup {
       .na.fill(0L)
       .orderBy("date")
 
+  /** Approximate distinct (HyperLogLog++): the 100 TB cardinality
+    * estimator — mergeable sketch, one pass, fixed memory per group, vs
+    * exact distinct's Expand+shuffle. HLL++ is hash-based and
+    * deterministic, so "within 5% of exact" is a stable, oracle-checkable
+    * claim: Spark emits the comparison as a boolean next to the exact
+    * count, DuckDB emits the exact count and literal TRUE — the row
+    * hash-matches iff the sketch held its bound. */
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        (abs(approx_count_distinct(col("user_id"), 0.02) -
+          countDistinct(col("user_id"))) <=
+          countDistinct(col("user_id")) * lit(0.05))
+          .as("approx_within_5pct"))
+      .orderBy("event_type")
+
   /** Window frame: per-user running play count ordered by time (ROWS
     * UNBOUNDED PRECEDING — the frame spec surface the reference never
     * uses). Tie-broken by event_id for a total order. */
@@ -120,6 +138,10 @@ object EngineQueries extends QueryGroup {
         |  COUNT(*) FILTER (event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("a_approx_distinct", approxDistinct, Some(
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |       TRUE AS approx_within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     QueryDef("w_running_total", runningTotal, Some(
       """SELECT user_id, event_id,
         |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC

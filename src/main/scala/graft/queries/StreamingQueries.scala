@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.io.Sources
 import graft.streaming.{Sessionize, StreamingKpis}
@@ -18,6 +19,25 @@ object StreamingQueries extends QueryGroup {
   private def sessions(s: SparkSession, dir: String): DataFrame =
     Sessionize.batch(Sources.table(s, dir, "events"), 30 * 60 * 1000L)
       .orderBy("user_id", "session_no")
+
+  /** The same gap sessions via Spark's NATIVE session_window operator (the
+    * idiomatic form, identical in batch and streaming). Boundary semantics
+    * differ from [[Sessionize.batch]] by one instant: session_window's
+    * half-open [t, t+gap) splits at a gap of EXACTLY 30 min where the
+    * lag-formulation merges — the oracle encodes session_window's `>=`
+    * break so the native operator is pinned, not approximated. */
+  private def sessionsNative(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        // window end = last event + gap; report the last EVENT time
+        (unix_millis(col("w.end")) - lit(30 * 60 * 1000L))
+          .as("session_end_ms"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_ms")
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("streaming_hourly_counts", hourly, Some(
@@ -40,5 +60,21 @@ object StreamingQueries extends QueryGroup {
         |       MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
         |       COUNT(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("sessionize_native", sessionsNative, Some(
+      """WITH o AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |b AS (SELECT user_id, ts_ms,
+        |        CASE WHEN ts_ms - lag(ts_ms) OVER
+        |               (PARTITION BY user_id ORDER BY ts_ms) >= 1800000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s AS (SELECT user_id, ts_ms,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |          ROWS UNBOUNDED PRECEDING) AS session_no
+        |      FROM b)
+        |SELECT user_id,
+        |       MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_start_ms""".stripMargin)),
   )
 }
