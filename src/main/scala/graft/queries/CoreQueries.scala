@@ -147,6 +147,47 @@ object CoreQueries extends QueryGroup {
   private val hourlyKpisOracle: String =
     hourlyKpisCtes + "SELECT * FROM hourly_kpis ORDER BY date, hour"
 
+  /** TPC-H Q3-shaped headline join: filtered dimension broadcast, fact
+    * shuffle join on the natural key, decimal-exact revenue, bounded
+    * top-10 — the canonical 3-table join profile at bench scale. */
+  private def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val cust = Sources.table(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Sources.table(s, dir, "orders")
+      .filter(col("o_orderdate").cast("date") < lit("1995-03-15"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate").cast("date").as("od"))
+    val li = Sources.table(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") > lit("1995-03-15"))
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(4,2)")).as("rev"))
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("od"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("od").asc, col("l_orderkey").asc)
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"),
+        col("od").cast("string").as("o_orderdate"))
+  }
+
+  private val q3JoinOracle: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+      |    AS revenue,
+      |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      |  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+      |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+      |ORDER BY revenue DESC, CAST(o_orderdate AS DATE) ASC, l_orderkey ASC
+      |LIMIT 10""".stripMargin
+
   /** TPC-H Q1-shaped headline aggregate over lineitem (A1-A3/A9 analog at
     * bench scale; exact decimal arithmetic end-to-end). */
   private def q1Agg(s: SparkSession, dir: String): DataFrame =
@@ -204,6 +245,7 @@ object CoreQueries extends QueryGroup {
     QueryDef("hourly_kpis", hourlyKpis, Some(hourlyKpisOracle)),
     QueryDef("hourly_kpis_fused", hourlyKpisFused, Some(hourlyKpisOracle)),
     QueryDef("q1_agg", q1Agg, Some(q1AggOracle)),
+    QueryDef("q3_join", q3Join, Some(q3JoinOracle)),
     QueryDef("s4_scan_project", s4Scan, Some(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1")),
     QueryDef("j1_left_join_enrich", j1Join, Some(enrichedSql +

@@ -182,6 +182,22 @@ object OperatorQueries extends QueryGroup {
       .withColumn("sum_value", col("sum_value").cast("double"))
       .orderBy("event_type")
 
+  /** Salted replicated join (etl/Skew.saltedJoin): the fact side keeps its
+    * deterministic partition-id salt, the dim replicates per salt, and the
+    * join key becomes (key, salt) — a planned hot key spreads over `salts`
+    * reducers. Results are identical to the plain left join by
+    * construction; the oracle IS the plain join. */
+  private def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val facts = Sources.table(s, dir, "events")
+      .select(col("event_id"), col("user_id"))
+    val dim = Sources.table(s, dir, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    Skew.saltedJoin(facts, dim, "user_id", salts = 8)
+      .select("event_id", "user_id", "c_mktsegment")
+      .orderBy("event_id")
+  }
+
   /** F3 full-parity — stringify-everything fillna, exactly what the
     * reference's pandas does to mixed-type frames (songs_to_rds.py:31).
     * c_acctbal goes through DECIMAL(12,2) first: double→string rendering
@@ -292,6 +308,12 @@ object OperatorQueries extends QueryGroup {
     QueryDef("a_salted_count", saltedCount, Some(
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    QueryDef("j_salted_join", saltedJoin, Some(
+      """SELECT event_id, e.user_id, c.c_mktsegment
+        |FROM events e LEFT JOIN
+        |  (SELECT c_custkey, c_mktsegment FROM customer
+        |   WHERE c_acctbal > 5000) c ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin)),
     QueryDef("a_salted_sum", saltedSum, Some(
       """SELECT event_type,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
