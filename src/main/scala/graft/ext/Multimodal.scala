@@ -53,7 +53,11 @@ object Multimodal {
   ))
 
   /** Deterministic fake decode: metadata and an 8-dim feature vector from
-    * the md5 digest bytes. Replace this body (only) with a real codec. */
+    * the md5 digest bytes. Replace this body (only) with a real codec.
+    * Feature components are INTEGER-valued floats (0..255): exact in both
+    * float and double, so downstream dot products/LSH signs are
+    * bit-reproducible in any engine — which is what lets the decoded
+    * features feed the oracle-checked near-dup path. */
   private def fakeDecode(mediaId: Long, modality: String,
                          content: Array[Byte]): Row = {
     val digest = java.security.MessageDigest.getInstance("MD5")
@@ -61,7 +65,7 @@ object Multimodal {
     val len = if (content == null) 0 else content.length
     Row(mediaId, modality,
       (len * 7) % 640 + 1, (len * 13) % 480 + 1, len % 30 + 1,
-      digest.take(8).map(b => (b & 0xff) / 255.0f).toSeq)
+      digest.take(8).map(b => (b & 0xff).toFloat).toSeq)
   }
 
   /** Partition-batched decode over the media table — the `mapInPandas`

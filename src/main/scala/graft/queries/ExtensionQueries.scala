@@ -284,6 +284,49 @@ object ExtensionQueries extends QueryGroup {
         "width", "height", "n_frames")
       .orderBy("media_id")
 
+  /** End-to-end multimodal→ANN pipeline: binary payloads → partition-
+    * batched decode (stub codec, real plumbing) → 8-dim features →
+    * banded sign-LSH near-dup over the DECODED features. The whole chain
+    * (decode boundary included) is oracle-checked because the fake
+    * features are integer-valued and the hyperplanes are shared literals —
+    * every dot product is exact in both engines. */
+  private def multimodalNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.nearDupLsh(
+        graft.ext.Multimodal.decodeStub(
+          graft.ext.Multimodal.asMedia(docs(s, dir), "doc_id", "text", "text"))
+          .select(col("media_id"), col("feature")),
+        threshold = 0.98, idCol = "media_id", vecCol = "feature", dims = 8)
+      .orderBy("id_a", "id_b")
+
+  private val multimodalNearDupOracle: String = {
+    val tables = 4; val b = 8; val dims = 8
+    val planes = Similarity.planeWeights(tables * b, dims)
+    val bytes = (0 until 8).map(i =>
+      s"('0x'||substr(md5(text), ${2 * i + 1}, 2))::BIGINT::DOUBLE")
+      .mkString("[", ",\n     ", "]")
+    val sigSelects = (0 until tables).map { t =>
+      val bits = (0 until b).map { j =>
+        val w = planes(t * b + j).mkString("[", ",", "]")
+        s"CASE WHEN list_dot_product(v, ${w}::DOUBLE[]) > 0 " +
+          s"THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT media_id, $t AS tbl, $bits AS sig, v FROM f"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS (SELECT doc_id AS media_id,
+       |  $bytes AS v
+       | FROM documents)
+       |""".stripMargin +
+      s""", sig AS (\n$sigSelects)
+         |, cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+         |  FROM sig a JOIN sig b
+         |    ON a.tbl = b.tbl AND a.sig = b.sig AND a.media_id < b.media_id)
+         |SELECT * FROM (
+         |  SELECT c.id_a, c.id_b, ${cosSql("fa.v", "fb.v")} AS cosine
+         |  FROM cand c JOIN f fa ON fa.media_id = c.id_a
+         |              JOIN f fb ON fb.media_id = c.id_b)
+         |WHERE cosine >= 0.98 ORDER BY id_a, id_b""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_exact_groups", dedupExact, Some(
       """SELECT md5(text) AS content_hash, COUNT(*) AS copies,
@@ -390,6 +433,8 @@ object ExtensionQueries extends QueryGroup {
         |SELECT doc_id, rank, tok, tfidf FROM r
         |WHERE rank <= ${TextAnalysis.TfIdfTopK}
         |ORDER BY doc_id, rank""".stripMargin)),
+    QueryDef("multimodal_neardup", multimodalNearDup,
+      Some(multimodalNearDupOracle)),
     QueryDef("multimodal_meta", multimodalMeta, Some(
       """SELECT doc_id AS media_id, 'text' AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
