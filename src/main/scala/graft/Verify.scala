@@ -16,8 +16,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // one materialization of the shared enriched frame for the whole run
-    queries.CoreQueries.warmShared(spark, sfDir)
+    // one materialization of the shared enriched frame for the whole run;
+    // never fatal — queries that don't touch it must still verify
+    try queries.CoreQueries.warmShared(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] warmShared failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -112,10 +112,13 @@ object Dedup {
     * self-join: the signature pipeline is consumed ONCE (no persist to
     * manage, no cache accumulating across queries in a long-lived session),
     * and the single wide shuffle is the bucket aggregation. Pair expansion
-    * is a codegen'd higher-order function over the sorted id list — output
-    * is O(bucket²) pairs exactly like the join, and banding keeps buckets
-    * small by construction (a degenerate giant bucket would have been
-    * quadratic under the self-join too). */
+    * runs in TWO explode stages — first one row per (bucket, element),
+    * then that element against the tail of the bucket's sorted id list —
+    * so no intermediate value ever holds the O(bucket²) pair set at once:
+    * every row is O(bucket), and rows are independently spillable. Output
+    * is O(bucket²) pairs exactly like the self-join (inherent to the
+    * semantics); a duplicate-heavy corpus with a huge bucket degrades to
+    * many medium rows, not one unallocatable giant row. */
   private[ext] def candidatesFromSignatures(sigRaw: DataFrame, idCol: String,
       bucketKeys: Seq[String] = Seq("band", "sig")): DataFrame = {
     val keys = bucketKeys.map(col)
@@ -123,14 +126,13 @@ object Dedup {
       .groupBy(keys: _*)
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
-      // all (i<j) pairs of the ascending-sorted list: doc_a < doc_b holds
-      // by construction. slice() is 1-based; for element index i (0-based)
-      // the partners start at position i+2.
-      .select(explode(flatten(expr(
-        """transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids)), y ->
-          |    struct(x AS doc_a, y AS doc_b)))""".stripMargin))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
+      // stage 1: one row per (list, position). posexplode is 0-based.
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
+      // stage 2: partners after position i in the ascending-sorted list —
+      // doc_a < doc_b holds by construction. slice() is 1-based, so the
+      // tail after 0-based index i starts at i + 2.
+      .select(col("doc_a"), explode(
+        slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
       .distinct()
   }
 
@@ -236,9 +238,12 @@ object Dedup {
   /** Connected components over a candidate-pair edge list: groups near-dup
     * pairs into clusters, labeling every member with the cluster's min doc
     * id (the canonical keeper). Iterative min-label propagation — each round
-    * is one join + one aggregate; rounds needed = O(log(max component
-    * diameter)), and near-dup components are small by construction, so this
-    * converges in a handful of rounds even on corpus-scale edge lists.
+    * is one join + one aggregate; a label travels ONE hop per round, so
+    * rounds needed ≈ the max component diameter (plus one to detect the
+    * fixpoint). Near-dup components are small by construction, so this
+    * converges in a handful of rounds even on corpus-scale edge lists —
+    * but size `maxIter` ≥ the largest expected diameter: exceeding it
+    * throws rather than silently returning split clusters.
     * Convergence check: Σ labels is strictly decreasing while anything
     * changes (labels only ever drop to a smaller id), so an unchanged sum
     * is a fixpoint — one cheap scalar per round, no row diffing. */

@@ -20,7 +20,9 @@ import org.apache.spark.sql.types._
   * MISMATCHED lengths → null as well, matching the HOF formulation (zip_with
   * null-pads the shorter array and the null poisons the aggregate) — on
   * malformed embedding data a visible NULL beats a silently-truncated finite
-  * score. Array elements are assumed non-null (embedding columns).
+  * score. A null ELEMENT also yields null (the HOF's product chain would) —
+  * required for RewriteVectorOps to be a safe substitution on
+  * containsNull=true columns.
   */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -61,6 +63,7 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
     val n = a.numElements()
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = get(a, i, ta); val y = get(b, i, tb)
       dot += x * y; na += x * x; nb += y * y
       i += 1
@@ -85,12 +88,17 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
          |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |  int $n = $a.numElements();
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
          |    double x = ${getter(a, i, ta)};
          |    double y = ${getter(b, i, tb)};
          |    $dot += x * y; $na += x * x; $nb += y * y;
          |  }
-         |  ${ev.value} = $dot /
-         |    (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot /
+         |      (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

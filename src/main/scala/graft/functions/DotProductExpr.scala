@@ -11,9 +11,12 @@ import org.apache.spark.sql.types._
   * left-to-right double accumulation, so results are bitwise equal.
   *
   * Nulls: null array → null (BinaryExpression default); MISMATCHED lengths
-  * → null, matching zip_with's null-padding poisoning the aggregate.
-  * Mainly produced by [[graft.plans.RewriteVectorOps]], which rewrites the
-  * HOF pattern to this expression during optimization.
+  * → null, matching zip_with's null-padding poisoning the aggregate; a
+  * null ELEMENT on either side → null as well (the HOF's x*y goes null and
+  * the + chain propagates it). Mainly produced by
+  * [[graft.plans.RewriteVectorOps]], which rewrites the HOF pattern to
+  * this expression during optimization — the rewrite must not change any
+  * null outcome.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -53,6 +56,7 @@ case class DotProductExpr(left: Expression, right: Expression)
     var dot = 0.0; var i = 0
     val n = a.numElements()
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       dot += get(a, i, ta) * get(b, i, tb)
       i += 1
     }
@@ -76,9 +80,12 @@ case class DotProductExpr(left: Expression, right: Expression)
          |  double $dot = 0.0;
          |  int $n = $a.numElements();
          |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
          |    $dot += ${getter(a, i, ta)} * ${getter(b, i, tb)};
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) { ${ev.value} = $dot; }
          |}
        """.stripMargin
     })

@@ -84,19 +84,32 @@ object Sources {
     * projecting down to the columns the pipeline needs, so the exchange moves
     * the minimum bytes.
     *
-    * The exchange is GUARDED: a source that already has at least
-    * `minPartitions` (default: the cluster's parallelism) scan partitions
-    * passes through untouched — on a real many-split 100 TB input this makes
-    * scatter a no-op instead of a gratuitous full shuffle of the projected
-    * data. The partition probe reads the planned partition count only (no
-    * job runs); call sites keep scatter at the scan+project root, where the
-    * plan is narrow, so the probe never materializes an AQE stage. Both the
-    * exchange case and the no-op case are asserted in PlanSpec. */
+    * The exchange is GUARDED two ways:
+    *  - a frame whose plan already contains a wide (shuffle-introducing)
+    *    operator is returned untouched WITHOUT probing — its parallelism is
+    *    already shuffle-partition-wide, and probing `df.rdd` under AQE
+    *    would eagerly execute the upstream stages at plan-construction
+    *    time (the very driver-side-work smell the sign-LSH dims probe was
+    *    removed for);
+    *  - a narrow scan-rooted frame (where the `df.rdd` partition count is
+    *    a pure planning question, no job) skips the exchange when it
+    *    already has ≥ `minPartitions` (default: cluster parallelism) scan
+    *    partitions — on a real many-split 100 TB input scatter is a no-op
+    *    instead of a gratuitous full shuffle.
+    * Both cases are asserted in PlanSpec. */
   def scatter(df: DataFrame, minPartitions: Int = -1): DataFrame = {
-    val target =
-      if (minPartitions > 0) minPartitions
-      else df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val wide = df.queryExecution.analyzed.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
+                _: RepartitionOperation | _: Deduplicate) => p
+    }.isDefined
+    if (wide) df
+    else {
+      val target =
+        if (minPartitions > 0) minPartitions
+        else df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    }
   }
 
   /** S3 — JDBC table scan (reference: dags/music_streaming_services_dag.py:45-81

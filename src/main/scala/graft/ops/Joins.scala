@@ -38,10 +38,19 @@ object Joins {
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
                strict: Boolean = false): DataFrame = {
+    // Same-type times are REQUIRED, not coerced: an implicit cast would
+    // either throw per-row under ANSI or (legacy) turn malformed values
+    // into nulls that sort first and leak payload onto earlier left rows.
+    // Failing at plan construction is the honest contract.
+    require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
+      s"asofJoin: $leftTime is ${left.schema(leftTime).dataType.sql} but " +
+        s"$rightTime is ${right.schema(rightTime).dataType.sql} — cast " +
+        "explicitly before joining")
     val payload = right.columns.filterNot(c => keys.contains(c)).toSeq
     val leftOther = left.columns.filterNot(c => keys.contains(c)).toSeq
-    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val leftTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val payloadStruct = org.apache.spark.sql.types.StructType(
+      right.schema.fields.filter(f => payload.contains(f.name)).toSeq)
 
     // At equal times an inclusive as-of must see the right row (right
     // sorts first), a strict one must not (left sorts first).
@@ -50,29 +59,31 @@ object Joins {
     val l2 = left.select(
       keys.map(col) ++
         Seq(col(leftTime).as("_gt"), lit(leftTag).as("_gs")) ++
-        leftOther.map(col) ++
-        payload.map(c => lit(null).cast(rightTypes(c)).as(c)): _*)
+        leftOther.map(col) :+
+        lit(null).cast(payloadStruct).as("_gp"): _*)
+    // The payload rides as ONE struct: last(_, ignoreNulls) then picks the
+    // latest right ROW atomically — a per-column carry would resurrect an
+    // older row's value wherever the latest row holds a null, and could
+    // stitch fields of different right rows into one output row.
     val r2 = right
-      .filter(keys.map(col(_).isNotNull).reduceOption(_ && _)
-        .getOrElse(lit(true)) && col(rightTime).isNotNull)
       .select(
         keys.map(col) ++
-          Seq(col(rightTime).cast(leftTypes(leftTime)).as("_gt"),
-            lit(rightTag).as("_gs")) ++
-          leftOther.map(c => lit(null).cast(leftTypes(c)).as(c)) ++
-          payload.map(col): _*)
+          Seq(col(rightTime).as("_gt"), lit(rightTag).as("_gs")) ++
+          leftOther.map(c => lit(null).cast(leftTypes(c)).as(c)) :+
+          struct(payload.map(col): _*).as("_gp"): _*)
+      .filter(keys.map(col(_).isNotNull).reduceOption(_ && _)
+        .getOrElse(lit(true)) && col("_gt").isNotNull)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_gt").asc, col("_gs").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled: Seq[Column] =
-      payload.map(c => last(col(c), ignoreNulls = true).over(w).as(c))
 
     l2.unionByName(r2)
-      .select(keys.map(col) ++ Seq(col("_gt"), col("_gs")) ++
-        leftOther.map(col) ++ filled: _*)
+      .select(keys.map(col) ++ Seq(col("_gs")) ++ leftOther.map(col) :+
+        last(col("_gp"), ignoreNulls = true).over(w).as("_gp"): _*)
       .filter(col("_gs") === leftTag)
-      .select(keys.map(col) ++ leftOther.map(col) ++ payload.map(col): _*)
+      .select(keys.map(col) ++ leftOther.map(col) ++
+        payload.map(c => col(s"_gp.$c").as(c)): _*)
   }
 
   /** Range (interval containment) join: pair each point row with every

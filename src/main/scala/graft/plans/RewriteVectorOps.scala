@@ -65,10 +65,20 @@ object RewriteVectorOps extends Rule[LogicalPlan] {
       case HofDot(a, b) => DotProductExpr(a, b)
     }
     dotted.transformAllExpressions {
-      case Divide(DotProductExpr(a1, b1),
+      // LEGACY divide only: under ANSI a zero-norm vector must raise
+      // DIVIDE_BY_ZERO and under TRY it must go null — the fused
+      // expression's raw Java division (NaN) would observably change the
+      // query outcome. The dot rewrite above is mode-independent (double
+      // arithmetic never throws), so ANSI sessions still get fused dots
+      // under the original Divide node.
+      // the guard uses the evalMode ACCESSOR: Divide's third constructor
+      // param is a NumericEvalContext wrapper in Spark 4.1, so a bare
+      // EvalMode pattern never matches
+      case d @ Divide(DotProductExpr(a1, b1),
           Multiply(Sqrt(DotProductExpr(a2, a3)),
             Sqrt(DotProductExpr(b2, b3)), _), _)
-        if a1.semanticEquals(a2) && a2.semanticEquals(a3) &&
+        if d.evalMode == EvalMode.LEGACY &&
+          a1.semanticEquals(a2) && a2.semanticEquals(a3) &&
           b1.semanticEquals(b2) && b2.semanticEquals(b3) =>
         CosineSimilarityExpr(a1, b1)
     }

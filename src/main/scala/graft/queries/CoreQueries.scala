@@ -49,9 +49,19 @@ object CoreQueries extends QueryGroup {
   private val warmed = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
-  /** Persist the shared enriched frame for this (session, sfDir). */
+  /** Persist the shared enriched frame for this (session, sfDir). Pair
+    * with [[coolShared]] in long-lived processes — the map intentionally
+    * holds strong references (Verify/Bench are one-shot JVMs), so an
+    * un-cooled entry pins the session and its cache until process exit. */
   def warmShared(s: SparkSession, dir: String): Unit =
     warmed.getOrElseUpdate((s, dir), enrichedEvents(s, dir).persist())
+
+  /** Unpersist and release every warmed entry for `s` (all, if null). */
+  def coolShared(s: SparkSession): Unit =
+    warmed.keys.filter(k => s == null || k._1 == s).foreach { k =>
+      warmed.remove(k).foreach(df =>
+        try df.unpersist() catch { case _: Throwable => () })
+    }
 
   /** DuckDB twin of [[enrichedEvents]]. */
   val enrichedSql: String =

@@ -29,7 +29,9 @@ object StreamJoin {
       col("i_user") === col("c_user") &&
         col("click_ts") >= col("imp_ts") &&
         col("click_ts") <=
-          col("imp_ts") + expr(s"INTERVAL ${withinMs / 1000} SECOND"))
+          // millisecond interval: an integer-second division would
+          // truncate sub-second attribution windows (1500ms → 1s)
+          col("imp_ts") + expr(s"INTERVAL $withinMs MILLISECOND"))
       .select(col("i_user").as("user_id"), col("campaign"),
         col("imp_ts"), col("click_ts"))
   }

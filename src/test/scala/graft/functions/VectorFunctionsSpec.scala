@@ -38,6 +38,13 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(df.select(VectorFunctions.cosine($"a", $"b")).head().isNullAt(0))
   }
 
+  test("null ELEMENT yields null in codegen and HOF paths alike") {
+    val df = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine($"a", $"b")).head().isNullAt(0))
+    assert(df.select(VectorFunctions.cosineHof($"a", $"b")).head().isNullAt(0))
+  }
+
   test("length-mismatched arrays yield null, like the HOF formulation") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
     // codegen path (inside a projection over a real plan)

@@ -43,6 +43,31 @@ class JoinsSpec extends SparkSpec {
     assert(out == Seq("good"))
   }
 
+  test("asofJoin takes the latest right ROW atomically (nulls included)") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    // latest matching right row has v1 set but v2 null: ASOF semantics
+    // (DuckDB, merge_asof) demand (B, null), never a mix with the older row
+    val right = Seq(
+      (1L, 5L, Some("oldA"), Some("oldB")),
+      (1L, 8L, Some("B"), Option.empty[String])).toDF("k", "rt", "v1", "v2")
+    val out = Joins.asofJoin(left, right, Seq("k"), "t", "rt")
+      .select("rt", "v1", "v2")
+      .as[(Option[Long], Option[String], Option[String])].collect().toSeq
+    assert(out == Seq((Some(8L), Some("B"), None)))
+  }
+
+  test("asofJoin rejects mismatched time types at construction") {
+    val left = Seq((1L, "2024-01-10")).toDF("k", "t")
+      .select($"k", $"t".cast("date").as("t"))
+    val right = Seq((1L, "2024-01-05", "v")).toDF("k", "rt", "v")
+    // a silent coercion would either throw per-row (ANSI) or turn bad
+    // values into nulls-first rows that leak payload — fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      Joins.asofJoin(left, right, Seq("k"), "t", "rt")
+    }
+    assert(e.getMessage.contains("cast explicitly"))
+  }
+
   test("asofJoin plans a single hash exchange on the key") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     val right = Seq((1L, 5L, "a")).toDF("k", "rt", "v")

@@ -6,9 +6,19 @@ import org.apache.spark.sql.DataFrame
 
 class RewriteVectorOpsSpec extends SparkSpec {
 
-  // A cloned session so the rule does not leak into other suites' plans.
+  // Cloned sessions so the rule does not leak into other suites' plans.
+  // s2 runs legacy arithmetic (full cosine collapse legal); s3 keeps
+  // Spark 4's ANSI default, where zero-norm division must still raise
+  // DIVIDE_BY_ZERO — only the dot-level fusion may fire there.
   private lazy val s2 = {
     val s = spark.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    s.experimental.extraOptimizations = Seq(RewriteVectorOps)
+    s
+  }
+  private lazy val s3 = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "true")
     s.experimental.extraOptimizations = Seq(RewriteVectorOps)
     s
   }
@@ -43,6 +53,17 @@ class RewriteVectorOpsSpec extends SparkSpec {
       df.queryExecution.optimizedPlan.toString)
     assert(!es.exists(_.isInstanceOf[DotProductExpr]),
       "partial rewrite left bare dots in the cosine pattern")
+  }
+
+  test("ANSI sessions fuse dots but keep the error-raising Divide") {
+    val df = vecs(s3).select(
+      VectorFunctions.cosineHof(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b")).as("c"))
+    val es = exprsOf(df)
+    assert(es.exists(_.isInstanceOf[DotProductExpr]),
+      "dot fusion is mode-independent and must still fire")
+    assert(!es.exists(_.isInstanceOf[CosineSimilarityExpr]),
+      "collapsing the ANSI Divide would turn DIVIDE_BY_ZERO into NaN")
   }
 
   test("rewritten plans produce bitwise-identical results") {
