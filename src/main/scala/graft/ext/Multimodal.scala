@@ -70,10 +70,13 @@ object Multimodal {
 
   /** Partition-batched decode over the media table — the `mapInPandas`
     * equivalent in Scala: one iterator pass per partition, rows streamed,
-    * nothing collected. */
+    * nothing collected. The projected (id, modality, content) frame is
+    * scattered first: decode is the CPU-heavy stage, and a single-file
+    * input would otherwise run it on one core (scatter no-ops when the
+    * source is already parallel). */
   def decodeStub(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
-    media.select("media_id", "modality", "content")
+    graft.io.Sources.scatter(media.select("media_id", "modality", "content"))
       .mapPartitions { rows =>
         rows.map { r =>
           fakeDecode(r.getLong(0), r.getString(1),

@@ -290,13 +290,20 @@ object ExtensionQueries extends QueryGroup {
     * (decode boundary included) is oracle-checked because the fake
     * features are integer-valued and the hyperplanes are shared literals —
     * every dot product is exact in both engines. */
-  private def multimodalNearDup(s: SparkSession, dir: String): DataFrame =
-    Similarity.nearDupLsh(
-        graft.ext.Multimodal.decodeStub(
-          graft.ext.Multimodal.asMedia(docs(s, dir), "doc_id", "text", "text"))
-          .select(col("media_id"), col("feature")),
+  private def multimodalNearDup(s: SparkSession, dir: String): DataFrame = {
+    // lazy localCheckpoint: nearDupLsh consumes the features three times
+    // (signatures + both pair sides); without it the decode boundary
+    // re-runs per consumer. Lazy = no job at plan construction; blocks
+    // are reference-tracked and cleaned by the ContextCleaner when the
+    // frame is collected, unlike a session-lifetime persist.
+    val feats = graft.ext.Multimodal.decodeStub(
+        graft.ext.Multimodal.asMedia(docs(s, dir), "doc_id", "text", "text"))
+      .select(col("media_id"), col("feature"))
+      .localCheckpoint(false)
+    Similarity.nearDupLsh(feats,
         threshold = 0.98, idCol = "media_id", vecCol = "feature", dims = 8)
       .orderBy("id_a", "id_b")
+  }
 
   private val multimodalNearDupOracle: String = {
     val tables = 4; val b = 8; val dims = 8
