@@ -176,4 +176,48 @@ object TextAnalysis {
       .filter(size(col("hashes")) > 0)
       .select(col(idCol), array_min(col("hashes")).as("fingerprint"))
   }
+
+  /** PII patterns shared with the DuckDB oracle — RE2-safe (no
+    * lookaround/backrefs), so Java regex and RE2 agree on every match. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+[0-9][0-9 -]{6,}[0-9]"
+
+  /** PII scrubbing: replace emails/phone numbers with typed placeholder
+    * tokens and report per-document match counts — the redaction pass a
+    * training-data pipeline runs before anything else. Pure narrow map
+    * (codegen'd regexp_replace / regexp_extract_all), no UDF, no shuffle. */
+  def scrubPii(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(emailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(phonePattern), lit(0)))
+        .cast("long").as("n_phones"),
+      regexp_replace(
+        regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>").as("scrubbed"))
+
+  /** Benchmark decontamination check: fraction of each corpus document's
+    * distinct char shingles that also occur in a benchmark/eval set —
+    * the n-gram-overlap test run before training on scraped corpora.
+    *
+    * Scale design: the benchmark shingle set is SMALL (eval sets are KBs
+    * to MBs) → broadcast, so the corpus side is one shingle pass + one
+    * aggregation and never shuffles against the benchmark. Exact distinct
+    * shingles per doc via the same charShingles the dedup path uses. */
+  def contamination(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", k: Int = 8, stride: Int = 4)
+      : DataFrame = {
+    val bench = charShingles(benchmark, idCol, k, stride)
+      .select(col("shingle")).distinct()
+      .withColumn("_hit", lit(1))
+    charShingles(corpus, idCol, k, stride).distinct()
+      .join(broadcast(bench), Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("_hit")).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast("double") /
+          col("n_shingles").cast("double"))
+  }
 }

@@ -72,6 +72,23 @@ object EngineQueries extends QueryGroup {
       .na.fill(0L)
       .orderBy("date")
 
+  /** Ranking-window family in one pass: ntile, percent_rank, cume_dist,
+    * lag, lead over a totally-ordered window (value ties broken by
+    * event_id so every function is deterministic cross-engine; the rank
+    * fractions are small-int ratios — identical doubles everywhere). */
+  private def rankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").asc, col("event_id").asc)
+    Sources.table(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("ntile4", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .orderBy("event_type", "value", "event_id")
+  }
+
   /** Approximate distinct (HyperLogLog++): the 100 TB cardinality
     * estimator — mergeable sketch, one pass, fixed memory per group, vs
     * exact distinct's Expand+shuffle. HLL++ is hash-based and
@@ -138,6 +155,16 @@ object EngineQueries extends QueryGroup {
         |  COUNT(*) FILTER (event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (event_type = 'view') AS view
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("w_rank_family", rankFamily, Some(
+      """SELECT event_id, event_type, value,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS ntile4,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  lag(value, 1) OVER w AS prev_value,
+        |  lead(value, 1) OVER w AS next_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+        |ORDER BY event_type, value, event_id""".stripMargin)),
     QueryDef("a_approx_distinct", approxDistinct, Some(
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |       TRUE AS approx_within_5pct

@@ -259,6 +259,76 @@ object ExtensionQueries extends QueryGroup {
   private val langScores: String = TextAnalysis.langScoreSql
     .map { case (l, sql) => s"$sql AS score_$l" }.mkString(",\n    ")
 
+  /** PII scrubbing over documents seeded with deterministic synthetic
+    * contacts (derived from doc_id, identically in both engines) so the
+    * regexes face real matches, not only the no-match case. */
+  private def textPiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val seeded = docs(s, dir).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com or +1 555-01"), col("doc_id").cast("string"),
+        lit(".")).as("text"))
+    TextAnalysis.scrubPii(seeded).orderBy("doc_id")
+  }
+
+  private val textPiiScrubOracle: String = {
+    val email = TextAnalysis.emailPattern
+    val phone = TextAnalysis.phonePattern
+    s"""WITH s AS (SELECT doc_id,
+       |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |       || '@example.com or +1 555-01' || CAST(doc_id AS VARCHAR)
+       |       || '.' AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |                 '$phone', '<PHONE>', 'g') AS scrubbed
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  /** Benchmark decontamination: docs 0-24 stand in for an eval set; every
+    * other document reports what fraction of its distinct shingles the
+    * eval set contains. */
+  private def textContamination(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.contamination(
+        d.filter(col("doc_id") >= 25), d.filter(col("doc_id") < 25))
+      .orderBy("doc_id")
+  }
+
+  private val textContaminationOracle: String = dCte + shCte +
+    """, bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 25)
+      |, dsh AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id >= 25)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |       CAST(COUNT(b.shingle) AS BIGINT) AS n_contaminated,
+      |       CAST(COUNT(b.shingle) AS DOUBLE) / COUNT(*) AS contamination
+      |FROM dsh LEFT JOIN bsh b ON dsh.shingle = b.shingle
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Edit-distance verification of LSH candidates — the exact
+    * character-level check (vs the shingle-set Jaccard) on the bounded
+    * candidate set only, never all pairs. */
+  private def dedupEditDist(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val n = d.select(col("doc_id"),
+      TextAnalysis.normalize(col("text")).as("norm"))
+    Dedup.minhashCandidates(d)
+      .join(n.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
+      .join(n.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("na"), col("nb")).as("edit_dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val dedupEditDistOracle: String =
+    dCte + shCte + sigCte + ", cand AS (" + candSql + ")" +
+      """
+        |SELECT c.doc_a, c.doc_b,
+        |       CAST(levenshtein(da.norm, db.norm) AS INTEGER) AS edit_dist
+        |FROM cand c JOIN d da ON da.doc_id = c.doc_a
+        |            JOIN d db ON db.doc_id = c.doc_b
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin
+
   // ---- multimodal ----
 
   private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
@@ -440,6 +510,10 @@ object ExtensionQueries extends QueryGroup {
         |SELECT doc_id, rank, tok, tfidf FROM r
         |WHERE rank <= ${TextAnalysis.TfIdfTopK}
         |ORDER BY doc_id, rank""".stripMargin)),
+    QueryDef("text_pii_scrub", textPiiScrub, Some(textPiiScrubOracle)),
+    QueryDef("text_contamination", textContamination,
+      Some(textContaminationOracle)),
+    QueryDef("dedup_editdist", dedupEditDist, Some(dedupEditDistOracle)),
     QueryDef("multimodal_neardup", multimodalNearDup,
       Some(multimodalNearDupOracle)),
     QueryDef("multimodal_meta", multimodalMeta, Some(
