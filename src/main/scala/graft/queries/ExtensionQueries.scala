@@ -329,6 +329,27 @@ object ExtensionQueries extends QueryGroup {
         |            JOIN d db ON db.doc_id = c.doc_b
         |ORDER BY c.doc_a, c.doc_b""".stripMargin
 
+  /** Deterministic train/val/test assignment per event: every row's split
+    * is a pure function of its id (stable across reruns/engines/cluster
+    * sizes), verified row-by-row against the identical DuckDB bucketing. */
+  private def splitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Splits.assign(
+        Sources.table(s, dir, "events").select("event_id"), "event_id")
+      .orderBy("event_id")
+
+  private val splitAssignOracle: String =
+    """SELECT event_id,
+      |  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      |    AS bucket,
+      |  CASE
+      |    WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+      |         % 100 < 80 THEN 'train'
+      |    WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+      |         % 100 < 90 THEN 'val'
+      |    ELSE 'test'
+      |  END AS split
+      |FROM events ORDER BY event_id""".stripMargin
+
   // ---- multimodal ----
 
   private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
@@ -510,6 +531,7 @@ object ExtensionQueries extends QueryGroup {
         |SELECT doc_id, rank, tok, tfidf FROM r
         |WHERE rank <= ${TextAnalysis.TfIdfTopK}
         |ORDER BY doc_id, rank""".stripMargin)),
+    QueryDef("f_split_assign", splitAssign, Some(splitAssignOracle)),
     QueryDef("text_pii_scrub", textPiiScrub, Some(textPiiScrubOracle)),
     QueryDef("text_contamination", textContamination,
       Some(textContaminationOracle)),

@@ -16,6 +16,9 @@ object StreamingQueries extends QueryGroup {
   private def hourly(s: SparkSession, dir: String): DataFrame =
     StreamingKpis.runAvailableNow(s, dir)
 
+  private def genreStream(s: SparkSession, dir: String): DataFrame =
+    StreamingKpis.runGenreAvailableNow(s, dir)
+
   private def sessions(s: SparkSession, dir: String): DataFrame =
     Sessionize.batch(Sources.table(s, dir, "events"), 30 * 60 * 1000L)
       .orderBy("user_id", "session_no")
@@ -45,6 +48,14 @@ object StreamingQueries extends QueryGroup {
         |       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
         |       event_type, COUNT(*) AS plays
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+    QueryDef("streaming_genre_counts", genreStream, Some(
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
+        |       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+        |       c_mktsegment AS genre, COUNT(*) AS plays
+        |FROM events e JOIN (SELECT c_custkey, c_mktsegment FROM customer
+        |                    WHERE c_acctbal > 5000) c
+        |  ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
     QueryDef("sessionize_batch", sessions, Some(
       """WITH o AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
         |b AS (SELECT user_id, ts_ms,

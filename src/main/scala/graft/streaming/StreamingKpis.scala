@@ -33,23 +33,55 @@ object StreamingKpis {
         hour(col("window.start")).as("hour"),
         col("event_type"), col("plays"))
 
+  /** Stream-STATIC join + windowed aggregation: the enrichment shape the
+    * reference's pipeline would take as a stream — each micro-batch joins
+    * against the (broadcast) dimension snapshot with no state at all on
+    * the dimension side, then windows per (hour, genre). Null-genre rows
+    * (dim misses) drop before aggregation, same as the batch pipeline. */
+  def genreCounts(stream: DataFrame, dim: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .filter(col("c_mktsegment").isNotNull)
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("plays"))
+      .select(
+        col("window.start").cast("date").cast("string").as("date"),
+        hour(col("window.start")).as("hour"),
+        col("c_mktsegment").as("genre"), col("plays"))
+
+  /** [[genreCounts]] over everything currently in `dir` (AvailableNow),
+    * joined to the customer dimension read statically. */
+  def runGenreAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.io.Sources.table(spark, dir, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val q = genreCounts(eventStream(spark, dir), dim).writeStream
+      .format("memory")
+      .queryName("graft_streaming_genre")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_streaming_genre")
+      .orderBy("date", "hour", "genre")
+  }
+
+  /** The events parquet directory as a file-source stream (nanos-ts
+    * rebuild as in graft.io.Sources.table). */
+  private def eventStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw
+  }
+
   /** Run the streaming query over everything currently in `dir` and return
     * the final result table (memory sink, complete mode). */
   def runAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // File sources need an explicit schema; take it from a static read
-    // (ts arrives as epoch-nano long — see graft.io.Sources.table).
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // glob, not a bare file path: the file stream source requires a
-    // directory/glob to monitor.
-    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.*")
-    // Same type guard as Sources.table: only rebuild when ts arrived as
-    // epoch-nano longs; native-timestamp data passes through.
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
-    val q = hourlyCounts(stream).writeStream
+    val q = hourlyCounts(eventStream(spark, dir)).writeStream
       .format("memory")
       .queryName("graft_streaming_hourly")
       .outputMode("complete")
