@@ -27,7 +27,7 @@ import graft.functions.{CosineSimilarityExpr, DotProductExpr}
   */
 object RewriteVectorOps extends Rule[LogicalPlan] {
 
-  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+  private def isVectorArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
     case _ => false
   }
@@ -54,7 +54,7 @@ object RewriteVectorOps extends Rule[LogicalPlan] {
         if zero == 0.0 && isIdentityLambda(finish) &&
           Set(x.exprId, y.exprId) == Set(p1.exprId, p2.exprId) &&
           Set(m1.exprId, m2.exprId) == Set(q1.exprId, q2.exprId) &&
-          isDoubleArray(a) && isDoubleArray(b) =>
+          isVectorArray(a) && isVectorArray(b) =>
         Some((a, b))
       case _ => None
     }

@@ -16,9 +16,7 @@ object EngineQueries extends QueryGroup {
   /** Left-semi join: events whose user exists in the high-balance dim
     * (EXISTS). Broadcast the dim → no fact shuffle, early row elimination. */
   private def semiJoin(s: SparkSession, dir: String): DataFrame = {
-    val dim = Sources.table(s, dir, "customer")
-      .filter(col("c_acctbal") > 5000)
-      .select(col("c_custkey").as("user_id"))
+    val dim = CoreQueries.dimUsers(s, dir).select("user_id")
     Sources.table(s, dir, "events")
       .join(broadcast(dim), Seq("user_id"), "left_semi")
       .select("event_id", "user_id", "event_type")
@@ -28,9 +26,7 @@ object EngineQueries extends QueryGroup {
   /** Left-anti join: events with NO matching high-balance user (NOT
     * EXISTS) — the complement used for orphan detection in ingest QA. */
   private def antiJoin(s: SparkSession, dir: String): DataFrame = {
-    val dim = Sources.table(s, dir, "customer")
-      .filter(col("c_acctbal") > 5000)
-      .select(col("c_custkey").as("user_id"))
+    val dim = CoreQueries.dimUsers(s, dir).select("user_id")
     Sources.table(s, dir, "events")
       .join(broadcast(dim), Seq("user_id"), "left_anti")
       .select("event_id", "user_id", "event_type")

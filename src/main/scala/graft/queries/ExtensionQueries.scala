@@ -338,17 +338,15 @@ object ExtensionQueries extends QueryGroup {
       .orderBy("event_id")
 
   private val splitAssignOracle: String =
-    """SELECT event_id,
+    """WITH b AS (SELECT event_id,
       |  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 100
-      |    AS bucket,
-      |  CASE
-      |    WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
-      |         % 100 < 80 THEN 'train'
-      |    WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
-      |         % 100 < 90 THEN 'val'
-      |    ELSE 'test'
-      |  END AS split
-      |FROM events ORDER BY event_id""".stripMargin
+      |    AS bucket
+      |  FROM events)
+      |SELECT event_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY event_id""".stripMargin
 
   // ---- multimodal ----
 

@@ -53,9 +53,8 @@ object StreamingKpis {
   /** [[genreCounts]] over everything currently in `dir` (AvailableNow),
     * joined to the customer dimension read statically. */
   def runGenreAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    val dim = graft.io.Sources.table(spark, dir, "customer")
-      .filter(col("c_acctbal") > 5000)
-      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val dim = graft.queries.CoreQueries.dimUsers(spark, dir)
+      .select("user_id", "c_mktsegment")
     val q = genreCounts(eventStream(spark, dir), dim).writeStream
       .format("memory")
       .queryName("graft_streaming_genre")

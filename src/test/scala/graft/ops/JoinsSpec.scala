@@ -81,8 +81,7 @@ class JoinsSpec extends SparkSpec {
   test("rangeJoinBucketed matches exact containment across bucket edges") {
     // width 10: intervals straddle bucket boundaries; points sit exactly
     // on lo, hi, boundary multiples, and just outside
-    val points = Seq(0L, 9L, 10L, 15L, 20L, 21L, 100L)
-      .toDF("p").withColumn("pid", col("p"))
+    val points = Seq(0L, 9L, 10L, 15L, 20L, 21L, 100L).toDF("p")
     val intervals = Seq((5L, 20L, "i1"), (10L, 10L, "i2"), (90L, 99L, "i3"))
       .toDF("lo", "hi", "iv")
     val got = Joins.rangeJoinBucketed(points, intervals, "p", "lo", "hi",
