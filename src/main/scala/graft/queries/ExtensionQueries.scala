@@ -307,7 +307,11 @@ object ExtensionQueries extends QueryGroup {
 
   /** Edit-distance verification of LSH candidates — the exact
     * character-level check (vs the shingle-set Jaccard) on the bounded
-    * candidate set only, never all pairs. */
+    * candidate set only, never all pairs. The THRESHOLDED levenshtein
+    * (banded DP, distances above the bound report -1) is the form that
+    * scales: near-dup verification only cares about small distances, and
+    * the band turns O(len²) per pair into O(len·bound). */
+  private val EditDistBound = 100
   private def dedupEditDist(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val n = d.select(col("doc_id"),
@@ -316,15 +320,17 @@ object ExtensionQueries extends QueryGroup {
       .join(n.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
       .join(n.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("na"), col("nb")).as("edit_dist"))
+        levenshtein(col("na"), col("nb"), EditDistBound).as("edit_dist"))
       .orderBy("doc_a", "doc_b")
   }
 
   private val dedupEditDistOracle: String =
     dCte + shCte + sigCte + ", cand AS (" + candSql + ")" +
-      """
+      s"""
         |SELECT c.doc_a, c.doc_b,
-        |       CAST(levenshtein(da.norm, db.norm) AS INTEGER) AS edit_dist
+        |       CAST(CASE WHEN levenshtein(da.norm, db.norm) > $EditDistBound
+        |                 THEN -1 ELSE levenshtein(da.norm, db.norm) END
+        |            AS INTEGER) AS edit_dist
         |FROM cand c JOIN d da ON da.doc_id = c.doc_a
         |            JOIN d db ON db.doc_id = c.doc_b
         |ORDER BY c.doc_a, c.doc_b""".stripMargin
