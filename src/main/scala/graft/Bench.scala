@@ -26,7 +26,7 @@ object Bench {
     // (the reference's one-transform-many-validations shape); the first
     // timed query that touches it pays the cache build, the rest hit it
     try queries.CoreQueries.warmShared(spark, sfDir)
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def runAll(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -17,9 +17,11 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // one materialization of the shared enriched frame for the whole run;
-    // never fatal — queries that don't touch it must still verify
+    // never fatal — queries that don't touch it must still verify.
+    // NonFatal only: an OOM/linkage error must abort the JVM, not cascade
+    // into ~70 misleading per-query failures.
     try queries.CoreQueries.warmShared(spark, sfDir)
-    catch { case e: Throwable =>
+    catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] warmShared failed: ${e.getMessage}")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -44,6 +46,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    queries.CoreQueries.coolShared(spark)
     spark.stop()
   }
 }

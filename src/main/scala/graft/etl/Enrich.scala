@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Stream-enrichment primitives (SURVEY §2.2 P4/P5, §2.4 J1, §2.3 F4).
@@ -8,6 +8,18 @@ import org.apache.spark.sql.functions._
   * shape and the testdata events⟕customer shape.
   */
 object Enrich {
+
+  /** The high-balance customer dimension in its reference mapping
+    * (songs/users stand-in, SURVEY §5.2): c_acctbal > 5000, keyed by
+    * user_id. Shared by every query/stream that joins the dimension —
+    * callers project what they need; column pruning drops the rest.
+    * Lives here (not in the query layer) so streaming and operator code
+    * can use it without depending on the query registry. */
+  def dimUsers(s: SparkSession, dir: String): DataFrame =
+    graft.io.Sources.table(s, dir, "customer")
+      .filter(col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("user_id"), col("c_name"),
+        col("c_mktsegment"), col("c_acctbal"))
 
   /** P4 — coerce a string column to timestamp, null on unparseable values.
     * The reference uses `pd.to_datetime(..., errors="coerce")`

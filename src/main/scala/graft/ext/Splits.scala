@@ -21,13 +21,18 @@ object Splits {
       .cast("long"), lit(100L))
 
   /** Assign train/val/test by hash bucket: [0,trainPct) → train,
-    * [trainPct, trainPct+valPct) → val, rest → test. */
+    * [trainPct, trainPct+valPct) → val, rest → test.
+    *
+    * Null keys are EXCLUDED (same as [[sample]]): a null id has no stable
+    * identity to split on, and letting the null bucket fall through the
+    * when-chain would silently dump every such row into the eval split. */
   def assign(df: DataFrame, keyCol: String, trainPct: Int = 80,
              valPct: Int = 10): DataFrame = {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
     val b = hashBucket(col(keyCol))
-    df.withColumn("bucket", b)
+    df.filter(col(keyCol).isNotNull)
+      .withColumn("bucket", b)
       .withColumn("split",
         when(b < trainPct, lit("train"))
           .when(b < trainPct + valPct, lit("val"))
@@ -35,9 +40,10 @@ object Splits {
   }
 
   /** Stable `pct`% sample: rows whose bucket falls below pct. The same
-    * rows are selected on every run and every engine. */
+    * rows are selected on every run and every engine; null keys are
+    * excluded (consistent with [[assign]]). */
   def sample(df: DataFrame, keyCol: String, pct: Int): DataFrame = {
     require(pct >= 0 && pct <= 100, s"invalid sample pct: $pct")
-    df.filter(hashBucket(col(keyCol)) < pct)
+    df.filter(col(keyCol).isNotNull && hashBucket(col(keyCol)) < pct)
   }
 }

@@ -20,10 +20,10 @@ import org.apache.spark.sql.types._
   * MISMATCHED lengths → null as well, matching the HOF formulation (zip_with
   * null-pads the shorter array and the null poisons the aggregate) — on
   * malformed embedding data a visible NULL beats a silently-truncated finite
-  * score. A null ELEMENT also yields null (the HOF's product chain would) —
-  * required for RewriteVectorOps to be a safe substitution on
-  * containsNull=true columns.
-  */
+  * score. A null ELEMENT also yields null (the HOF's product chain would),
+  * and so does a ZERO-NORM side: cosine is undefined there, and legacy-mode
+  * SQL division by zero is NULL — raw Java NaN would diverge from the HOF
+  * formulation this expression substitutes for (RewriteVectorOps). */
 case class CosineSimilarityExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -68,6 +68,7 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
+    if (na == 0.0 || nb == 0.0) return null
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
@@ -96,8 +97,12 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
          |    $dot += x * y; $na += x * x; $nb += y * y;
          |  }
          |  if (!${ev.isNull}) {
-         |    ${ev.value} = $dot /
-         |      (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    if ($na == 0.0 || $nb == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot /
+         |        (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    }
          |  }
          |}
        """.stripMargin

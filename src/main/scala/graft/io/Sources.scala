@@ -99,9 +99,16 @@ object Sources {
     * Both cases are asserted in PlanSpec. */
   def scatter(df: DataFrame, minPartitions: Int = -1): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
+    // "wide" = genuinely shuffle-partition-wide. A coalesce
+    // (Repartition(shuffle=false)), a partition-local sort, or an
+    // empty-partitionBy window can still sit at 1 partition — those fall
+    // through to the probe+exchange path below.
     val wide = df.queryExecution.analyzed.collectFirst {
-      case p @ (_: Join | _: Aggregate | _: Window | _: Sort | _: Distinct |
-                _: RepartitionOperation | _: Deduplicate) => p
+      case p @ (_: Join | _: Aggregate | _: Distinct | _: Deduplicate |
+                _: RepartitionByExpression) => p
+      case w: Window if w.partitionSpec.nonEmpty => w
+      case s: Sort if s.global => s
+      case r: Repartition if r.shuffle => r
     }.isDefined
     if (wide) df
     else {

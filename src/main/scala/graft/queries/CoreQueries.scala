@@ -27,23 +27,13 @@ object CoreQueries extends QueryGroup {
 
   private def exactSum(c: String) = sum(col(c).cast(dec)).cast("double")
 
-  /** The high-balance customer dimension in its reference mapping
-    * (songs/users stand-in, SURVEY §5.2): c_acctbal > 5000, keyed by
-    * user_id. Shared by every query that joins the dimension — callers
-    * project what they need; column pruning drops the rest. */
-  def dimUsers(s: SparkSession, dir: String): DataFrame =
-    Sources.table(s, dir, "customer")
-      .filter(col("c_acctbal") > 5000)
-      .select(col("c_custkey").as("user_id"), col("c_name"),
-        col("c_mktsegment"), col("c_acctbal"))
-
   /** The shared enriched-events frame (P4/P5 + J1 + dim prefilter), built
     * pure — scan + broadcast join + derivations. Queries stay declarative;
     * [[warmShared]] turns the repeated subplan into a cache hit. */
   def enrichedEvents(s: SparkSession, dir: String): DataFrame =
     Enrich.withDateHour(
       Enrich.leftEnrich(Sources.table(s, dir, "events"),
-        dimUsers(s, dir), "user_id"), "ts")
+        Enrich.dimUsers(s, dir), "user_id"), "ts")
 
   // ~20 named queries start from the enriched frame; like the reference's
   // one-materialization-many-validations shape (and RollupQueries.kpiCache),

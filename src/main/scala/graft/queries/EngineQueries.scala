@@ -16,7 +16,7 @@ object EngineQueries extends QueryGroup {
   /** Left-semi join: events whose user exists in the high-balance dim
     * (EXISTS). Broadcast the dim → no fact shuffle, early row elimination. */
   private def semiJoin(s: SparkSession, dir: String): DataFrame = {
-    val dim = CoreQueries.dimUsers(s, dir).select("user_id")
+    val dim = graft.etl.Enrich.dimUsers(s, dir).select("user_id")
     Sources.table(s, dir, "events")
       .join(broadcast(dim), Seq("user_id"), "left_semi")
       .select("event_id", "user_id", "event_type")
@@ -26,7 +26,7 @@ object EngineQueries extends QueryGroup {
   /** Left-anti join: events with NO matching high-balance user (NOT
     * EXISTS) — the complement used for orphan detection in ingest QA. */
   private def antiJoin(s: SparkSession, dir: String): DataFrame = {
-    val dim = CoreQueries.dimUsers(s, dir).select("user_id")
+    val dim = graft.etl.Enrich.dimUsers(s, dir).select("user_id")
     Sources.table(s, dir, "events")
       .join(broadcast(dim), Seq("user_id"), "left_anti")
       .select("event_id", "user_id", "event_type")
@@ -73,8 +73,10 @@ object EngineQueries extends QueryGroup {
     * event_id so every function is deterministic cross-engine; the rank
     * fractions are small-int ratios — identical doubles everywhere). */
   private def rankFamily(s: SparkSession, dir: String): DataFrame = {
+    // explicit null order on the nullable value column (engine defaults
+    // disagree: Spark ASC = nulls first, DuckDB ASC = nulls last)
     val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value").asc, col("event_id").asc)
+      .orderBy(col("value").asc_nulls_first, col("event_id").asc)
     Sources.table(s, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
       .withColumn("ntile4", ntile(4).over(w))
@@ -82,7 +84,8 @@ object EngineQueries extends QueryGroup {
       .withColumn("cume", cume_dist().over(w))
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .withColumn("next_value", lead(col("value"), 1).over(w))
-      .orderBy("event_type", "value", "event_id")
+      .orderBy(col("event_type"), col("value").asc_nulls_first,
+        col("event_id"))
   }
 
   /** Approximate distinct (HyperLogLog++): the 100 TB cardinality
@@ -159,8 +162,9 @@ object EngineQueries extends QueryGroup {
         |  lag(value, 1) OVER w AS prev_value,
         |  lead(value, 1) OVER w AS next_value
         |FROM events
-        |WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
-        |ORDER BY event_type, value, event_id""".stripMargin)),
+        |WINDOW w AS (PARTITION BY event_type
+        |             ORDER BY value ASC NULLS FIRST, event_id ASC)
+        |ORDER BY event_type, value ASC NULLS FIRST, event_id""".stripMargin)),
     QueryDef("a_approx_distinct", approxDistinct, Some(
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |       TRUE AS approx_within_5pct

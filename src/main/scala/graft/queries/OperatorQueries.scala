@@ -190,7 +190,7 @@ object OperatorQueries extends QueryGroup {
   private def saltedJoin(s: SparkSession, dir: String): DataFrame = {
     val facts = Sources.table(s, dir, "events")
       .select(col("event_id"), col("user_id"))
-    val dim = CoreQueries.dimUsers(s, dir).select("user_id", "c_mktsegment")
+    val dim = graft.etl.Enrich.dimUsers(s, dir).select("user_id", "c_mktsegment")
     Skew.saltedJoin(facts, dim, "user_id", salts = 8)
       .select("event_id", "user_id", "c_mktsegment")
       .orderBy("event_id")

@@ -53,7 +53,7 @@ object StreamingKpis {
   /** [[genreCounts]] over everything currently in `dir` (AvailableNow),
     * joined to the customer dimension read statically. */
   def runGenreAvailableNow(spark: SparkSession, dir: String): DataFrame = {
-    val dim = graft.queries.CoreQueries.dimUsers(spark, dir)
+    val dim = graft.etl.Enrich.dimUsers(spark, dir)
       .select("user_id", "c_mktsegment")
     val q = genreCounts(eventStream(spark, dir), dim).writeStream
       .format("memory")

@@ -38,6 +38,12 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(df.select(VectorFunctions.cosine($"a", $"b")).head().isNullAt(0))
   }
 
+  test("zero-norm vector yields null (legacy SQL divide-by-zero is null)") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine($"a", $"b")).head().isNullAt(0),
+      "undefined cosine must surface as NULL, not NaN")
+  }
+
   test("null ELEMENT yields null in codegen and HOF paths alike") {
     val df = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
       .toDF("a", "b")
