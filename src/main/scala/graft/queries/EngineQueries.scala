@@ -106,6 +106,34 @@ object EngineQueries extends QueryGroup {
           .as("approx_within_5pct"))
       .orderBy("event_type")
 
+  /** Two-pass exact heavy hitters: a Misra-Gries sketch (bounded memory,
+    * map-side mergeable — functions/FrequentItems) proposes ≤ k candidate
+    * values, then one exact pass over just those candidates recovers true
+    * counts, keeping only values above the n/(k+1) guarantee threshold.
+    * MG guarantees the candidate set contains every such value, so the
+    * final answer is EXACT and oracle-checkable — while no stage ever
+    * holds one counter per distinct value, which is what makes the recipe
+    * run on a 100 TB high-cardinality column. The candidate set and the
+    * total stay in the plan (broadcast joins, integer cross-multiply), no
+    * driver-side action. */
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 10
+    val events = Sources.table(s, dir, "events")
+    val sketch = events.select(col("event_type")).as[String]
+      .select(graft.functions.FrequentItems.misraGries(k).name("sk"))
+    val cands = sketch.select(explode(col("sk")).as("c"))
+      .select(col("c._1").as("event_type"))
+    val total = events.agg(count(lit(1)).as("n_total"))
+    events.join(broadcast(cands), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * lit(k + 1) > col("n_total"))
+      .select(col("event_type"), col("cnt"))
+      .orderBy(col("cnt").desc, col("event_type").asc)
+  }
+
   /** Window frame: per-user running play count ordered by time (ROWS
     * UNBOUNDED PRECEDING — the frame spec surface the reference never
     * uses). Tie-broken by event_id for a total order. */
@@ -169,6 +197,11 @@ object EngineQueries extends QueryGroup {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |       TRUE AS approx_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    QueryDef("a_heavy_hitters", heavyHitters, Some(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events GROUP BY event_type
+        |HAVING COUNT(*) * 11 > (SELECT COUNT(*) FROM events)
+        |ORDER BY cnt DESC, event_type ASC""".stripMargin)),
     QueryDef("w_running_total", runningTotal, Some(
       """SELECT user_id, event_id,
         |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC

@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class FrequentItemsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // skewed stream: "hot" 30%, "warm" 15%, the rest spread over 200 values
+  private val n = 10000
+  private val items: Seq[String] = {
+    val r = new scala.util.Random(42)
+    val raw = Seq.fill(3000)("hot") ++ Seq.fill(1500)("warm") ++
+      (0 until (n - 4500)).map(_ => s"cold_${r.nextInt(200)}")
+    r.shuffle(raw)
+  }
+  private val trueCounts = items.groupBy(identity).view.mapValues(_.size.toLong)
+
+  test("MG sketch reports every value above the n/(k+1) threshold") {
+    val k = 20
+    val sketch = items.toDS().repartition(8)
+      .select(FrequentItems.misraGries(k)).head().toMap
+    assert(sketch.size <= k)
+    val threshold = n.toDouble / (k + 1)
+    trueCounts.filter(_._2 > threshold).foreach { case (item, true_) =>
+      assert(sketch.contains(item), s"$item (freq $true_) missing from sketch")
+    }
+    // undercount bound: est <= true <= est + n/(k+1)
+    sketch.foreach { case (item, est) =>
+      val t = trueCounts.getOrElse(item, 0L)
+      assert(est <= t, s"$item overcounted: est $est > true $t")
+      assert(t - est <= threshold, s"$item undercount ${t - est} > $threshold")
+    }
+  }
+
+  test("sketch is deterministic for a fixed partitioning") {
+    val a = items.toDS().repartition(4)
+      .select(FrequentItems.misraGries(10)).head()
+    val b = items.toDS().repartition(4)
+      .select(FrequentItems.misraGries(10)).head()
+    assert(a == b)
+  }
+
+  test("k=1 degenerates to the majority-candidate (Boyer-Moore) element") {
+    val maj = Seq.fill(60)("m") ++ (0 until 40).map(i => s"x$i")
+    val sketch = maj.toDS().coalesce(1)
+      .select(FrequentItems.misraGries(1)).head()
+    assert(sketch.map(_._1) == Seq("m"), sketch.toString)
+  }
+}

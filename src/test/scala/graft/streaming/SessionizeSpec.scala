@@ -147,6 +147,42 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("session_window emits the same sessions in streaming as in batch") {
+    // the point of the native operator: the IDENTICAL groupBy compiles to
+    // an incremental stateful plan on a stream — assert result parity
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val agg = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"w.start".as("start"), $"n_events")
+    val q = agg.writeStream.format("memory")
+      .queryName("graft_native_sessions")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 2's event rides in batch 1: once user 1's +120 event advances
+      // the watermark, a 0-second-delay stream would late-filter it
+      mem.addData(eventRows.take(3) :+ eventRows(5))
+      q.processAllAvailable()
+      mem.addData(eventRows.slice(3, 5))
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts(10000))))
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts(20000))))
+      q.processAllAvailable()
+      val streamed = spark.table("graft_native_sessions")
+        .filter($"user_id" < 90)
+        .as[(Long, Timestamp, Long)].collect().toSet
+      val batch = eventRows.toDF("user_id", "ts")
+        .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", $"w.start".as("start"), $"n_events")
+        .as[(Long, Timestamp, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("out-of-order event in a later batch extends the session backward") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
