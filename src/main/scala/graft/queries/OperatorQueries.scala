@@ -147,6 +147,50 @@ object OperatorQueries extends QueryGroup {
       .orderBy("event_type")
   }
 
+  /** Exact discrete quartiles via row-position selection (the medianDisc
+    * generalization): one window pass yields q1/q2/q3 per group — engine-
+    * independent, unlike interpolating percentile built-ins. Position of
+    * quantile q = floor((cnt-1) * q) + 1 (lower value at ties). */
+  private def quartilesDisc(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type"))
+    val w = byType.orderBy(col("value").asc, col("event_id").asc)
+    val ranked = Sources.table(s, dir, "events")
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(byType))
+    def pick(q: Double, as: String) =
+      max(when(col("rn") === floor((col("cnt") - 1) * q) + 1,
+        col("value"))).as(as)
+    ranked.groupBy(col("event_type"))
+      .agg(pick(0.25, "q1"), pick(0.5, "q2"), pick(0.75, "q3"),
+        max(col("cnt")).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** §2.7 set-op surface over collected arrays: per-user event-type sets,
+    * their intersection/union/difference with a fixed probe set — the
+    * array-function family (collect_set, sort, intersect, union, except)
+    * in one oracle-checked pass. Sorted arrays make results total-ordered
+    * in both engines. */
+  private def arrayOps(s: SparkSession, dir: String): DataFrame = {
+    val probe = array(lit("click"), lit("purchase"))
+    Sources.table(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      .select(col("user_id"),
+        size(col("types")).as("n_types"),
+        // arrays ride out as joined strings: unambiguous to hash-compare
+        // across engines, and the join order is pinned by sort_array
+        array_join(col("types"), ",").as("types_s"),
+        array_join(sort_array(array_intersect(col("types"), probe)), ",")
+          .as("both_s"),
+        array_join(sort_array(array_union(col("types"), probe)), ",")
+          .as("either_s"),
+        array_join(sort_array(array_except(col("types"), probe)), ",")
+          .as("others_s"))
+      .orderBy("user_id")
+  }
+
   /** F2 — per-column null-count scan (the diagnostic the seed script prints;
     * reference: songs_to_rds.py:21-29). */
   private def nullScan(s: SparkSession, dir: String): DataFrame =
@@ -303,6 +347,36 @@ object OperatorQueries extends QueryGroup {
         |       COALESCE(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR),
         |                'Unkown') AS c_acctbal
         |FROM enriched ORDER BY CAST(event_id AS BIGINT)""".stripMargin)),
+    QueryDef("a_quartiles_disc", quartilesDisc, Some(
+      """WITH r AS (SELECT event_type, value, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY value ASC, event_id ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |  FROM events)
+        |SELECT event_type,
+        |  MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.25) AS BIGINT) + 1
+        |           THEN value END) AS q1,
+        |  MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.5) AS BIGINT) + 1
+        |           THEN value END) AS q2,
+        |  MAX(CASE WHEN rn = CAST(floor((cnt - 1) * 0.75) AS BIGINT) + 1
+        |           THEN value END) AS q3,
+        |  CAST(MAX(cnt) AS BIGINT) AS n
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    QueryDef("o_array_ops", arrayOps, Some(
+      """WITH t AS (SELECT user_id,
+        |    list_sort(list(DISTINCT event_type)) AS types
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |  CAST(len(types) AS INTEGER) AS n_types,
+        |  array_to_string(types, ',') AS types_s,
+        |  array_to_string(list_sort(list_intersect(types,
+        |    ['click', 'purchase'])), ',') AS both_s,
+        |  array_to_string(list_sort(list_distinct(list_concat(types,
+        |    ['click', 'purchase']))), ',') AS either_s,
+        |  array_to_string(list_sort(list_filter(types,
+        |    x -> NOT list_contains(['click', 'purchase'], x))), ',')
+        |    AS others_s
+        |FROM t ORDER BY user_id""".stripMargin)),
     QueryDef("a_salted_count", saltedCount, Some(
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
