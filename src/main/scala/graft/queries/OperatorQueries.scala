@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.etl.{Enrich, GenreKpis, HourlyKpis, Skew, Validate}
-import graft.io.Sources
+import graft.io.{Sinks, Sources}
 import CoreQueries.{enrichedEvents, enrichedSql}
 
 /** One named query per remaining SURVEY §2 operator row (the KPI flagships
@@ -240,6 +240,28 @@ object OperatorQueries extends QueryGroup {
       .orderBy("event_id")
   }
 
+  /** Bucketed-table round trip: fact and dim written bucketed+sorted on
+    * the join key, read back through the catalog, joined and aggregated —
+    * the amortized-join storage layout, now data-verified against the
+    * plain parquet join (the zero-exchange plan property is pinned in
+    * ScaleSpec). Table names carry the sf dir so scale factors never read
+    * each other's tables. */
+  private def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val factsT = s"g_events_bkt$suffix"; val dimT = s"g_dim_bkt$suffix"
+    Sinks.bucketedTable(
+      Sources.table(s, dir, "events").select("event_id", "user_id"),
+      factsT, Seq("user_id"), buckets = 16)
+    Sinks.bucketedTable(
+      Enrich.dimUsers(s, dir).select("user_id", "c_mktsegment"),
+      dimT, Seq("user_id"), buckets = 16)
+    s.table(factsT).join(s.table(dimT), Seq("user_id"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("plays"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy("c_mktsegment")
+  }
+
   /** F3 full-parity — stringify-everything fillna, exactly what the
     * reference's pandas does to mixed-type frames (songs_to_rds.py:31).
     * c_acctbal goes through DECIMAL(12,2) first: double→string rendering
@@ -380,6 +402,13 @@ object OperatorQueries extends QueryGroup {
     QueryDef("a_salted_count", saltedCount, Some(
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    QueryDef("j_bucketed_join", bucketedJoin, Some(
+      """SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS plays,
+        |       COUNT(DISTINCT e.user_id) AS users
+        |FROM events e JOIN (SELECT c_custkey, c_mktsegment FROM customer
+        |                    WHERE c_acctbal > 5000) c
+        |  ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("j_salted_join", saltedJoin, Some(
       """SELECT event_id, e.user_id, c.c_mktsegment
         |FROM events e LEFT JOIN
