@@ -36,7 +36,10 @@ object FrequentItems {
           case Some(c) => b.updated(item, c + 1)
           case None if b.size < k => b.updated(item, 1L)
           // full and unseen: decrement every counter (the item "cancels"
-          // one occurrence of each tracked value), dropping zeros
+          // one occurrence of each tracked value), dropping zeros. The
+          // O(k) rebuild here is amortized O(1)/row: each decrement-all
+          // consumes k previously-added count units and total units ≤ n,
+          // so at most n/k such rebuilds happen over the whole stream.
           case None => b.collect { case (i, c) if c > 1 => i -> (c - 1) }
         }
 

@@ -116,9 +116,10 @@ object EngineQueries extends QueryGroup {
     * run on a 100 TB high-cardinality column. The candidate set and the
     * total stay in the plan (broadcast joins, integer cross-multiply), no
     * driver-side action. */
+  private val HeavyHittersK = 10
   private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val k = 10
+    val k = HeavyHittersK
     val events = Sources.table(s, dir, "events")
     val sketch = events.select(col("event_type")).as[String]
       .select(graft.functions.FrequentItems.misraGries(k).name("sk"))
@@ -198,9 +199,9 @@ object EngineQueries extends QueryGroup {
         |       TRUE AS approx_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     QueryDef("a_heavy_hitters", heavyHitters, Some(
-      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+      s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events GROUP BY event_type
-        |HAVING COUNT(*) * 11 > (SELECT COUNT(*) FROM events)
+        |HAVING COUNT(*) * ${HeavyHittersK + 1} > (SELECT COUNT(*) FROM events)
         |ORDER BY cnt DESC, event_type ASC""".stripMargin)),
     QueryDef("w_running_total", runningTotal, Some(
       """SELECT user_id, event_id,

@@ -37,18 +37,7 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("same-bucketed tables join without an exchange") {
-    spark.sql("DROP TABLE IF EXISTS g_bucket_a")
-    spark.sql("DROP TABLE IF EXISTS g_bucket_b")
-    // a crashed prior run can leave the managed location behind after the
-    // metadata is gone — saveAsTable refuses to reuse it
-    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
-      .stripPrefix("file:"))
-    Seq("g_bucket_a", "g_bucket_b").foreach { t =>
-      val d = new java.io.File(wh, t)
-      if (d.exists()) {
-        d.listFiles().foreach(_.delete()); d.delete()
-      }
-    }
+    // stale-location cleanup now lives inside Sinks.bucketedTable
     Sinks.bucketedTable((1L to 1000L).map(i => (i, i * 2)).toDF("id", "x"),
       "g_bucket_a", Seq("id"), buckets = 8)
     Sinks.bucketedTable((1L to 1000L).map(i => (i, i * 3)).toDF("id", "y"),

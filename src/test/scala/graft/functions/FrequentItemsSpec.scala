@@ -32,12 +32,26 @@ class FrequentItemsSpec extends SparkSpec {
     }
   }
 
-  test("sketch is deterministic for a fixed partitioning") {
-    val a = items.toDS().repartition(4)
-      .select(FrequentItems.misraGries(10)).head()
-    val b = items.toDS().repartition(4)
-      .select(FrequentItems.misraGries(10)).head()
-    assert(a == b)
+  test("guarantees hold regardless of partitioning") {
+    // MG merge is not associative, so exact counter values may differ
+    // between partitionings — the CONTRACT (report + undercount bounds)
+    // must hold for every one of them. Exact-value equality across runs
+    // is deliberately NOT asserted (it would depend on shuffle-fetch
+    // order, an environment accident).
+    val threshold = n.toDouble / 11
+    Seq(1, 4, 32).foreach { parts =>
+      val sketch = items.toDS().repartition(parts)
+        .select(FrequentItems.misraGries(10)).head().toMap
+      assert(sketch.size <= 10)
+      trueCounts.filter(_._2 > threshold).foreach { case (item, _) =>
+        assert(sketch.contains(item), s"parts=$parts: $item missing")
+      }
+      sketch.foreach { case (item, est) =>
+        val t = trueCounts.getOrElse(item, 0L)
+        assert(est <= t && t - est <= threshold,
+          s"parts=$parts: $item est=$est true=$t")
+      }
+    }
   }
 
   test("k=1 degenerates to the majority-candidate (Boyer-Moore) element") {
