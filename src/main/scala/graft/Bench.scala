@@ -38,6 +38,9 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
+        // per-query scratch caches (dedup self-join sides) die with the
+        // query — inside the timing, honestly charging release to its owner
+        finally ext.Dedup.releaseScratch()
         name -> (System.nanoTime() - t0) / 1e9
       }
     // Pass 1 (cold) is the headline `value`; pass 2 (warm) strips one-time

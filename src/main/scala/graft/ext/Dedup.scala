@@ -27,6 +27,30 @@ import graft.io.Sources.scatter
   */
 object Dedup {
 
+  // Scratch-cache registry: frames persisted because one query plan consumes
+  // them twice (both sides of a self-join). The persist must outlive the
+  // query's ACTION — which happens after the builder returns — so the
+  // builder can't unpersist; instead each persist registers here and the
+  // runner (Verify/Bench loop, or any long-lived session) calls
+  // [[releaseScratch]] once the action completes. Same lifecycle shape as
+  // CoreQueries.warmShared/coolShared, scoped per-query instead of per-run.
+  private val scratch = scala.collection.concurrent.TrieMap
+    .empty[DataFrame, Unit]
+
+  private def persistScratch(df: DataFrame): DataFrame = {
+    val p = df.persist()
+    scratch.put(p, ()); p
+  }
+
+  /** Unpersist every scratch frame registered by dedup builders. Safe to
+    * call between queries in a long-lived session; one-shot JVMs may skip
+    * it (process exit releases everything). */
+  def releaseScratch(): Unit =
+    scratch.keys.foreach { df =>
+      scratch.remove(df)
+      try df.unpersist() catch { case _: Throwable => () }
+    }
+
   /** Exact duplicate groups: content hash → copies + canonical keeper
     * (min id). `copies > 1` filters to actual dups; emitting all groups keeps
     * the result deterministic and oracle-friendly. */
@@ -172,7 +196,8 @@ object Dedup {
       .groupBy(col(idCol))
       .agg(collect_set(col("gram")).as("grams"))
       .select(col(idCol), col("grams"), size(col("grams")).as("n_grams"))
-      .persist() // consumed twice (doc_a / doc_b sides)
+      .transform(persistScratch) // consumed twice (doc_a / doc_b sides);
+      // released by the runner via releaseScratch() after the action
     pairs
       .join(sets.select(col(idCol).as("doc_a"), col("grams").as("ga"),
         col("n_grams").as("na")), Seq("doc_a"))
@@ -219,7 +244,8 @@ object Dedup {
     * Hamming filter. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
                    maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs, idCol).persist() // self-joined below
+    val sig = persistScratch(simhash(docs, idCol)) // self-joined below;
+    // released by the runner via releaseScratch() after the action
     val banded = sig.select(col(idCol), col("simhash"),
         explode(expr("sequence(0, 3)")).as("byte_i"))
       .withColumn("byte_v", expr("shiftright(simhash, byte_i * 8) & 255"))

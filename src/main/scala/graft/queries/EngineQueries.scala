@@ -117,23 +117,57 @@ object EngineQueries extends QueryGroup {
     * total stay in the plan (broadcast joins, integer cross-multiply), no
     * driver-side action. */
   private val HeavyHittersK = 10
-  private def heavyHitters(s: SparkSession, dir: String): DataFrame = {
+
+  /** The two-pass recipe over any keyed frame: MG sketch proposes ≤ k
+    * candidates, exact pass over just those recovers true counts above
+    * the n/(k+1) bar. Null keys are excluded up front (the sketch is a
+    * Dataset[String] fold and the exact pass an inner equi-join — both
+    * would silently diverge from a SQL GROUP BY's NULL group otherwise;
+    * the oracles filter identically). */
+  private def heavyHittersOver(s: SparkSession, keyed: DataFrame, k: Int)
+      : DataFrame = {
     import s.implicits._
-    val k = HeavyHittersK
-    val events = Sources.table(s, dir, "events")
-    val sketch = events.select(col("event_type")).as[String]
+    val rows = keyed.filter(col("key").isNotNull)
+    val sketch = rows.select(col("key")).as[String]
       .select(graft.functions.FrequentItems.misraGries(k).name("sk"))
     val cands = sketch.select(explode(col("sk")).as("c"))
-      .select(col("c._1").as("event_type"))
-    val total = events.agg(count(lit(1)).as("n_total"))
-    events.join(broadcast(cands), Seq("event_type"))
-      .groupBy(col("event_type"))
+      .select(col("c._1").as("key"))
+    val total = rows.agg(count(lit(1)).as("n_total"))
+    rows.join(broadcast(cands), Seq("key"))
+      .groupBy(col("key"))
       .agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))
       .filter(col("cnt") * lit(k + 1) > col("n_total"))
-      .select(col("event_type"), col("cnt"))
-      .orderBy(col("cnt").desc, col("event_type").asc)
+      .select(col("key"), col("cnt"))
+      .orderBy(col("cnt").desc, col("key").asc)
   }
+
+  private def heavyHitters(s: SparkSession, dir: String): DataFrame =
+    heavyHittersOver(s,
+        Sources.table(s, dir, "events").select(col("event_type").as("key")),
+        HeavyHittersK)
+      .withColumnRenamed("key", "event_type")
+
+  /** Heavy hitters where the sketch actually saturates: the demo column
+    * event_type has 5 distinct values at any sf, so MG with k=10 never
+    * decrements. This variant derives a key with distinct count ≫ k AT
+    * EVERY SCALE — 60% of rows get a per-event unique "cold" key (distinct
+    * ≈ 0.6·n) and 40% split over two "hot" keys (~20% of rows each, safely
+    * above the n/(k+1) = n/11 bar). The sketch holds 10 counters against
+    * thousands of distincts, the decrement path runs constantly, and the
+    * exact second pass still recovers precisely the two hot keys —
+    * the bounded-memory claim demonstrated where it bites
+    * (FrequentItemsSpec asserts distinct ≫ k on this very key). */
+  private def heavyHittersHighCard(s: SparkSession, dir: String): DataFrame =
+    heavyHittersOver(s,
+      Sources.table(s, dir, "events").select(hiCardKey.as("key")),
+      HeavyHittersK)
+
+  /** The derived saturation key (shared with FrequentItemsSpec). */
+  def hiCardKey: org.apache.spark.sql.Column =
+    when(col("user_id") % 5 < 2,
+        concat(lit("hot_"), (col("user_id") % 2).cast("string")))
+      .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
 
   /** Window frame: per-user running play count ordered by time (ROWS
     * UNBOUNDED PRECEDING — the frame spec surface the reference never
@@ -200,9 +234,19 @@ object EngineQueries extends QueryGroup {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     QueryDef("a_heavy_hitters", heavyHitters, Some(
       s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
-        |FROM events GROUP BY event_type
-        |HAVING COUNT(*) * ${HeavyHittersK + 1} > (SELECT COUNT(*) FROM events)
+        |FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+        |HAVING COUNT(*) * ${HeavyHittersK + 1} >
+        |  (SELECT COUNT(*) FROM events WHERE event_type IS NOT NULL)
         |ORDER BY cnt DESC, event_type ASC""".stripMargin)),
+    QueryDef("a_heavy_hitters_hicard", heavyHittersHighCard, Some(
+      s"""WITH keyed AS (SELECT CASE WHEN user_id % 5 < 2
+        |      THEN 'hot_' || CAST(user_id % 2 AS VARCHAR)
+        |      ELSE 'cold_' || CAST(event_id AS VARCHAR) END AS key
+        |    FROM events)
+        |SELECT key, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM keyed GROUP BY key
+        |HAVING COUNT(*) * ${HeavyHittersK + 1} > (SELECT COUNT(*) FROM keyed)
+        |ORDER BY cnt DESC, key ASC""".stripMargin)),
     QueryDef("w_running_total", runningTotal, Some(
       """SELECT user_id, event_id,
         |  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC

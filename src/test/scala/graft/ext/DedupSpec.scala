@@ -53,6 +53,19 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("scratch caches release: two dedup queries leave no persisted RDDs") {
+    Dedup.releaseScratch() // start clean of any earlier tests' scratch
+    val before = sc.getPersistentRDDs.keySet
+    // back-to-back queries through both persist sites, each fully actioned
+    // then released — the long-lived-session lifecycle Verify/Bench use
+    Dedup.ngramJaccard(docs, Dedup.minhashCandidates(docs)).count()
+    Dedup.releaseScratch()
+    Dedup.simhashPairs(docs).count()
+    Dedup.releaseScratch()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"persisted RDDs leaked: $leaked")
+  }
+
   test("embedding near-dup finds identical vectors within a bucket") {
     val emb = Seq(
       (1L, 0, Array(1.0f, 0.0f, 0.0f)),

@@ -1,6 +1,7 @@
 package graft.functions
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class FrequentItemsSpec extends SparkSpec {
   import spark.implicits._
@@ -52,6 +53,24 @@ class FrequentItemsSpec extends SparkSpec {
           s"parts=$parts: $item est=$est true=$t")
       }
     }
+  }
+
+  test("a_heavy_hitters_hicard's key saturates the sketch: distinct >> k") {
+    // the query's own derived key over real events data — the bounded-memory
+    // claim only means something when the sketch can't hold the distincts
+    val k = 10
+    val keyed = graft.io.Sources
+      .table(spark, "/root/testdata/sf0.001", "events")
+      .select(graft.queries.EngineQueries.hiCardKey.as("key"))
+    val distinct = keyed.distinct().count()
+    assert(distinct > 10L * k,
+      s"key distinct count $distinct does not dwarf k=$k")
+    // and the exact two-pass answer is non-empty: the hot keys clear n/(k+1)
+    val n = keyed.count()
+    val hot = keyed.groupBy("key").count()
+      .filter(col("count") * (k + 1) > n).collect()
+    assert(hot.nonEmpty, "no key clears the n/(k+1) bar — demo is vacuous")
+    assert(hot.forall(_.getString(0).startsWith("hot_")))
   }
 
   test("k=1 degenerates to the majority-candidate (Boyer-Moore) element") {
