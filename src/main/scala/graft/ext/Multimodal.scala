@@ -10,13 +10,16 @@ import org.apache.spark.sql.types._
   * feature-extraction runs as a partition-batched map over the binary
   * column.
   *
-  * The decode step itself is STUBBED (this environment ships no codec
-  * libraries): [[decodeStub]] produces deterministic fake features derived
-  * from the bytes. The Spark-side plumbing — schema shape, binary transport,
-  * per-partition batching, feature-column output — is the real, tested part;
-  * a production deployment swaps `fakeDecode` for a JNI/codec call without
-  * touching the plan shape. (The reference has no media path at all; this is
-  * a north-star extension per BASELINE.json.)
+  * IMAGES decode for real: [[decodeImages]] runs JDK `javax.imageio`
+  * (PNG/JPEG, zero external codecs) inside the mapPartitions boundary —
+  * actual raster width/height, features average-pooled from actual pixels.
+  * Audio/video stay behind the STUB boundary ([[decodeStub]]: deterministic
+  * fake features from the bytes — this environment ships no a/v codecs); a
+  * production deployment swaps `fakeDecode` for a JNI/codec call without
+  * touching the plan shape. Both decoders share one output schema, so
+  * everything downstream (resize plan, frame sampling, the feature→ANN
+  * chain) is agnostic to which produced the frame. (The reference has no
+  * media path at all; this is a north-star extension per BASELINE.json.)
   *
   * Scale notes: payload bytes stay columnar parquet-binary end to end; the
   * decoder is a narrow mapPartitions (no shuffle); metadata-only queries
@@ -81,6 +84,117 @@ object Multimodal {
         rows.map { r =>
           fakeDecode(r.getLong(0), r.getString(1),
             r.getAs[Array[Byte]]("content"))
+        }
+      }(enc)
+  }
+
+  /** Deterministic synthetic PNG: 8 vertical bands of solid grayscale.
+    * cellW = (seed%4+1)·2 → width = 8·cellW ∈ {16,32,48,64};
+    * height = seed%6+4; band i's gray value =
+    * ((seed²+1)·(i³+7) + seed·91 + i·41) % 256 — NONLINEAR in the band
+    * index on purpose: an affine-in-i rule makes every seed's 8-vector
+    * near-collinear (all cross-seed cosines ≈ 1), which would trivialize
+    * the near-dup fixture; the cubic mix decorrelates seeds (measured max
+    * cross-seed cosine ≈ 0.9986 over 50 seeds).
+    * PNG is lossless and equal-RGB grays survive decode untouched, so a
+    * real decoder recovers every band value EXACTLY — which is what lets
+    * an external oracle predict pixel-derived features arithmetically. */
+  def syntheticPng(seed: Long): Array[Byte] = {
+    val s = java.lang.Math.floorMod(seed, 256L * 256L) // keep the rule total
+    val cellW = ((s % 4) + 1).toInt * 2
+    val width = 8 * cellW
+    val height = ((s % 6) + 4).toInt
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < width) {
+      val i = x / cellW
+      val g = (((s * s + 1) * (i * i * i + 7) + s * 91 + i * 41) % 256).toInt
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < height) { img.setRGB(x, y, rgb); y += 1 }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** A media table of synthetic PNGs, one per id row, generated executor-
+    * side (mapPartitions — the same boundary a fetch-from-blob-store fills
+    * in production), then wrapped by [[asMedia]]. `seedMod > 0` collapses
+    * seeds mod that value, making ids that share a residue carry IDENTICAL
+    * images — the near-duplicate fixture knob. */
+  def syntheticImageMedia(ids: DataFrame, idCol: String = "doc_id",
+                          seedMod: Long = 0L): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("png", BinaryType)))
+    val enc = RowEncoder.encoderFor(schema)
+    val raw = graft.io.Sources
+      .scatter(ids.select(col(idCol).cast("long").as("media_id")))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val seed = if (seedMod > 0) java.lang.Math.floorMod(id, seedMod)
+                     else id
+          Row(id, syntheticPng(seed))
+        }
+      }(enc)
+    asMedia(raw, "media_id", "png", "image")
+  }
+
+  /** REAL image decode — JDK `javax.imageio`, no external codecs. PNG/JPEG
+    * bytes → actual raster width/height plus an 8-dim feature vector: mean
+    * luminance ((r+g+b)/3) over 8 vertical bands with floor boundaries
+    * (band i spans columns [i·w/8, (i+1)·w/8)). Uniform-gray bands make
+    * the mean an exact small integer — bit-reproducible through float, so
+    * pixel-derived features can feed the oracle-checked ANN path exactly
+    * like the stub's. Undecodable or null payloads yield a null-metadata
+    * row, never an exception: one corrupt object must not kill a 100 TB
+    * scan (the caller filters or routes them to quarantine). Stills have
+    * n_frames = 1. */
+  def decodeImages(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedSchema)
+    graft.io.Sources.scatter(media.select("media_id", "modality", "content"))
+      .mapPartitions { rows =>
+        // in-memory ImageIO (the default temp-FILE cache would put a disk
+        // write+read inside the per-row hot loop)
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val id = r.getLong(0); val modality = r.getString(1)
+          val bytes = r.getAs[Array[Byte]]("content")
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              // NonFatal, not just IOException: codec plugins throw
+              // unchecked exceptions on malformed containers too
+              catch { case scala.util.control.NonFatal(_) => null }
+          if (img == null) Row(id, modality, null, null, null, null)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            val feats = new Array[Float](8)
+            var band = 0
+            while (band < 8) {
+              val x0 = band * w / 8; val x1 = (band + 1) * w / 8
+              var sum = 0.0d; var n = 0
+              var x = x0
+              while (x < x1) {
+                var y = 0
+                while (y < h) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                    (rgb & 0xff)) / 3.0d
+                  n += 1; y += 1
+                }
+                x += 1
+              }
+              feats(band) = if (n == 0) 0f else (sum / n).toFloat
+              band += 1
+            }
+            Row(id, modality, w, h, 1, feats.toSeq)
+          }
         }
       }(enc)
   }

@@ -400,12 +400,13 @@ object ExtensionQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
-  private val multimodalNearDupOracle: String = {
+  /** Shared DuckDB twin of Similarity.nearDupLsh(threshold=0.98, dims=8):
+    * caller supplies the feature CTE (`f(media_id, v DOUBLE[8])`); the tail
+    * replicates banded sign-LSH with the hyperplane constants embedded as
+    * literals, then the exact rounded-cosine filter on candidates. */
+  private def nearDupLshOracle(fCte: String): String = {
     val tables = 4; val b = 8; val dims = 8
     val planes = Similarity.planeWeights(tables * b, dims)
-    val bytes = (0 until 8).map(i =>
-      s"('0x'||substr(md5(text), ${2 * i + 1}, 2))::BIGINT::DOUBLE")
-      .mkString("[", ",\n     ", "]")
     val sigSelects = (0 until tables).map { t =>
       val bits = (0 until b).map { j =>
         val w = planes(t * b + j).mkString("[", ",", "]")
@@ -414,10 +415,7 @@ object ExtensionQueries extends QueryGroup {
       }.mkString(" + ")
       s"SELECT media_id, $t AS tbl, $bits AS sig, v FROM f"
     }.mkString("\nUNION ALL\n")
-    s"""WITH f AS (SELECT doc_id AS media_id,
-       |  $bytes AS v
-       | FROM documents)
-       |""".stripMargin +
+    fCte +
       s""", sig AS (\n$sigSelects)
          |, cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
          |  FROM sig a JOIN sig b
@@ -427,6 +425,84 @@ object ExtensionQueries extends QueryGroup {
          |  FROM cand c JOIN f fa ON fa.media_id = c.id_a
          |              JOIN f fb ON fb.media_id = c.id_b)
          |WHERE cosine >= 0.98 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private val multimodalNearDupOracle: String = {
+    val bytes = (0 until 8).map(i =>
+      s"('0x'||substr(md5(text), ${2 * i + 1}, 2))::BIGINT::DOUBLE")
+      .mkString("[", ",\n     ", "]")
+    nearDupLshOracle(
+      s"""WITH f AS (SELECT doc_id AS media_id,
+         |  $bytes AS v
+         | FROM documents)
+         |""".stripMargin)
+  }
+
+  /** The pixel-feature twin: band i of the synthetic PNG for seed
+    * s = doc_id % 50 has gray ((s²+1)·(i³+7) + s·91 + i·41) % 256, and
+    * ImageIO decode + average pooling recovers exactly that integer
+    * (Multimodal.syntheticPng scaladoc) — so the oracle derives the REAL
+    * decoder's features arithmetically. */
+  private val multimodalNearDupPxOracle: String = {
+    val feats = (0 until 8).map { i =>
+      val ci = i * i * i + 7
+      s"CAST((((doc_id % 50) * (doc_id % 50) + 1) * $ci" +
+        s" + (doc_id % 50) * 91 + ${i * 41}) % 256 AS DOUBLE)"
+    }.mkString("[", ",\n     ", "]")
+    nearDupLshOracle(
+      s"""WITH f AS (SELECT doc_id AS media_id,
+         |  $feats AS v
+         | FROM documents)
+         |""".stripMargin)
+  }
+
+  /** REAL decode end-to-end: synthetic PNGs generated executor-side, decoded
+    * by JDK ImageIO — width/height read from the actual raster, features
+    * pooled from actual pixels. The oracle predicts every output value
+    * arithmetically from the generation rule, so a hash match IS proof the
+    * decode is real: reproducing these numbers from the bytes requires
+    * being a PNG decoder. */
+  private def multimodalDecodeImage(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.ext.Multimodal.syntheticImageMedia(
+      docs(s, dir).select("doc_id"), "doc_id")
+    graft.ext.Multimodal.decodeImages(media)
+      .select(Seq(col("media_id"), col("width"), col("height"),
+        col("n_frames")) ++
+        (0 until 8).map(i =>
+          element_at(col("feature"), i + 1).cast("int").as(s"f$i")): _*)
+      .orderBy("media_id")
+  }
+
+  private val multimodalDecodeImageOracle: String = {
+    val feats = (0 until 8).map { i =>
+      val ci = i * i * i + 7
+      s"CAST(((doc_id * doc_id + 1) * $ci + doc_id * 91 + ${i * 41}) % 256" +
+        s" AS INTEGER) AS f$i"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id AS media_id,
+       |  CAST(((doc_id % 4) + 1) * 16 AS INTEGER) AS width,
+       |  CAST((doc_id % 6) + 4 AS INTEGER) AS height,
+       |  CAST(1 AS INTEGER) AS n_frames,
+       |  $feats
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
+  /** decode→ANN chain on PIXEL-derived features: ids sharing doc_id % 50
+    * carry identical PNGs, so their decoded vectors are identical and the
+    * banded sign-LSH + cosine≥0.98 path must surface them (plus any
+    * genuinely near cross-seed vectors — the oracle replicates the exact
+    * candidate set and filter). */
+  private def multimodalNearDupPx(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.ext.Multimodal.syntheticImageMedia(
+      docs(s, dir).select("doc_id"), "doc_id", seedMod = 50L)
+    // lazy localCheckpoint as in multimodalNearDup: nearDupLsh consumes the
+    // features three times; without it the decode re-runs per consumer
+    val feats = graft.ext.Multimodal.decodeImages(media)
+      .select(col("media_id"), col("feature"))
+      .localCheckpoint(false)
+    Similarity.nearDupLsh(feats,
+        threshold = 0.98, idCol = "media_id", vecCol = "feature", dims = 8)
+      .orderBy("id_a", "id_b")
   }
 
   override val defs: Seq[QueryDef] = Seq(
@@ -542,6 +618,10 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("dedup_editdist", dedupEditDist, Some(dedupEditDistOracle)),
     QueryDef("multimodal_neardup", multimodalNearDup,
       Some(multimodalNearDupOracle)),
+    QueryDef("multimodal_decode_image", multimodalDecodeImage,
+      Some(multimodalDecodeImageOracle)),
+    QueryDef("multimodal_neardup_px", multimodalNearDupPx,
+      Some(multimodalNearDupPxOracle)),
     QueryDef("multimodal_meta", multimodalMeta, Some(
       """SELECT doc_id AS media_id, 'text' AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,

@@ -63,6 +63,47 @@ class TextAndMultimodalSpec extends SparkSpec {
       again.map(_.toString).sorted))
   }
 
+  test("real ImageIO decode: PNG round trip recovers the generation rule") {
+    // encode → decode entirely through the public surface, off-Spark first:
+    // the PNG writer and ImageIO reader must agree on every pixel
+    for (seed <- Seq(0L, 1L, 7L, 49L, 255L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticPng(seed)))
+      assert(img.getWidth == ((seed % 4) + 1) * 16)
+      assert(img.getHeight == (seed % 6) + 4)
+    }
+    // and through the Spark boundary: widths/heights/features exactly the
+    // arithmetic the oracle predicts
+    val ids = (0L until 20L).toDF("doc_id")
+    val decoded = Multimodal.decodeImages(
+        Multimodal.syntheticImageMedia(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L until 20L).foreach { id =>
+      val r = decoded(id)
+      assert(r.getAs[Int]("width") == ((id % 4) + 1) * 16)
+      assert(r.getAs[Int]("height") == (id % 6) + 4)
+      assert(r.getAs[Int]("n_frames") == 1)
+      val f = r.getSeq[Float](r.fieldIndex("feature"))
+      (0 until 8).foreach { i =>
+        val expected = ((id * id + 1) * (i * i * i + 7) + id * 91 + i * 41) % 256
+        assert(f(i) == expected.toFloat, s"id=$id band=$i got ${f(i)}")
+      }
+    }
+  }
+
+  test("real decode: corrupt and null payloads yield null-metadata rows") {
+    val junk = Seq(
+      (1L, "image", "not a png at all".getBytes("UTF-8")),
+      (2L, "image", null.asInstanceOf[Array[Byte]]),
+      (3L, "image", Multimodal.syntheticPng(3L)),
+    ).toDF("media_id", "modality", "content")
+    val out = Multimodal.decodeImages(junk).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(out(1L).fieldIndex("width")))
+    assert(out(2L).isNullAt(out(2L).fieldIndex("width")))
+    assert(out(3L).getAs[Int]("width") == 64) // seed 3 → cellW 8
+  }
+
   test("streaming hourly counts equal the batch aggregation") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingKpis.runAvailableNow(spark, dir)
