@@ -19,6 +19,9 @@ object StreamingQueries extends QueryGroup {
   private def genreStream(s: SparkSession, dir: String): DataFrame =
     StreamingKpis.runGenreAvailableNow(s, dir)
 
+  private def attribution(s: SparkSession, dir: String): DataFrame =
+    StreamingKpis.runAttributionAvailableNow(s, dir)
+
   private def sessions(s: SparkSession, dir: String): DataFrame =
     Sessionize.batch(Sources.table(s, dir, "events"), 30 * 60 * 1000L)
       .orderBy("user_id", "session_no")
@@ -56,6 +59,15 @@ object StreamingQueries extends QueryGroup {
         |                    WHERE c_acctbal > 5000) c
         |  ON e.user_id = c.c_custkey
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+    QueryDef("streaming_click_attribution", attribution, Some(
+      """SELECT i.user_id,
+        |       'camp_' || CAST(i.event_id % 5 AS VARCHAR) AS campaign,
+        |       epoch_ms(i.ts) AS imp_ts_ms, epoch_ms(c.ts) AS click_ts_ms
+        |FROM events i JOIN events c
+        |  ON i.user_id = c.user_id
+        | AND i.event_type = 'view' AND c.event_type = 'click'
+        | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2, 3, 4""".stripMargin)),
     QueryDef("sessionize_batch", sessions, Some(
       """WITH o AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
         |b AS (SELECT user_id, ts_ms,

@@ -66,6 +66,36 @@ object StreamingKpis {
       .orderBy("date", "hour", "genre")
   }
 
+  /** Stream-STREAM interval join over everything currently in `dir`
+    * (AvailableNow): view events become impressions (campaign derived
+    * deterministically from event_id), click events become clicks, each
+    * click attributed to impressions within 30 minutes
+    * ([[StreamJoin.attributeClicks]]). Both sides carry event-time
+    * watermarks so join state stays prunable; append mode emits each
+    * match exactly once. Timestamps return as epoch millis (the
+    * cross-engine-stable rendering). */
+  def runAttributionAvailableNow(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val ev = eventStream(spark, dir)
+    val imps = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"),
+        concat(lit("camp_"), (col("event_id") % 5).cast("string"))
+          .as("campaign"))
+      .withWatermark("ts", "2 hours")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+      .withWatermark("ts", "2 hours")
+    val q = StreamJoin.attributeClicks(imps, clicks, 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("graft_streaming_attrib")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("graft_streaming_attrib")
+      .select(col("user_id"), col("campaign"),
+        unix_millis(col("imp_ts")).as("imp_ts_ms"),
+        unix_millis(col("click_ts")).as("click_ts_ms"))
+      .orderBy("user_id", "campaign", "imp_ts_ms", "click_ts_ms")
+  }
+
   /** The events parquet directory as a file-source stream (nanos-ts
     * rebuild as in graft.io.Sources.table). */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
