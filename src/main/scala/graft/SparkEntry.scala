@@ -19,6 +19,7 @@ object SparkEntry {
     StreamingQueries,
     EngineQueries,
     OpsQueries,
+    TrainingQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)

@@ -46,4 +46,23 @@ object Splits {
     require(pct >= 0 && pct <= 100, s"invalid sample pct: $pct")
     df.filter(col(keyCol).isNotNull && hashBucket(col(keyCol)) < pct)
   }
+
+  /** Stratified deterministic sampling: each stratum keeps its own
+    * percentage — the downsample-the-commons move every training-data mix
+    * makes (keep all rare purchases, thin the view firehose). Same
+    * hash-bucket mechanism as [[sample]], so the kept set is stable under
+    * reruns, engines, and data growth; one narrow codegen'd filter, no
+    * shuffle, no rand(). Strata absent from `pcts` keep `defaultPct`;
+    * null stratum values keep defaultPct too (bucketing is on the KEY,
+    * which is non-null by the filter). */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+                       pcts: Map[String, Int],
+                       defaultPct: Int = 100): DataFrame = {
+    (defaultPct +: pcts.values.toSeq).foreach(p =>
+      require(p >= 0 && p <= 100, s"invalid sample pct: $p"))
+    val pctExpr = pcts.foldLeft(lit(defaultPct)) { case (acc, (stratum, p)) =>
+      when(col(stratumCol) === stratum, lit(p)).otherwise(acc)
+    }
+    df.filter(col(keyCol).isNotNull && hashBucket(col(keyCol)) < pctExpr)
+  }
 }

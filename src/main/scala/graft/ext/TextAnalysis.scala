@@ -205,6 +205,37 @@ object TextAnalysis {
     * to MBs) → broadcast, so the corpus side is one shingle pass + one
     * aggregation and never shuffles against the benchmark. Exact distinct
     * shingles per doc via the same charShingles the dedup path uses. */
+  /** Gopher-style intra-document repetition signals: the share of a doc's
+    * word n-grams that are duplicates of another gram in the SAME doc, and
+    * the share its single most frequent n-gram occupies — the standard
+    * looping-text / boilerplate detectors a pretraining quality gate runs.
+    * Docs with fewer than n tokens have no gram and are excluded (the
+    * caller treats absence as "cannot score", same as wordNgrams).
+    *
+    * Scale: one (doc, gram) aggregation then one per-doc rollup — both
+    * partial-aggregated map-side; gram rows never join anything. Ratios
+    * are single divisions of exact integers (identical doubles in any
+    * engine). */
+  def repetition(docs: DataFrame, idCol: String = "doc_id", n: Int = 3)
+      : DataFrame =
+    scatter(docs.select(col(idCol),
+        tokens(normalize(col("text"))).as("toks")))
+      .filter(size(col("toks")) >= n)
+      .select(col(idCol),
+        explode(expr(s"transform(sequence(1, size(toks) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $n)))")).as("gram"))
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col(idCol), col("n_grams"),
+        ((col("n_grams") - col("n_distinct")).cast("double") /
+          col("n_grams")).as("dup_gram_ratio"),
+        (col("top_cnt").cast("double") / col("n_grams"))
+          .as("top_gram_ratio"))
+
   def contamination(corpus: DataFrame, benchmark: DataFrame,
                     idCol: String = "doc_id", k: Int = 8, stride: Int = 4)
       : DataFrame = {

@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Packing, Splits, TextAnalysis}
+import graft.io.Sources
+
+/** Training-data pipeline operators beyond the round-2 surface: sequence
+  * packing layout, stratified deterministic sampling, intra-doc repetition
+  * scoring, and the mergeable-sketch percentile path — each oracle-checked.
+  */
+object TrainingQueries extends QueryGroup {
+
+  private val PackBudget = 512
+  private val PackShards = 8
+
+  /** GPT-style packing layout (ext/Packing): which training sequences each
+    * document occupies after per-shard concat-and-chunk at a 512-token
+    * budget. */
+  private def packSequences(s: SparkSession, dir: String): DataFrame =
+    Packing.packPlan(Sources.table(s, dir, "documents"),
+        budget = PackBudget, shards = PackShards)
+      .orderBy("doc_id")
+
+  private val packSequencesOracle: String =
+    s"""WITH d AS (SELECT doc_id,
+       |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents)
+       |, t AS (SELECT doc_id, doc_id % $PackShards AS shard,
+       |        len(string_split(norm, ' ')) AS n_tokens FROM d)
+       |, c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard
+       |          ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+       |SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(floor((cum - n_tokens) / $PackBudget) AS BIGINT) AS seq_first,
+       |  CAST(floor((cum - 1) / $PackBudget) AS BIGINT) AS seq_last,
+       |  CAST(floor((cum - 1) / $PackBudget)
+       |     - floor((cum - n_tokens) / $PackBudget) + 1 AS BIGINT) AS n_seqs
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Stratified deterministic sampling over events: keep every rare
+    * purchase, thin the common views — per-stratum hash-bucket keep
+    * percentages (ext/Splits.stratifiedSample). */
+  private val StratPcts = Map("purchase" -> 100, "click" -> 40, "view" -> 10)
+  private val StratDefault = 25
+  private def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Splits.stratifiedSample(Sources.table(s, dir, "events"),
+        keyCol = "event_id", stratumCol = "event_type",
+        pcts = StratPcts, defaultPct = StratDefault)
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+
+  private val stratifiedSampleOracle: String = {
+    val arms = StratPcts.toSeq.sortBy(_._1).map { case (k, p) =>
+      s"WHEN '$k' THEN $p"
+    }.mkString(" ")
+    s"""SELECT event_id, user_id, event_type FROM events
+       |WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+       |        % 100
+       |  < CASE event_type $arms ELSE $StratDefault END
+       |ORDER BY event_id""".stripMargin
+  }
+
+  /** Intra-doc repetition signals (TextAnalysis.repetition): duplicate
+    * 3-gram share and top-gram share per document. */
+  private def textRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetition(Sources.table(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  private val textRepetitionOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |, g AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+      |        FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM d)
+      |        WHERE len(toks) >= 3))
+      |, gc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g
+      |         GROUP BY doc_id, gram)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+      |  CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_gram_ratio,
+      |  CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_gram_ratio
+      |FROM gc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Approximate percentiles with the bound AS DATA (the a_approx_distinct
+    * pattern): approx_percentile is the mergeable-sketch quantile path —
+    * fixed memory per group, one pass, vs exact percentiles' per-group
+    * sort. The sketch's rank-error guarantee (1/accuracy = 1e-4 here) is
+    * verified in-plan: the approximate p50/p95 must land between the exact
+    * quantiles at q ± 0.02; DuckDB asserts the same rows with literal
+    * TRUE, so the row hash-matches iff the sketch held its bound.
+    * (Contract: value is non-null — an all-null group would yield a null
+    * comparison, not TRUE.) */
+  private def approxPercentile(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("value")).as("n_values"),
+        expr("approx_percentile(value, 0.5, 10000)")
+          .between(expr("percentile(value, 0.48)"),
+            expr("percentile(value, 0.52)"))
+          .as("p50_within_rank_bound"),
+        expr("approx_percentile(value, 0.95, 10000)")
+          .between(expr("percentile(value, 0.93)"),
+            expr("percentile(value, 0.97)"))
+          .as("p95_within_rank_bound"))
+      .orderBy("event_type")
+
+  private val approxPercentileOracle: String =
+    """SELECT event_type, COUNT(value) AS n_values,
+      |       TRUE AS p50_within_rank_bound, TRUE AS p95_within_rank_bound
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
+    QueryDef("f_stratified_sample", stratifiedSample,
+      Some(stratifiedSampleOracle)),
+    QueryDef("text_repetition", textRepetition, Some(textRepetitionOracle)),
+    QueryDef("a_approx_percentile", approxPercentile,
+      Some(approxPercentileOracle)),
+  )
+}

@@ -29,6 +29,28 @@ class SplitsSpec extends SparkSpec {
     assert(math.abs(counts("test") - 200L) < 60, counts.toString)
   }
 
+  test("stratifiedSample keeps per-stratum hash buckets; default for the rest") {
+    val events = ids.withColumn("kind",
+      element_at(array(lit("view"), lit("click"), lit("purchase"), lit("other")),
+        (col("id") % 4 + 1).cast("int")))
+    val pcts = Map("purchase" -> 100, "view" -> 10)
+    val kept = Splits.stratifiedSample(events, "id", "kind", pcts, defaultPct = 30)
+      .select("id", "kind").as[(Long, String)].collect()
+    val buckets = Splits.assign(ids, "id").select("id", "bucket")
+      .as[(Long, Long)].collect().toMap
+    val all = events.select("id", "kind").as[(Long, String)].collect()
+    val expected = all.filter { case (id, kind) =>
+      buckets(id) < pcts.getOrElse(kind, 30)
+    }
+    assert(kept.sortBy(_._1).toSeq == expected.sortBy(_._1).toSeq)
+    // pct=100 stratum is kept in full
+    assert(kept.count(_._2 == "purchase") == all.count(_._2 == "purchase"))
+    // deterministic: rerun returns identical rows
+    val again = Splits.stratifiedSample(events, "id", "kind", pcts, 30)
+      .select("id", "kind").as[(Long, String)].collect()
+    assert(again.sortBy(_._1).toSeq == kept.sortBy(_._1).toSeq)
+  }
+
   test("sample(pct) selects exactly the rows below the bucket threshold") {
     val sampled = Splits.sample(ids, "id", 10).as[Long].collect().toSet
     val buckets = Splits.assign(ids, "id").select("id", "bucket")

@@ -47,6 +47,21 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(fps(1L) == fps(2L)) // normalization folds case/whitespace
   }
 
+  test("repetition: dup-gram and top-gram ratios match hand computation") {
+    val reps = Seq(
+      (1L, "a b a b a b"),   // 3-grams: aba, bab, aba, bab -> dup 0.5, top 0.5
+      (2L, "x y z w"),       // xyz, yzw -> dup 0, top 0.5
+      (3L, "too short"),     // < 3 tokens: excluded
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetition(reps).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Double]("dup_gram_ratio"),
+          r.getAs[Double]("top_gram_ratio")))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((4L, 0.5, 0.5)))
+    assert(out(2L) == ((2L, 0.0, 0.5)))
+  }
+
   test("multimodal: metadata + stub decode plumbing") {
     val media = Multimodal.asMedia(docs, "doc_id", "text", "text")
     assert(media.columns.toSeq ==
