@@ -44,20 +44,22 @@ object Sinks {
     * Overwrite is made idempotent ACROSS JVMs: a fresh in-memory catalog
     * does not know about a previous process's table, but its managed
     * LOCATION survives on disk and saveAsTable refuses to reuse it
-    * (LOCATION_ALREADY_EXISTS) — so any stale location is dropped first. */
+    * (LOCATION_ALREADY_EXISTS) — so any stale location is dropped first.
+    * The location comes from the catalog itself (recorded location when the
+    * table exists, the catalog's defaultTablePath otherwise), so non-default
+    * warehouse layouts and non-local warehouse URIs are handled; deletion
+    * goes through the Hadoop FileSystem for the same reason. Qualified
+    * (`db.tbl`) or path-like names are rejected rather than guessed at. */
   def bucketedTable(df: DataFrame, name: String, bucketCols: Seq[String],
                     buckets: Int = 64): Unit = {
+    require(!name.contains(".") && !name.contains("/") && !name.contains("\\"),
+      s"bucketedTable takes a simple table name in the current database, got: $name")
     val spark = df.sparkSession
+    val loc = org.apache.spark.sql.GraftShims.tableLocation(spark, name)
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    val wh = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
-    val loc = new java.io.File(wh, name.toLowerCase)
-    if (loc.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(loc)
-    }
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)

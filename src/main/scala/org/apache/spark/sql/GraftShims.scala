@@ -9,4 +9,16 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Where `name`'s data lives (or would live): the catalog's recorded
+    * location when the table exists, else the path the catalog would assign
+    * to it — the directory a managed table from a PREVIOUS process left
+    * behind even though the current in-memory catalog has no entry for it.
+    * `sessionState` is private[sql], hence this shim. */
+  def tableLocation(spark: SparkSession, name: String): java.net.URI = {
+    val ss = spark.asInstanceOf[classic.SparkSession].sessionState
+    val id = ss.sqlParser.parseTableIdentifier(name)
+    if (ss.catalog.tableExists(id)) ss.catalog.getTableMetadata(id).location
+    else ss.catalog.defaultTablePath(id)
+  }
 }
