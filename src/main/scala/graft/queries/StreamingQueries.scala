@@ -22,6 +22,12 @@ object StreamingQueries extends QueryGroup {
   private def attribution(s: SparkSession, dir: String): DataFrame =
     StreamingKpis.runAttributionAvailableNow(s, dir)
 
+  private def streamDedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamDedup.runAvailableNow(s, dir)
+
+  private def upsertReplay(s: SparkSession, dir: String): DataFrame =
+    StreamingKpis.runUpsertReplayAvailableNow(s, dir)
+
   private def sessions(s: SparkSession, dir: String): DataFrame =
     Sessionize.batch(Sources.table(s, dir, "events"), 30 * 60 * 1000L)
       .orderBy("user_id", "session_no")
@@ -68,6 +74,13 @@ object StreamingQueries extends QueryGroup {
         | AND i.event_type = 'view' AND c.event_type = 'click'
         | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 30 MINUTE
         |ORDER BY 1, 2, 3, 4""".stripMargin)),
+    QueryDef("streaming_dedup_hashes", streamDedup, Some(
+      """SELECT DISTINCT md5(text) AS content_hash FROM documents
+        |ORDER BY content_hash""".stripMargin)),
+    QueryDef("streaming_upsert_replay", upsertReplay, Some(
+      """SELECT user_id, epoch_ms(max(ts)) AS last_ts_ms,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
     QueryDef("sessionize_batch", sessions, Some(
       """WITH o AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
         |b AS (SELECT user_id, ts_ms,

@@ -96,6 +96,47 @@ object StreamingKpis {
       .orderBy("user_id", "campaign", "imp_ts_ms", "click_ts_ms")
   }
 
+  /** Replay-safe streaming upsert, end to end: the events stream feeds
+    * foreachBatch → [[graft.io.Sinks.upsertParquet]] (key = user_id,
+    * version = last event time), and the WHOLE stream is then run a second
+    * time against the same target — the crash/replay scenario where a sink
+    * without keyed versioning duplicates (the reference's Redshift COPY
+    * bug, SURVEY §2.11-2). Keep-newest-per-key makes the second delivery a
+    * no-op, so the final state equals one clean aggregation of the input —
+    * which is what the DuckDB oracle computes. AvailableNow over the
+    * single-file source delivers one micro-batch containing the full
+    * table, so the per-batch aggregate is the full aggregate; at scale the
+    * same shape runs per micro-batch with the batch's own partial
+    * aggregates as updates. */
+  def runUpsertReplayAvailableNow(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val target = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_upsert_replay").toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(target))
+    def runOnce(): Unit = {
+      val q = eventStream(spark, dir).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val updates = batch.groupBy("user_id")
+            .agg(max(col("ts")).as("last_ts"),
+              count(lit(1)).as("n_events"))
+          graft.io.Sinks.upsertParquet(updates, target,
+            keys = Seq("user_id"), versionCol = "last_ts")
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    runOnce() // replay: identical delivery must leave the state unchanged
+    spark.read.parquet(target)
+      .select(col("user_id"), unix_millis(col("last_ts")).as("last_ts_ms"),
+        col("n_events"))
+      .orderBy("user_id")
+  }
+
   /** The events parquet directory as a file-source stream (nanos-ts
     * rebuild as in graft.io.Sources.table). */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
