@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Packing, Splits, TextAnalysis}
+import graft.ext.{Packing, Pretrain, Splits, TextAnalysis}
 import graft.io.Sources
 
 /** Training-data pipeline operators beyond the round-2 surface: sequence
@@ -112,7 +112,46 @@ object TrainingQueries extends QueryGroup {
       |       TRUE AS p50_within_rank_bound, TRUE AS p95_within_rank_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The composed curation pipeline (ext/Pretrain): quality gate →
+    * language filter → exact dedup keep-min → split assignment, one scan
+    * and one exchange end-to-end; the oracle composes the per-stage SQL
+    * the individual queries already verify. */
+  private def pipelinePretrain(s: SparkSession, dir: String): DataFrame =
+    Pretrain.curate(Sources.table(s, dir, "documents"))
+      .orderBy("doc_id")
+
+  private val pipelinePretrainOracle: String = {
+    val langScores = TextAnalysis.langScoreSql
+      .map { case (l, sql) => s"$sql AS score_$l" }.mkString(",\n    ")
+    val enStop = TextAnalysis.langScoreSql.find(_._1 == "en").get._2
+    s"""WITH d AS (SELECT doc_id,
+       |  trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents)
+       |, q AS (SELECT doc_id, norm,
+       |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+       |    $enStop AS stop_hits,
+       |    $langScores
+       |  FROM d)
+       |, gated AS (SELECT doc_id, norm, n_tokens FROM q
+       |    WHERE n_tokens >= 10
+       |      AND least(n_tokens / 100.0, 1.0) * 0.5
+       |        + least(stop_hits / n_tokens * 5.0, 1.0) * 0.5 >= 0.5
+       |      AND (${TextAnalysis.langCaseSql}) = 'en')
+       |, dd AS (SELECT doc_id, n_tokens,
+       |    MIN(doc_id) OVER (PARTITION BY md5(norm)) AS keep_id FROM gated)
+       |SELECT doc_id, n_tokens,
+       |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, n_tokens,
+       |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |          % 100 AS b
+       |      FROM dd WHERE doc_id = keep_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("pipeline_pretrain", pipelinePretrain,
+      Some(pipelinePretrainOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("f_stratified_sample", stratifiedSample,
       Some(stratifiedSampleOracle)),

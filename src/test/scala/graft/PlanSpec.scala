@@ -59,6 +59,18 @@ class PlanSpec extends SparkSpec {
     assert(df.collect().toSeq === parity)
   }
 
+  test("pretraining pipeline fuses to one hash exchange and no join") {
+    val p = plan(graft.ext.Pretrain.curate(
+      graft.io.Sources.table(spark, dir, "documents")))
+    // gates + signals + split fuse into the scan-side map; the only hash
+    // exchange is the exact-dedup window on content_hash (scatter's
+    // round-robin, if present, is not a hash exchange)
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected exactly 1 hash exchange (dedup window), got $hashExchanges:\n$p")
+    assert(!p.contains("Join"), s"composition must not join stages:\n$p")
+  }
+
   test("scatter adds an exchange for an under-partitioned source") {
     import graft.io.Sources
     // testdata parquet is single-row-group → one scan partition → scatter
