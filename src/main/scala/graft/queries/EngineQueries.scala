@@ -183,7 +183,77 @@ object EngineQueries extends QueryGroup {
       .orderBy("user_id", "event_id")
   }
 
+  /** Explicit GROUPING SETS — the grain combination ROLLUP/CUBE cannot
+    * express: per-type subtotals AND per-date subtotals, no cross grain,
+    * no grand total. Still one Expand-based pass / single shuffle;
+    * grouping_id() tags which set each row came from. */
+  private def groupingSetsQ(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .select(col("event_type"), to_date(col("ts")).cast("string").as("date"))
+      .groupingSets(Seq(Seq(col("event_type")), Seq(col("date"))),
+        col("event_type"), col("date"))
+      .agg(count(lit(1)).as("plays"), grouping_id().cast("long").as("gid"))
+      .select("event_type", "date", "plays", "gid")
+      .orderBy(col("gid").asc, col("event_type").asc_nulls_first,
+        col("date").asc_nulls_first)
+
+  /** unpivot (melt): the four lineitem measures wide→long in ONE Expand
+    * pass — the inverse of pivot, vs the 4-scan UNION ALL formulation the
+    * oracle uses (at 100 TB, 1 scan vs 4 is the point; all measures are
+    * already DOUBLE so no unifying cast is needed). */
+  private def unpivotMeasures(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  /** Relational INTERSECT/EXCEPT (distinct set semantics): the audience
+    * in BOTH the click and purchase sets, and the click-only remainder,
+    * tagged in one result. Both ops hash-aggregate to distinct keys
+    * before comparing — no row-level join of the full fact table. */
+  private def setOps(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.table(s, dir, "events")
+    def ids(t: String) =
+      ev.filter(col("event_type") === t).select("user_id")
+    ids("click").intersect(ids("purchase"))
+      .withColumn("set_op", lit("both"))
+      .unionByName(ids("click").except(ids("purchase"))
+        .withColumn("set_op", lit("click_only")))
+      .orderBy("set_op", "user_id")
+  }
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("a_grouping_sets", groupingSetsQ, Some(
+      """WITH e AS (SELECT event_type,
+        |             CAST(CAST(ts AS DATE) AS VARCHAR) AS date FROM events)
+        |SELECT event_type, date, COUNT(*) AS plays,
+        |       CAST(2 * GROUPING(event_type) + GROUPING(date) AS BIGINT)
+        |         AS gid
+        |FROM e GROUP BY GROUPING SETS ((event_type), (date))
+        |ORDER BY gid ASC, event_type ASC NULLS FIRST, date ASC NULLS FIRST"""
+        .stripMargin)),
+    QueryDef("p_unpivot_measures", unpivotMeasures, Some(
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |       l_quantity AS val FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+        |       l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+        |       l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+        |       l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+    QueryDef("o_set_ops", setOps, Some(
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, 'both' AS set_op
+        |FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        |UNION ALL
+        |SELECT user_id, 'click_only' AS set_op
+        |FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        |ORDER BY set_op, user_id""".stripMargin)),
     QueryDef("j_semi_join", semiJoin, Some(
       """SELECT event_id, user_id, event_type FROM events e
         |WHERE EXISTS (SELECT 1 FROM customer c
