@@ -287,7 +287,77 @@ object OperatorQueries extends QueryGroup {
           .select("event_id", "c_name", "c_mktsegment", "c_acctbal"))
       .orderBy(col("event_id").cast("long"))
 
+  /** Semi-structured extraction from the JSON props column, both ways:
+    * the schemaless path (get_json_object, per-access parse) and the
+    * typed path (from_json to a struct: ONE codegen'd parse, then
+    * ordinary column pruning — the form to batch several extractions at
+    * scale). Both must agree with the oracle's json_extract. */
+  private def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .withColumn("parsed", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+        col("parsed.k").as("k_typed"))
+      .orderBy("event_id")
+
+  /** Statistical aggregate surface: Pearson correlation per return flag.
+    * Cross-engine float parity for one-pass corr() is not guaranteed
+    * (different update formulas), so the oracle-checkable value is
+    * derived from DECIMAL-exact sums via the textbook formula — identical
+    * arithmetic in both engines — rounded to 6 dp to wash out the
+    * decimal→double 1-ulp edge at >2^53. Each engine then checks ITS OWN
+    * corr() builtin against that exact value in-plan (the bound-as-data
+    * pattern), so the row hash-matches iff both builtins agree with the
+    * exact formula. */
+  private def corrStats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    val agg = Sources.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast("decimal(18,2)")).as("sx"),
+        sum(y.cast("decimal(18,2)")).as("sy"),
+        sum((x * y).cast("decimal(28,4)")).as("sxy"),
+        sum((x * x).cast("decimal(28,4)")).as("sxx"),
+        sum((y * y).cast("decimal(28,4)")).as("syy"),
+        corr(x, y).as("corr_builtin"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val exact = num / sqrt(dx * dy)
+    agg.select(col("l_returnflag"), col("n"),
+        round(exact, 6).as("corr_exact"),
+        (abs(col("corr_builtin") - exact) < lit(1e-6))
+          .as("builtin_matches_exact"))
+      .orderBy("l_returnflag")
+  }
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("a_corr_exact", corrStats, Some(
+      """WITH a AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS sxy,
+        |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS sxx,
+        |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4)))
+        |      AS syy,
+        |    corr(l_quantity, l_extendedprice) AS corr_builtin
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS corr_exact,
+        |  abs(corr_builtin - CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |         * CAST(n * syy - sy * sy AS DOUBLE))) < 1e-6
+        |    AS builtin_matches_exact
+        |FROM a ORDER BY l_returnflag""".stripMargin)),
+    QueryDef("p_json_extract", jsonExtract, Some(
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_path,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_typed
+        |FROM events ORDER BY event_id""".stripMargin)),
     QueryDef("s1_input_probe", inputProbe, Some(
       "SELECT COUNT(*) > 0 AS has_input FROM events")),
     QueryDef("s2_o5_union_scan", unionScan, Some(
