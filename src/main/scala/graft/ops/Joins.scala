@@ -37,7 +37,24 @@ object Joins {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
-               strict: Boolean = false): DataFrame = {
+               strict: Boolean = false): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, strict, forward = false)
+
+  /** Forward as-of join: the EARLIEST right row whose time is ≥ (or >
+    * when `strict`) the left row's time, per key — pandas
+    * merge_asof(direction='forward'). Same union + keyed window shape and
+    * scale properties as [[asofJoin]], mirrored: the carry runs over
+    * ROWS CURRENT..UNBOUNDED FOLLOWING with first(_, ignoreNulls), and
+    * the tie-break tags flip so an inclusive forward as-of sees a right
+    * row at the exact same time while a strict one does not. */
+  def asofJoinForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftTime: String, rightTime: String,
+                      strict: Boolean = false): DataFrame =
+    asofImpl(left, right, keys, leftTime, rightTime, strict, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keys: Seq[String],
+                       leftTime: String, rightTime: String,
+                       strict: Boolean, forward: Boolean): DataFrame = {
     // Same-type times are REQUIRED, not coerced: an implicit cast would
     // either throw per-row under ANSI or (legacy) turn malformed values
     // into nulls that sort first and leak payload onto earlier left rows.
@@ -52,9 +69,13 @@ object Joins {
     val payloadStruct = org.apache.spark.sql.types.StructType(
       right.schema.fields.filter(f => payload.contains(f.name)).toSeq)
 
-    // At equal times an inclusive as-of must see the right row (right
-    // sorts first), a strict one must not (left sorts first).
-    val (rightTag, leftTag) = if (strict) (1, 0) else (0, 1)
+    // At equal times an inclusive as-of must see the right row, a strict
+    // one must not. Backward carries from earlier rows (right sorts first
+    // to be seen), forward from later rows (right sorts last to be seen) —
+    // strictness flips each.
+    val (rightTag, leftTag) =
+      if (forward) { if (strict) (0, 1) else (1, 0) }
+      else { if (strict) (1, 0) else (0, 1) }
 
     val l2 = left.select(
       keys.map(col) ++
@@ -74,13 +95,19 @@ object Joins {
       .filter(keys.map(col(_).isNotNull).reduceOption(_ && _)
         .getOrElse(lit(true)) && col("_gt").isNotNull)
 
-    val w = Window.partitionBy(keys.map(col): _*)
+    val wBase = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_gt").asc, col("_gs").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, carry) =
+      if (forward)
+        (wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("_gp"), ignoreNulls = true))
+      else
+        (wBase.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("_gp"), ignoreNulls = true))
 
     l2.unionByName(r2)
       .select(keys.map(col) ++ Seq(col("_gs")) ++ leftOther.map(col) :+
-        last(col("_gp"), ignoreNulls = true).over(w).as("_gp"): _*)
+        carry.over(w).as("_gp"): _*)
       .filter(col("_gs") === leftTag)
       .select(keys.map(col) ++ leftOther.map(col) ++
         payload.map(c => col(s"_gp.$c").as(c)): _*)

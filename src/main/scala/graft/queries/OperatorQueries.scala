@@ -332,7 +332,49 @@ object OperatorQueries extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
+  /** RANGE window frame over event time (vs w_running_total's ROWS
+    * frame): each event's count of same-user events in the trailing hour.
+    * The frame is VALUE-bounded, so ties in the order column all join the
+    * frame — deterministic under any tie order, and the form time-decayed
+    * features/telemetry use at scale (state = one sorted partition pass,
+    * same single exchange as any keyed window). */
+  private def rangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    Sources.table(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .select("user_id", "event_id", "n_last_hour")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Interpolated percentiles (percentile_cont semantics): exact one-pass
+    * per-group sort, linear interpolation at p·(n−1) — both engines use
+    * the same definition; 6 dp rounding washes interpolation float noise.
+    * The sketch-based scale path is a_approx_percentile; this is the
+    * exact small-group twin. */
+  private def percentileCont(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.25)"), 6).as("p25"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.75)"), 6).as("p75"))
+      .orderBy("event_type")
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("w_range_frame", rangeFrame, Some(
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |    RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_last_hour
+        |FROM events ORDER BY user_id, event_id""".stripMargin)),
+    QueryDef("a_percentile_cont", percentileCont, Some(
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.50), 6) AS p50,
+        |  round(quantile_cont(value, 0.75), 6) AS p75
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     QueryDef("a_corr_exact", corrStats, Some(
       """WITH a AS (SELECT l_returnflag,
         |    CAST(COUNT(*) AS BIGINT) AS n,

@@ -45,6 +45,41 @@ object OpsQueries extends QueryGroup {
       |  ON l.o_custkey = r.o_custkey AND l.d > r.prev_order_date
       |ORDER BY l.o_orderkey""".stripMargin
 
+  /** Forward as-of: for each order, the customer's NEXT order at-or-after
+    * the same date (inclusive — a same-day order matches). DuckDB's ASOF
+    * is backward-only, so the oracle negates the time axis (max(-t) ≤ -t₀
+    * ⇔ min(t) ≥ t₀) — an exact reduction, not an approximation. */
+  private def asofNextOrder(s: SparkSession, dir: String): DataFrame = {
+    val o = Sources.table(s, dir, "orders")
+    val left = o.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").cast("date").as("d"))
+    val right = o.groupBy(col("o_custkey"),
+        col("o_orderdate").cast("date").as("next_order_date"))
+      .agg(max(col("o_orderkey")).as("next_order_key"))
+    Joins.asofJoinForward(left, right, Seq("o_custkey"),
+        leftTime = "d", rightTime = "next_order_date")
+      .select(col("o_orderkey"),
+        col("next_order_date").cast("string").as("next_order_date"),
+        col("next_order_key"))
+      .orderBy("o_orderkey")
+  }
+
+  private val asofNextOrderOracle: String =
+    """WITH r AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS next_order_date,
+      |                  MAX(o_orderkey) AS next_order_key
+      |           FROM orders GROUP BY 1, 2),
+      |rn AS (SELECT o_custkey, next_order_date, next_order_key,
+      |              -(next_order_date - DATE '1970-01-01') AS nd FROM r),
+      |l AS (SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d,
+      |             -(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS nd
+      |      FROM orders)
+      |SELECT l.o_orderkey,
+      |       CAST(rn.next_order_date AS VARCHAR) AS next_order_date,
+      |       rn.next_order_key
+      |FROM l ASOF LEFT JOIN rn
+      |  ON l.o_custkey = rn.o_custkey AND l.nd >= rn.nd
+      |ORDER BY l.o_orderkey""".stripMargin
+
   /** Keyed range join: line items shipped within 90 days of their order's
     * date, counted per order. Point/interval domain = epoch days. */
   private def rangeShipWindow(s: SparkSession, dir: String): DataFrame = {
@@ -97,6 +132,7 @@ object OpsQueries extends QueryGroup {
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("j_asof_prev_order", asofPrevOrder, Some(asofPrevOrderOracle)),
+    QueryDef("j_asof_next_order", asofNextOrder, Some(asofNextOrderOracle)),
     QueryDef("j_range_ship_window", rangeShipWindow,
       Some(rangeShipWindowOracle)),
     QueryDef("j_range_price_bands", rangePriceBands,

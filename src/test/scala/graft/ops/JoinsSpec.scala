@@ -21,6 +21,22 @@ class JoinsSpec extends SparkSpec {
     assert(strict == Seq((10L, None, None), (20L, Some(15L), Some("b"))))
   }
 
+  test("asofJoinForward picks the earliest later row; tie semantics mirror") {
+    val left = Seq((1L, 10L), (1L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 10L, "a"), (1L, 15L, "b")).toDF("k", "rt", "v")
+    val incl = Joins.asofJoinForward(left, right, Seq("k"), "t", "rt")
+      .orderBy("t").select("t", "rt", "v")
+      .as[(Long, Option[Long], Option[String])].collect().toSeq
+    // t=10 matches the equal-time row inclusively, t=20 has nothing later
+    assert(incl == Seq((10L, Some(10L), Some("a")), (20L, None, None)))
+    val strict = Joins.asofJoinForward(left, right, Seq("k"), "t", "rt",
+        strict = true)
+      .orderBy("t").select("t", "rt", "v")
+      .as[(Long, Option[Long], Option[String])].collect().toSeq
+    // t=10 must skip the equal-time row and land on the next one
+    assert(strict == Seq((10L, Some(15L), Some("b")), (20L, None, None)))
+  }
+
   test("asofJoin leaves unmatched and unmatchable rows null") {
     val left = Seq((1L, 5L), (2L, 50L)).toDF("k", "t")
     val right = Seq((1L, 10L, "late"), (3L, 1L, "other_key"))
