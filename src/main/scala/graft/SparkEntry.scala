@@ -20,6 +20,7 @@ object SparkEntry {
     EngineQueries,
     OpsQueries,
     TrainingQueries,
+    AnalyticsQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)

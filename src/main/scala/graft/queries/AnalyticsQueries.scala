@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Time-series analytics operators: gap filling with carry-forward and
+  * ordered funnel analysis — the product-analytics surface a streaming
+  * warehouse serves, expressed in the shapes that survive 100 TB.
+  */
+object AnalyticsQueries extends QueryGroup {
+
+  /** Gap-filled daily activity per user: a dense day scaffold between each
+    * user's first and last active day, 0-filled event counts, and
+    * carry-forward (LOCF) of the last observed daily max value.
+    *
+    * Scale: the scaffold is GENERATED DISTRIBUTED — sequence() + explode
+    * per user, never a driver-side calendar join; span and daily rows
+    * partition by the same user key, so the join and the carry-forward
+    * window reuse one partitioning. Dense output is bounded by
+    * users × span-days, not events. */
+  private def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Sources.table(s, dir, "events")
+      .select(col("user_id"),
+        datediff(col("ts").cast("date"), lit("1970-01-01"))
+          .cast("long").as("d"),
+        col("value"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+    val scaffold = daily.groupBy(col("user_id"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    scaffold.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        last(col("mx"), ignoreNulls = true).over(w).as("filled_max"))
+      .orderBy("user_id", "d")
+  }
+
+  private val gapFillOracle: String =
+    """WITH daily AS (SELECT user_id,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS n, MAX(value) AS mx
+      |  FROM events GROUP BY 1, 2),
+      |span AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1
+      |         FROM daily GROUP BY 1),
+      |scaffold AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS d FROM span)
+      |SELECT s.user_id, s.d, COALESCE(daily.n, 0) AS n_events,
+      |  last_value(daily.mx IGNORE NULLS) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.d) AS filled_max
+      |FROM scaffold s LEFT JOIN daily
+      |  ON s.user_id = daily.user_id AND s.d = daily.d
+      |ORDER BY s.user_id, s.d""".stripMargin
+
+  /** Ordered funnel per user: earliest view, earliest click at-or-after
+    * that view, earliest purchase at-or-after that click — strictly
+    * sequence-respecting (a purchase before the qualifying click does not
+    * count).
+    *
+    * Single scan: running conditional minima over the same (user, time)
+    * window chain the stages — no self-joins, and both windows plus the
+    * final aggregation share ONE user-keyed exchange. Frames are
+    * value-bounded (RANGE), so same-millisecond ties behave identically
+    * in any engine. Timestamps out as epoch ms. */
+  private def funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Sources.table(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts_ms"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" &&
+          col("t_view").isNotNull, col("ts_ms"))).over(w))
+      .withColumn("t_purchase",
+        when(col("event_type") === "purchase" &&
+          col("t_click").isNotNull, col("ts_ms")))
+      .groupBy(col("user_id"))
+      .agg(min(col("t_view")).as("first_view_ms"),
+        min(col("t_click")).as("first_click_ms"),
+        min(col("t_purchase")).as("first_purchase_ms"))
+      .orderBy("user_id")
+  }
+
+  private val funnelOracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms
+      |           FROM events),
+      |s1 AS (SELECT *,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts_ms END) OVER (
+      |      PARTITION BY user_id ORDER BY ts_ms
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_view
+      |  FROM e),
+      |s2 AS (SELECT *,
+      |    MIN(CASE WHEN event_type = 'click' AND t_view IS NOT NULL
+      |             THEN ts_ms END) OVER (
+      |      PARTITION BY user_id ORDER BY ts_ms
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS t_click
+      |  FROM s1)
+      |SELECT user_id, MIN(t_view) AS first_view_ms,
+      |  MIN(t_click) AS first_click_ms,
+      |  MIN(CASE WHEN event_type = 'purchase' AND t_click IS NOT NULL
+      |           THEN ts_ms END) AS first_purchase_ms
+      |FROM s2 GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_gap_fill", gapFill, Some(gapFillOracle)),
+    QueryDef("f_funnel_stages", funnel, Some(funnelOracle)),
+  )
+}
