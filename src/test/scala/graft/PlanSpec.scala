@@ -71,6 +71,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"composition must not join stages:\n$p")
   }
 
+  test("funnel: both windows and the final aggregate share one exchange") {
+    val p = plan(SparkEntry.queries("f_funnel_stages")(spark, dir))
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges == 1,
+      s"expected 1 user-keyed exchange for window chain + agg, got $hashExchanges:\n$p")
+  }
+
   test("scatter adds an exchange for an under-partitioned source") {
     import graft.io.Sources
     // testdata parquet is single-row-group → one scan partition → scatter
