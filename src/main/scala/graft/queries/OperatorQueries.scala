@@ -293,7 +293,10 @@ object OperatorQueries extends QueryGroup {
     * ordinary column pruning — the form to batch several extractions at
     * scale). Both must agree with the oracle's json_extract. */
   private def jsonExtract(s: SparkSession, dir: String): DataFrame =
-    Sources.table(s, dir, "events")
+    // scatter: the single-row-group source would otherwise parse all JSON
+    // in ONE task (two parses per row are the CPU cost here)
+    Sources.scatter(Sources.table(s, dir, "events")
+        .select(col("event_id"), col("props")))
       .withColumn("parsed", from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
       .select(col("event_id"),
