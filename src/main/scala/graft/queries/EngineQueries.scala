@@ -225,7 +225,53 @@ object EngineQueries extends QueryGroup {
       .orderBy("set_op", "user_id")
   }
 
+  /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicities
+    * matter — a user with 3 clicks and 1 purchase appears once in the
+    * intersection and twice in the difference. The dedup-free semantics
+    * audiences/attribution actually need; still hash-based, no sort. */
+  private def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.table(s, dir, "events")
+    def ids(t: String) =
+      ev.filter(col("event_type") === t).select("user_id")
+    ids("click").intersectAll(ids("purchase"))
+      .withColumn("set_op", lit("both_all"))
+      .unionByName(ids("click").exceptAll(ids("purchase"))
+        .withColumn("set_op", lit("click_minus_purchase")))
+      .orderBy("set_op", "user_id")
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the NULL
+    * group joins to itself instead of silently dropping — the semantics
+    * a dimension with an "unknown" bucket needs. A plain equi-join on
+    * the same inputs would lose the null row on both sides. */
+  private def nullsafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Sources.table(s, dir, "events")
+      .select(when(col("event_type") === "error", lit(null))
+        .otherwise(col("event_type")).as("k"))
+    val a = e.groupBy(col("k")).agg(count(lit(1)).as("n_a"))
+    val b = e.groupBy(col("k")).agg(count(lit(1)).as("n_b"))
+    a.join(b, a("k") <=> b("k"))
+      .select(a("k").as("k"), col("n_a"), col("n_b"))
+      .orderBy(col("k").asc_nulls_first)
+  }
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("o_set_ops_all", setOpsAll, Some(
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |     p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, 'both_all' AS set_op
+        |FROM (SELECT user_id FROM c INTERSECT ALL SELECT user_id FROM p)
+        |UNION ALL
+        |SELECT user_id, 'click_minus_purchase' AS set_op
+        |FROM (SELECT user_id FROM c EXCEPT ALL SELECT user_id FROM p)
+        |ORDER BY set_op, user_id""".stripMargin)),
+    QueryDef("j_nullsafe_eq", nullsafeJoin, Some(
+      """WITH e AS (SELECT CASE WHEN event_type = 'error' THEN NULL
+        |                  ELSE event_type END AS k FROM events),
+        |a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_a FROM e GROUP BY k),
+        |b AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_b FROM e GROUP BY k)
+        |SELECT a.k, n_a, n_b FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY a.k ASC NULLS FIRST""".stripMargin)),
     QueryDef("a_grouping_sets", groupingSetsQ, Some(
       """WITH e AS (SELECT event_type,
         |             CAST(CAST(ts AS DATE) AS VARCHAR) AS date FROM events)

@@ -300,7 +300,10 @@ object OperatorQueries extends QueryGroup {
       .withColumn("parsed", from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k LONG")))
       .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k_path"),
+        // try_cast, not cast: under ANSI a single wrong-typed value would
+        // fail the whole scan; malformed input must degrade to null per
+        // row (JsonSpec pins this, incl. the ANSI trap)
+        get_json_object(col("props"), "$.k").try_cast("long").as("k_path"),
         col("parsed.k").as("k_typed"))
       .orderBy("event_id")
 
