@@ -200,6 +200,31 @@ object ExtensionQueries extends QueryGroup {
          |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** The SQL-function surface end-to-end: `cosine_similarity` is the
+    * codegen'd native expression registered by GraftExtensions (temp-
+    * registry path here; the spark.sql.extensions hook is spec-covered),
+    * invoked from SQL text exactly as a pure-SQL user would — no Column
+    * API in the query. Consecutive-vector pairs, 4 dp contract. */
+  private def sqlCosine(s: SparkSession, dir: String): DataFrame = {
+    graft.GraftExtensions.register(s)
+    emb(s, dir).selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+      .createOrReplaceTempView("graft_emb_sql")
+    s.sql("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |       round(cosine_similarity(a.v, b.v), 4) AS cosine
+            |FROM graft_emb_sql a JOIN graft_emb_sql b
+            |  ON b.vec_id = a.vec_id + 1
+            |WHERE a.vec_id < 50
+            |ORDER BY id_a""".stripMargin)
+  }
+
+  private val sqlCosineOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       ${cosSql("a.v", "b.v")} AS cosine
+       |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+       |WHERE a.vec_id < 50
+       |ORDER BY id_a""".stripMargin
+
   private def simNearDupLsh(s: SparkSession, dir: String): DataFrame =
     // dims passed explicitly (matching the oracle's 64): no driver-side
     // first-row probe runs during plan construction on this path.
@@ -558,6 +583,7 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("dedup_clusters", dedupClusters, Some(clustersOracle)),
     QueryDef("dedup_apply", dedupApply, Some(dedupApplyOracle)),
     QueryDef("sim_neardup_lsh", simNearDupLsh, Some(nearDupLshOracle)),
+    QueryDef("f_sql_cosine", sqlCosine, Some(sqlCosineOracle)),
     QueryDef("sim_bruteforce_topk", simBruteForce, Some(topkOracle(false))),
     QueryDef("sim_ivf_topk", simIvf, Some(topkOracle(true))),
     QueryDef("text_token_stats", textTokens, Some(dCte +
