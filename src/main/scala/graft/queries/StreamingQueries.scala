@@ -74,6 +74,10 @@ object StreamingQueries extends QueryGroup {
         | AND i.event_type = 'view' AND c.event_type = 'click'
         | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 30 MINUTE
         |ORDER BY 1, 2, 3, 4""".stripMargin)),
+    QueryDef("streaming_running_totals",
+      (s, dir) => graft.streaming.RunningCounts.runAvailableNow(s, dir), Some(
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
     QueryDef("streaming_dedup_hashes", streamDedup, Some(
       """SELECT DISTINCT md5(text) AS content_hash FROM documents
         |ORDER BY content_hash""".stripMargin)),

@@ -46,4 +46,32 @@ object RunningCounts {
     keys.groupByKey(identity)
       .transformWithState(new Processor, TimeMode.None(), OutputMode.Update())
   }
+
+  /** [[runningTotals]] over everything currently in `dir`'s events table
+    * (AvailableNow): the single delivered batch makes each key's one
+    * update-mode emission its full total, so the result must equal a
+    * plain per-user batch count — the DuckDB twin. Cross-batch
+    * accumulation is RunningCountsSpec's job; this entry data-checks the
+    * operator (and the RocksDB provider path) on real data. */
+  def runAvailableNow(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+      val users = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+        .select(col("user_id")).as[Long]
+      val q = runningTotals(users)
+        .writeStream.format("memory").queryName("graft_tws_totals")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table("graft_tws_totals").orderBy("user_id")
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
 }
