@@ -21,6 +21,7 @@ object SparkEntry {
     OpsQueries,
     TrainingQueries,
     AnalyticsQueries,
+    WarehouseQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)
