@@ -22,6 +22,7 @@ object SparkEntry {
     TrainingQueries,
     AnalyticsQueries,
     WarehouseQueries,
+    ProfilingQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: multi-dimensional clustering keys for
+  * write-time file organization.
+  *
+  * Z-ordering (Morton order) interleaves the bits of several sort
+  * dimensions so that range-partitioning files by ONE key keeps EVERY
+  * dimension's per-file min/max narrow — which is what makes parquet
+  * row-group/file skipping effective for predicates on any of the
+  * clustered columns, not just the leading sort column. This is the
+  * standard layout trick for 100 TB tables queried along several axes
+  * (no single sort order can serve them all).
+  *
+  * The interleave uses the "binary magic numbers" bit-spread — five
+  * shift/mask steps per dimension — entirely as built-in bitwise
+  * Column expressions, so the whole key stays inside whole-stage
+  * codegen (no UDF, no custom Expression needed).
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` to the even bit positions of a long:
+    * bit i of the input lands at bit 2i. */
+  def spreadBits16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = (x0.bitwiseOR(shiftleft(x0, 8))).bitwiseAND(lit(0x00FF00FFL))
+    val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(0x0F0F0F0FL))
+    val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(0x33333333L))
+    (x3.bitwiseOR(shiftleft(x3, 1))).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 2-D Morton key over the low 16 bits of two integer columns: x on
+    * even bits, y on odd bits. Monotone in the interleaved ordering, so
+    * `repartitionByRange(zvalue2(...))` range-clusters both dimensions
+    * at once. */
+  def zvalue2(x: Column, y: Column): Column =
+    spreadBits16(x.cast("long"))
+      .bitwiseOR(shiftleft(spreadBits16(y.cast("long")), 1))
+
+  /** Range-cluster a frame by the 2-D z-key of (x, y) into `numFiles`
+    * output partitions — the write-side half of z-order data skipping.
+    * Each output file then holds a z-range, i.e. a small rectangle (or
+    * a few) in (x, y) space, so both x-predicates and y-predicates
+    * prune files by footer min/max. */
+  def clusterByZ2(df: DataFrame, xCol: String, yCol: String,
+      numFiles: Int): DataFrame =
+    df.withColumn("__z", zvalue2(col(xCol), col(yCol)))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+}
