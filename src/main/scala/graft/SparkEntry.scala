@@ -23,6 +23,7 @@ object SparkEntry {
     AnalyticsQueries,
     WarehouseQueries,
     ProfilingQueries,
+    FunctionQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)

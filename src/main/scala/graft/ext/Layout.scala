@@ -39,14 +39,27 @@ object Layout {
     spreadBits16(x.cast("long"))
       .bitwiseOR(shiftleft(spreadBits16(y.cast("long")), 1))
 
+  /** Affine-scale a numeric column from [lo, hi] onto the full 16-bit
+    * budget [0, 65535]. Interleaving only balances dimensions whose bit
+    * widths are comparable — a 4-bit dimension zipped against an 8-bit
+    * one contributes no high bits, and the z-order degenerates to
+    * single-column order on the wider dimension. Production z-order
+    * writers (Delta, Iceberg) do exactly this kind of per-dimension
+    * normalization (range- or rank-based) before interleaving. */
+  def normalize16(c: Column, lo: Long, hi: Long): Column =
+    ((c.cast("long") - lit(lo)) * lit(65535L) / lit(math.max(hi - lo, 1L)))
+      .cast("long")
+
   /** Range-cluster a frame by the 2-D z-key of (x, y) into `numFiles`
     * output partitions — the write-side half of z-order data skipping.
     * Each output file then holds a z-range, i.e. a small rectangle (or
     * a few) in (x, y) space, so both x-predicates and y-predicates
-    * prune files by footer min/max. */
-  def clusterByZ2(df: DataFrame, xCol: String, yCol: String,
+    * prune files by footer min/max. Callers pass pre-normalized
+    * columns (see [[normalize16]]) when the raw dimensions' bit widths
+    * differ. */
+  def clusterByZ2(df: DataFrame, x: Column, y: Column,
       numFiles: Int): DataFrame =
-    df.withColumn("__z", zvalue2(col(xCol), col(yCol)))
+    df.withColumn("__z", zvalue2(x, y))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
