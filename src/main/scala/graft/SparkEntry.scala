@@ -24,6 +24,8 @@ object SparkEntry {
     WarehouseQueries,
     ProfilingQueries,
     FunctionQueries,
+    RelationalQueries,
+    SqlQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)

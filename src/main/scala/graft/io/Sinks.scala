@@ -94,9 +94,20 @@ object Sinks {
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn", "_is_update")
       }
+    writeAndSwap(merged, path)
+  }
+
+  /** Write `df` to a temp location next to `path`, then atomically swap
+    * it into place (two renames; the old data survives until the new
+    * write commits — crash-safe, shared by upsert and compaction). */
+  private def writeAndSwap(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val target = new Path(path)
     val tmp = new Path(path + "._graft_tmp")
     fs.delete(tmp, true)
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val old = new Path(path + "._graft_old")
     fs.delete(old, true)
     // Check every rename: Hadoop rename returns false on failure (and on
@@ -104,13 +115,25 @@ object Sinks {
     // delete the only pre-merge copy. Fail loudly instead; the backup is
     // only dropped once the new data is in place.
     if (fs.exists(target) && !fs.rename(target, old))
-      throw new java.io.IOException(s"upsert: cannot move $target aside")
+      throw new java.io.IOException(s"swap: cannot move $target aside")
     if (!fs.rename(tmp, target)) {
       if (fs.exists(old)) fs.rename(old, target) // restore the backup
-      throw new java.io.IOException(s"upsert: cannot commit $tmp -> $target")
+      throw new java.io.IOException(s"swap: cannot commit $tmp -> $target")
     }
     fs.delete(old, true)
   }
+
+  /** Small-file compaction: rewrite a parquet location into `targetFiles`
+    * files and atomically swap it in. The operational fix for the
+    * many-tiny-files problem every streaming/incremental sink creates —
+    * at 100 TB, scan cost is dominated by file-open overhead once files
+    * drop below ~100 MB, and compaction restores scan bandwidth without
+    * changing a single row. Round-robin repartition (no shuffle key) is
+    * deliberate: compaction must be layout-neutral; callers wanting
+    * clustering compose with [[graft.ext.Layout.clusterByZ2]] instead. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int): Unit =
+    writeAndSwap(spark.read.parquet(path).repartition(targetFiles), path)
 
   /** S7-S9 — JDBC sink. Covers the reference's CREATE TABLE + batched
     * executemany (reference: users_to_rds.py:33-60, songs_to_rds.py:48-92) and

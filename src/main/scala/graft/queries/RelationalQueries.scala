@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.MergeInto
+import graft.functions.GeoMeanUdaf
+import graft.io.Sources
+
+/** Deep relational surface: the multiway star join, CDC merge-apply,
+  * SQL-registered typed UDAF, deterministic weighted sampling, and an
+  * unrolled graph-propagation query — each with an independent DuckDB
+  * oracle.
+  */
+object RelationalQueries extends QueryGroup {
+
+  /** TPC-H Q5 shape: revenue by nation inside one region, where the
+    * line item's supplier and the ordering customer share a nation —
+    * the canonical 6-table star join.
+    *
+    * Scale: region/nation/supplier are broadcast (small dims); the
+    * only shuffles are customer⋈orders and orders⋈lineitem on their
+    * join keys, then the final tiny nation rollup. Revenue accumulates
+    * in DECIMAL (exact, order-independent). */
+  private def q5StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val region = Sources.table(s, dir, "region")
+      .filter(col("r_name") === "ASIA")
+    val nation = Sources.table(s, dir, "nation")
+    val supplier = Sources.table(s, dir, "supplier")
+    val customer = Sources.table(s, dir, "customer")
+    val orders = Sources.table(s, dir, "orders")
+    val lineitem = Sources.table(s, dir, "lineitem")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  private val q5Oracle: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |                AS DECIMAL(28,6))) AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |             AND c_nationkey = s_nationkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** CDC merge-apply over the customer dimension: the day's change set
+    * (derived deterministically from orders — latest order per customer
+    * sets the new balance; every 7th key is a delete; every 11th key
+    * re-enters as an insert under a shifted key) applied with ONE
+    * full-outer join ([[MergeInto.applyChanges]]). */
+  private def mergeApply(s: SparkSession, dir: String): DataFrame = {
+    val base = Sources.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val latest = Sources.table(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(max_by(struct(col("o_orderdate"), col("o_orderkey"),
+        col("o_totalprice")), struct(col("o_orderdate"), col("o_orderkey")))
+        .getField("o_totalprice").as("new_bal"))
+    val changes = latest.select(
+      when(col("o_custkey") % 11 === 0, col("o_custkey") + 1000000L)
+        .otherwise(col("o_custkey")).as("c_custkey"),
+      when(col("o_custkey") % 7 === 0, lit("D"))
+        .when(col("o_custkey") % 11 === 0, lit("I"))
+        .otherwise(lit("U")).as("op"),
+      concat(lit("cust_"), col("o_custkey").cast("string")).as("c_name"),
+      col("new_bal").as("c_acctbal"))
+    MergeInto.applyChanges(base, changes, "c_custkey",
+        Seq("c_name", "c_acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  private val mergeApplyOracle: String =
+    """WITH ranked AS (
+      |  SELECT o_custkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders),
+      |latest AS (
+      |  SELECT o_custkey, o_totalprice AS new_bal FROM ranked WHERE rn = 1),
+      |changes AS (
+      |  SELECT CASE WHEN o_custkey % 11 = 0 THEN o_custkey + 1000000
+      |              ELSE o_custkey END AS c_custkey,
+      |         CASE WHEN o_custkey % 7 = 0 THEN 'D'
+      |              WHEN o_custkey % 11 = 0 THEN 'I'
+      |              ELSE 'U' END AS op,
+      |         'cust_' || CAST(o_custkey AS VARCHAR) AS c_name,
+      |         new_bal AS c_acctbal
+      |  FROM latest)
+      |SELECT COALESCE(b.c_custkey, c.c_custkey) AS c_custkey,
+      |  CASE WHEN c.op IN ('U', 'I') THEN c.c_name ELSE b.c_name END
+      |    AS c_name,
+      |  CASE WHEN c.op IN ('U', 'I') THEN c.c_acctbal ELSE b.c_acctbal END
+      |    AS c_acctbal
+      |FROM customer b FULL OUTER JOIN changes c USING (c_custkey)
+      |WHERE c.op IS NULL OR c.op <> 'D'
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Geometric mean per event type via the SQL-registered typed UDAF
+    * ([[GeoMeanUdaf]]) — the query text is plain SQL, proving the
+    * §2.10 extension surface reaches analysts, not just Scala callers.
+    * Rounded to 6 dp on both engines (ln/exp are the one place the
+    * repo's exact-arithmetic rules can't apply). */
+  private def udafGeomean(s: SparkSession, dir: String): DataFrame = {
+    GeoMeanUdaf.register(s)
+    Sources.table(s, dir, "events").createOrReplaceTempView("events_gm")
+    s.sql(
+      """SELECT event_type, round(geomean(value), 6) AS gm,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events_gm WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+  }
+
+  private val geomeanOracle: String =
+    """SELECT event_type, round(exp(avg(ln(value))), 6) AS gm,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Deterministic weighted sampling: keep each event with probability
+    * proportional to its value — implemented as a pure hash threshold
+    * (md5 → 32-bit uniform u; keep iff u·500 < value), so the sample is
+    * identical across engines, runs, and cluster sizes, and recomputable
+    * (no stored random state). u = hash32/2³² is EXACT in double
+    * (power-of-two denominator), so the comparison is bitwise. */
+  private def weightedSample(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_id"),
+        (conv(substring(md5(col("event_id").cast("string").cast("binary")),
+          1, 8), 16, 10).cast("long") / lit(4294967296.0)).as("u"),
+        col("value"))
+      .filter(col("u") * 500 < col("value"))
+      .select(col("event_id"), col("u"))
+      .orderBy("event_id")
+
+  private val weightedSampleOracle: String =
+    """WITH e AS (SELECT event_id, value,
+      |    CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) / 4294967296.0 AS u
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT event_id, u FROM e WHERE u * 500 < value
+      |ORDER BY event_id""".stripMargin
+
+  /** Two unrolled rounds of damped rank propagation over the bipartite
+    * customer→supplier purchase graph (who buys from whom, via
+    * orders⋈lineitem) — ENTIRELY in integer arithmetic (ranks scaled by
+    * 10⁶, contributions floor-divided), so the fixed-point result is
+    * exact and engine-independent, unlike float PageRank.
+    *
+    * Scale: the edge list is distinct (c,s) pairs — one shuffle; each
+    * round is a keyed join + hash aggregate on edge endpoints (the
+    * standard distributed PageRank round). Unrolling two rounds keeps
+    * the oracle expressible; the loop form adds rounds without changing
+    * any per-round plan. */
+  private def rankPropagation(s: SparkSession, dir: String): DataFrame = {
+    val edges = Sources.table(s, dir, "lineitem")
+      .join(Sources.table(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+      .distinct()
+    val outC = edges.groupBy(col("c")).agg(count(lit(1)).as("deg_c"))
+    // round 1: every customer starts at 1_000_000; suppliers collect
+    val r1 = edges.join(outC, Seq("c"))
+      .groupBy(col("sk"))
+      .agg(sum(floor(lit(1000000L) * 85 / (col("deg_c") * 100)))
+        .as("in_s"))
+      .select(col("sk"), (lit(150000L) + col("in_s")).as("r_s"))
+    val outS = edges.groupBy(col("sk")).agg(count(lit(1)).as("deg_s"))
+    // round 2: suppliers push back to their customers
+    val r2 = edges
+      .join(r1, Seq("sk")).join(outS, Seq("sk"))
+      .groupBy(col("c"))
+      .agg(sum(floor(col("r_s") * 85 / (col("deg_s") * 100))).as("in_c"))
+      .select(col("c").as("custkey"),
+        (lit(150000L) + col("in_c")).as("rank_scaled"))
+    r2.orderBy(col("rank_scaled").desc, col("custkey").asc).limit(50)
+  }
+
+  private val rankOracle: String =
+    """WITH edges AS (
+      |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |outc AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS deg_c
+      |         FROM edges GROUP BY 1),
+      |r1 AS (SELECT sk, 150000 + SUM(CAST(FLOOR(
+      |           1000000.0 * 85 / (deg_c * 100)) AS BIGINT)) AS r_s
+      |       FROM edges JOIN outc USING (c) GROUP BY sk),
+      |outs AS (SELECT sk, CAST(COUNT(*) AS BIGINT) AS deg_s
+      |         FROM edges GROUP BY 1),
+      |r2 AS (SELECT c AS custkey, 150000 + SUM(CAST(FLOOR(
+      |           CAST(r_s AS DOUBLE) * 85 / (deg_s * 100)) AS BIGINT))
+      |         AS rank_scaled
+      |       FROM edges JOIN r1 USING (sk) JOIN outs USING (sk)
+      |       GROUP BY c)
+      |SELECT custkey, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r2
+      |ORDER BY rank_scaled DESC, custkey ASC LIMIT 50""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q5_star_join", q5StarJoin, Some(q5Oracle)),
+    QueryDef("etl_merge_apply", mergeApply, Some(mergeApplyOracle)),
+    QueryDef("a_udaf_geomean", udafGeomean, Some(geomeanOracle)),
+    QueryDef("f_weighted_sample", weightedSample, Some(weightedSampleOracle)),
+    QueryDef("g_rank_propagation", rankPropagation, Some(rankOracle)),
+  )
+}

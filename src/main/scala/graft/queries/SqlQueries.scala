@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** SQL-authored analytical surface: correlated subqueries, lateral
+  * joins, and mergeable-sketch rollups — the shapes analysts write that
+  * exercise Catalyst's subquery decorrelation and the re-aggregation
+  * path sketches exist for.
+  */
+object SqlQueries extends QueryGroup {
+
+  private def view(s: SparkSession, dir: String, name: String): String = {
+    val v = s"${name}_sq"
+    Sources.table(s, dir, name).createOrReplaceTempView(v)
+    v
+  }
+
+  /** Correlated scalar subqueries + EXISTS, authored as SQL: orders more
+    * than twice their customer's average order value that contain at
+    * least one near-max-quantity line. Catalyst decorrelates both into
+    * aggregate-joins (no per-row re-execution — the rewrite that makes
+    * subqueries survive scale). The average is compared via exact
+    * integer/decimal cross-multiplication (price·n > 2·sum), not a
+    * float mean. */
+  private def subqueries(s: SparkSession, dir: String): DataFrame = {
+    val o = view(s, dir, "orders")
+    val l = view(s, dir, "lineitem")
+    s.sql(
+      s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+         |FROM $o o
+         |WHERE o.o_totalprice *
+         |    (SELECT COUNT(*) FROM $o o2
+         |     WHERE o2.o_custkey = o.o_custkey)
+         |  > CAST(2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+         |              FROM $o o3 WHERE o3.o_custkey = o.o_custkey)
+         |         AS DOUBLE)
+         |  AND EXISTS (SELECT 1 FROM $l l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND l.l_quantity >= 45)
+         |ORDER BY o.o_orderkey""".stripMargin)
+  }
+
+  private val subqueriesOracle: String =
+    """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+      |FROM orders o
+      |WHERE o.o_totalprice *
+      |    (SELECT COUNT(*) FROM orders o2
+      |     WHERE o2.o_custkey = o.o_custkey)
+      |  > CAST(2 * (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(18,2)))
+      |              FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+      |         AS DOUBLE)
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_quantity >= 45)
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  /** LATERAL join: each customer's two largest orders — the top-N-per-
+    * key shape written the way analysts write it. Spark plans the
+    * correlated LIMIT as a per-key window group limit, not a per-row
+    * subquery re-execution. Ties break on orderkey so both engines pick
+    * the same two rows. */
+  private def lateralTop2(s: SparkSession, dir: String): DataFrame = {
+    val c = view(s, dir, "customer")
+    val o = view(s, dir, "orders")
+    s.sql(
+      s"""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         |FROM $c c
+         |JOIN LATERAL (
+         |  SELECT o.o_orderkey, o.o_totalprice FROM $o o
+         |  WHERE o.o_custkey = c.c_custkey
+         |  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+         |  LIMIT 2) t
+         |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+  }
+
+  private val lateralOracle: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c
+      |JOIN LATERAL (
+      |  SELECT o.o_orderkey, o.o_totalprice FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey
+      |  ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+      |  LIMIT 2) t ON TRUE
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
+
+  /** Mergeable-sketch rollup: per-day HLL sketches of active users are
+    * UNIONED into per-event-type totals — the pre-aggregated-cube path
+    * that answers any-period distinct-count questions without touching
+    * raw events again (approx_count_distinct alone cannot be
+    * re-aggregated; sketches can). Emitted as the repo's bound-as-data
+    * pattern: exact count + "merged estimate within 5%" boolean, so the
+    * row hash-matches iff the sketch math held. */
+  private def hllMergeDaily(s: SparkSession, dir: String): DataFrame = {
+    val daily = Sources.table(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("d"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = Sources.table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("merged_within_5pct"))
+      .orderBy("event_type")
+  }
+
+  private val hllMergeOracle: String =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+      |       TRUE AS merged_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_subqueries", subqueries, Some(subqueriesOracle)),
+    QueryDef("j_lateral_top2", lateralTop2, Some(lateralOracle)),
+    QueryDef("a_hll_merge_daily", hllMergeDaily, Some(hllMergeOracle)),
+  )
+}

@@ -65,6 +65,14 @@ object StreamingQueries extends QueryGroup {
         |                    WHERE c_acctbal > 5000) c
         |  ON e.user_id = c.c_custkey
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+    QueryDef("streaming_sliding_counts",
+      (s, dir) => StreamingKpis.runSlidingAvailableNow(s, dir), Some(
+      """WITH k AS (SELECT unnest([0, 1]) AS off)
+        |SELECT epoch_ms(date_trunc('hour', ts) - off * INTERVAL 1 HOUR)
+        |    AS win_start_ms,
+        |  event_type, COUNT(*) AS plays
+        |FROM events, k
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("streaming_click_attribution", attribution, Some(
       """SELECT i.user_id,
         |       'camp_' || CAST(i.event_id % 5 AS VARCHAR) AS campaign,

@@ -148,6 +148,33 @@ object StreamingKpis {
     else raw
   }
 
+  /** SLIDING event-time windows (2 h size, 1 h slide): each event lands
+    * in exactly two overlapping windows — the hopping-window shape used
+    * for smoothed rates and trailing-window alerting. Spark expands the
+    * event to its window set BEFORE the shuffle (an Expand of factor
+    * size/slide), so state per key stays (window, event_type)-bounded
+    * and watermark-pruned, never per-event. */
+  def slidingCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "4 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("plays"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("plays"))
+
+  /** [[slidingCounts]] over everything currently in `dir`. */
+  def runSlidingAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val q = slidingCounts(eventStream(spark, dir)).writeStream
+      .format("memory")
+      .queryName("graft_streaming_sliding")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_streaming_sliding")
+      .orderBy("win_start_ms", "event_type")
+  }
+
   /** Run the streaming query over everything currently in `dir` and return
     * the final result table (memory sink, complete mode). */
   def runAvailableNow(spark: SparkSession, dir: String): DataFrame = {
