@@ -103,6 +103,35 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected only the test's own exchange:\n${plan(out)}")
   }
 
+  test("q5 star join broadcasts every dimension and pushes the region filter") {
+    val p = plan(SparkEntry.queries("q5_star_join")(spark, dir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"supplier/nation/region must broadcast:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"),
+      "region predicate must reach the parquet scan")
+  }
+
+  test("merge-apply compiles to ONE full-outer join, no per-op passes") {
+    val p = plan(SparkEntry.queries("etl_merge_apply")(spark, dir))
+    val joins = "Join".r.findAllIn(p).length
+    assert(p.contains("FullOuter"), p.take(800))
+    assert(joins == 1, s"expected a single join, got $joins:\n$p")
+  }
+
+  test("correlated subqueries decorrelate into joins (no per-row re-execution)") {
+    val p = plan(SparkEntry.queries("q_subqueries")(spark, dir))
+    assert(!p.contains("Subquery"),
+      "scalar subqueries must be rewritten to aggregate-joins")
+    assert(p.contains("LeftSemi"), "EXISTS must become a semi join")
+  }
+
+  test("lateral top-2 plans as WindowGroupLimit with a map-side partial pass") {
+    val p = plan(SparkEntry.queries("j_lateral_top2")(spark, dir))
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+    assert(p.contains("row_number(), 2, Partial"),
+      "per-key limit must run map-side before the exchange")
+  }
+
   test("sign-LSH query plans without a driver-side data job") {
     // sign-LSH previously probed dims via head() at plan-construction time.
     // spark.read.parquet itself runs a fixed footer/schema job, so measure
