@@ -26,6 +26,7 @@ object SparkEntry {
     FunctionQueries,
     RelationalQueries,
     SqlQueries,
+    SequenceQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)
