@@ -27,6 +27,7 @@ object SparkEntry {
     RelationalQueries,
     SqlQueries,
     SequenceQueries,
+    QualityQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)

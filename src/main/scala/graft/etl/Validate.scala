@@ -48,4 +48,31 @@ object Validate {
   def fillUnknownAll(df: DataFrame): DataFrame =
     df.select(df.columns.toSeq.map(c => col(c).cast("string").as(c)): _*)
       .na.fill("Unkown")
+
+  /** A named row-level expectation: `ok` must hold for every row. */
+  final case class DqRule(name: String, ok: org.apache.spark.sql.Column)
+
+  /** Data-quality gate (the dbt-tests / Great-Expectations shape): count
+    * violations of every rule in ONE aggregation pass and return a
+    * per-rule report (rule, n_rows, n_violations, pass).
+    *
+    * Scale: each rule is a conditional sum inside a single scan's
+    * aggregate — adding rules adds columns, never passes. A NULL rule
+    * result counts as a violation (an expectation that cannot be
+    * evaluated is not satisfied). The per-rule rows come from one
+    * stack() unpivot of the single aggregate row, same shape as the
+    * one-pass profiler. */
+  def dqChecks(df: DataFrame, rules: Seq[DqRule]): DataFrame = {
+    require(rules.nonEmpty, "dqChecks needs at least one rule")
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.map(r => sum(when(coalesce(r.ok, lit(false)), 0L).otherwise(1L))
+        .as(s"v_${r.name}"))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules
+      .map(r => s"'${r.name}', v_${r.name}").mkString(", ")
+    one.selectExpr("n_rows",
+        s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)")
+      .select(col("rule"), col("n_rows"), col("n_violations"),
+        (col("n_violations") === 0L).as("pass"))
+  }
 }

@@ -214,8 +214,54 @@ object RelationalQueries extends QueryGroup {
       |SELECT custkey, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r2
       |ORDER BY rank_scaled DESC, custkey ASC LIMIT 50""".stripMargin
 
+  /** TPC-H Q18 shape (large-order customers): orders whose total line
+    * quantity clears a threshold, joined back to customer — the
+    * IN-(aggregated subquery) pattern. Catalyst plans the HAVING
+    * subquery as an aggregate + LeftSemi, so the fact table is scanned
+    * once for the filter and once for the payload — never per-row.
+    * Quantity sums run in DECIMAL (exact). */
+  private def q18TopOrders(s: SparkSession, dir: String): DataFrame = {
+    Sources.table(s, dir, "orders").createOrReplaceTempView("orders_q18")
+    Sources.table(s, dir, "lineitem").createOrReplaceTempView("lineitem_q18")
+    Sources.table(s, dir, "customer").createOrReplaceTempView("customer_q18")
+    s.sql(
+      """SELECT c.c_name, o.o_orderkey,
+        |  CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS o_orderdate,
+        |  o.o_totalprice,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_qty
+        |FROM customer_q18 c
+        |JOIN orders_q18 o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem_q18 l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem_q18
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |LIMIT 100""".stripMargin)
+  }
+
+  private val q18Oracle: String =
+    """SELECT c.c_name, o.o_orderkey,
+      |  CAST(CAST(o.o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+      |  o.o_totalprice,
+      |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_qty
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+      |GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+      |ORDER BY o.o_totalprice DESC, o.o_orderkey
+      |LIMIT 100""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q5_star_join", q5StarJoin, Some(q5Oracle)),
+    QueryDef("q18_top_orders", q18TopOrders, Some(q18Oracle)),
     QueryDef("etl_merge_apply", mergeApply, Some(mergeApplyOracle)),
     QueryDef("a_udaf_geomean", udafGeomean, Some(geomeanOracle)),
     QueryDef("f_weighted_sample", weightedSample, Some(weightedSampleOracle)),

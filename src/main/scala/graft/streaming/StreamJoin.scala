@@ -35,4 +35,28 @@ object StreamJoin {
       .select(col("i_user").as("user_id"), col("campaign"),
         col("imp_ts"), col("click_ts"))
   }
+
+  /** LEFT OUTER variant keyed on clicks: every click emits — joined to
+    * its impression when one exists in the window, with NULL campaign
+    * otherwise. The null row for an unmatched click can only be emitted
+    * once the impression-side WATERMARK has passed the end of the
+    * click's attribution window (before that, a matching impression
+    * could still arrive) — so outer results trail the watermark by the
+    * interval length. StreamJoinSpec drives this batch-by-batch: no
+    * null row before the watermark passes, exactly one after. */
+  def attributeClicksLeftOuter(impressions: DataFrame, clicks: DataFrame,
+                               withinMs: Long): DataFrame = {
+    val i = impressions.select(col("user_id").as("i_user"),
+      col("ts").as("imp_ts"), col("campaign"))
+    val c = clicks.select(col("user_id").as("c_user"),
+      col("ts").as("click_ts"))
+    c.join(i,
+      col("i_user") === col("c_user") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <=
+          col("imp_ts") + expr(s"INTERVAL $withinMs MILLISECOND"),
+      "left_outer")
+      .select(col("c_user").as("user_id"), col("campaign"),
+        col("imp_ts"), col("click_ts"))
+  }
 }

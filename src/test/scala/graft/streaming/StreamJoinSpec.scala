@@ -60,4 +60,46 @@ class StreamJoinSpec extends SparkSpec {
         (1L, "c2", ts(30), ts(33))))
     } finally q.stop()
   }
+
+  test("left-outer interval join emits null rows only after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val impMem = MemoryStream[(Long, Timestamp, String)]
+    val clkMem = MemoryStream[(Long, Timestamp)]
+    // short watermark so the spec can push it past the join window
+    val impStream = impMem.toDF().toDF("user_id", "ts", "campaign")
+      .withWatermark("ts", "1 minute")
+    val clkStream = clkMem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "1 minute")
+    val q = StreamJoin
+      .attributeClicksLeftOuter(impStream, clkStream, windowMs)
+      .writeStream.format("memory").queryName("graft_attrib_outer")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      def rows() = spark.table("graft_attrib_outer")
+        .filter($"user_id" === 3L).collect()
+
+      // user 3 clicks with NO impression: the null row may not be
+      // emitted yet — a matching impression could still arrive until
+      // the impression watermark passes click_ts + window
+      impMem.addData(impressions.take(2))
+      clkMem.addData(Seq((3L, ts(6))))
+      q.processAllAvailable()
+      assert(rows().isEmpty,
+        "outer row emitted before the watermark allowed it")
+
+      // advance BOTH watermarks far past ts(6) + window
+      impMem.addData(Seq((99L, ts(1000), "hb")))
+      clkMem.addData(Seq((99L, ts(1000))))
+      q.processAllAvailable()
+      // state cleanup/emission may need one more empty-ish batch
+      impMem.addData(Seq((98L, ts(2000), "hb2")))
+      clkMem.addData(Seq((98L, ts(2000))))
+      q.processAllAvailable()
+
+      val r = rows()
+      assert(r.length == 1, s"expected one outer row, got ${r.toSeq}")
+      assert(r(0).isNullAt(r(0).fieldIndex("campaign")),
+        "unmatched click must carry NULL campaign")
+    } finally q.stop()
+  }
 }
