@@ -82,7 +82,9 @@ object SequenceQueries extends QueryGroup {
     * that replaces per-path string re-parsing (each get_json_object
     * re-parses the text; variant parses once and navigates bytes). */
   private def variantExtract(s: SparkSession, dir: String): DataFrame =
-    Sources.table(s, dir, "events")
+    // scatter: the single-row-group source would otherwise run the
+    // CPU-heavy parse_json in one task (same fix as p_json_extract)
+    Sources.scatter(Sources.table(s, dir, "events"))
       .select(col("event_id"), parse_json(col("props")).as("v"))
       .select(col("event_id"),
         try_variant_get(col("v"), "$.k", "bigint").as("k_num"),
