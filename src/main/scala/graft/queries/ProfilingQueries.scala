@@ -85,6 +85,54 @@ object ProfilingQueries extends QueryGroup {
       |  FROM events, n GROUP BY n.n_rows
       |) ORDER BY column_name""".stripMargin
 
+  /** The monitoring twin of [[profileColumns]]: distinct counts via HLL
+    * sketches. The PRODUCTION form is sketch-only — no Expand, the scan
+    * stays one pass at true row grain, which is the per-batch profiler
+    * at 100 TB (the exact one is the audit tool). This verification
+    * entry additionally computes the exact counts so the oracle can pin
+    * each sketch estimate within 5% (bound as data, same pattern as
+    * a_approx_distinct) — the Expand here belongs to the CHECK, not the
+    * operator. */
+  private def profileColumnsApprox(s: SparkSession, dir: String): DataFrame = {
+    val e = Sources.table(s, dir, "events")
+    def within(c: String) =
+      (abs(approx_count_distinct(col(c), 0.02) - countDistinct(col(c))) <=
+        countDistinct(col(c)) * lit(0.05)).as(s"ok_$c")
+    val one = e.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("event_id")).as("d_event_id"),
+      within("event_id"),
+      countDistinct(col("user_id")).as("d_user_id"),
+      within("user_id"),
+      countDistinct(col("value")).as("d_value"),
+      within("value"))
+    one.selectExpr("n_rows", s"""stack(3,
+        'event_id', d_event_id, ok_event_id,
+        'user_id',  d_user_id,  ok_user_id,
+        'value',    d_value,    ok_value
+      ) AS (column_name, exact_distinct, approx_within_5pct)""")
+      .select(col("column_name"), col("n_rows"), col("exact_distinct"),
+        col("approx_within_5pct"))
+      .orderBy("column_name")
+  }
+
+  private val profileApproxOracle: String =
+    """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
+      |SELECT * FROM (
+      |  SELECT 'event_id' AS column_name, n.n_rows,
+      |    CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct,
+      |    TRUE AS approx_within_5pct
+      |  FROM events, n GROUP BY n.n_rows
+      |  UNION ALL
+      |  SELECT 'user_id', n.n_rows,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT), TRUE
+      |  FROM events, n GROUP BY n.n_rows
+      |  UNION ALL
+      |  SELECT 'value', n.n_rows,
+      |    CAST(COUNT(DISTINCT value) AS BIGINT), TRUE
+      |  FROM events, n GROUP BY n.n_rows
+      |) ORDER BY column_name""".stripMargin
+
   /** Fixed-width value histogram: 25-unit bins over events.value with
     * exact decimal mass per bin — the data-distribution probe that sizes
     * skew mitigations. One hash aggregate; bin id from arithmetic, not a
@@ -184,6 +232,8 @@ object ProfilingQueries extends QueryGroup {
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("f_profile_columns", profileColumns, Some(profileOracle)),
+    QueryDef("f_profile_columns_approx", profileColumnsApprox,
+      Some(profileApproxOracle)),
     QueryDef("a_value_histogram", valueHistogram, Some(histogramOracle)),
     QueryDef("o_zorder_key", zorderKey, Some(zorderOracle)),
     QueryDef("a_zscore_outliers", zscoreOutliers, Some(zscoreOracle)),
