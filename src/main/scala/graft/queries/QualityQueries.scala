@@ -66,31 +66,42 @@ object QualityQueries extends QueryGroup {
       |       n_violations, n_violations = 0 AS pass
       |FROM r ORDER BY rule""".stripMargin
 
-  /** Safe-arithmetic contract: try_divide / try_add / try_cast /
-    * try_element_at return NULL where strict ANSI evaluation would fail
-    * the job (÷0, bigint overflow, bad cast, index out of bounds) — the
-    * degradation contract a 100 TB pipeline needs so one poisoned row
-    * cannot kill a stage. The oracle states the same semantics with
-    * explicit CASE guards (DuckDB's strict operators would raise too). */
-  private def tryArithmetic(s: SparkSession, dir: String): DataFrame =
+  /** Safe-arithmetic contract: try_divide / try_add / try_element_at
+    * return NULL where strict ANSI evaluation would fail the job (÷0,
+    * bigint overflow, index out of bounds) — the degradation contract a
+    * 100 TB pipeline needs so one poisoned row cannot kill a stage.
+    *
+    * The poisoned rows are a RARE deterministic subset (~0.1%,
+    * orderkey % 997): try_* is a JVM throw/catch per failing row, so a
+    * query where EVERY row fails measures exception overhead, not the
+    * operator (an earlier all-rows-overflow formulation of this query
+    * benched 29 s at sf0.1; rare-failure is both the honest profile and
+    * ~50× faster). The oracle states the same semantics with CASE
+    * guards (DuckDB's strict operators would raise too). */
+  private def tryArithmetic(s: SparkSession, dir: String): DataFrame = {
+    val poisoned = col("l_orderkey") % 997 === 0
     Sources.table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"),
-        try_divide(col("l_extendedprice"), col("l_linenumber") - lit(3))
-          .as("safe_div"),
-        try_add(lit(Long.MaxValue), col("l_orderkey")).as("safe_add"),
+        try_divide(col("l_extendedprice"),
+          when(poisoned, lit(0.0))
+            .otherwise(col("l_linenumber").cast("double"))).as("safe_div"),
+        try_add(lit(Long.MaxValue),
+          when(poisoned, lit(1L)).otherwise(lit(0L))).as("safe_add"),
         try_element_at(array(col("l_returnflag"), col("l_linestatus")),
-          col("l_linenumber")).as("safe_elem"))
+          when(poisoned, lit(99)).otherwise(col("l_linenumber") % 2 + 1))
+          .as("safe_elem"))
       .orderBy("l_orderkey", "l_linenumber")
+  }
 
   private val tryArithmeticOracle: String =
     """SELECT l_orderkey, l_linenumber,
-      |  CASE WHEN l_linenumber = 3 THEN NULL
-      |       ELSE l_extendedprice / (l_linenumber - 3) END AS safe_div,
-      |  CASE WHEN l_orderkey > 0 THEN NULL
+      |  CASE WHEN l_orderkey % 997 = 0 THEN NULL
+      |       ELSE l_extendedprice / l_linenumber END AS safe_div,
+      |  CASE WHEN l_orderkey % 997 = 0 THEN NULL
       |       ELSE 9223372036854775807 END AS safe_add,
-      |  CASE WHEN l_linenumber BETWEEN 1 AND 2
-      |       THEN [l_returnflag, l_linestatus][l_linenumber]
-      |       ELSE NULL END AS safe_elem
+      |  CASE WHEN l_orderkey % 997 = 0 THEN NULL
+      |       ELSE [l_returnflag, l_linestatus][(l_linenumber % 2) + 1]
+      |       END AS safe_elem
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
   override val defs: Seq[QueryDef] = Seq(
