@@ -28,6 +28,7 @@ object SparkEntry {
     SqlQueries,
     SequenceQueries,
     QualityQueries,
+    IncrementalQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)

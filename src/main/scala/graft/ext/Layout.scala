@@ -39,6 +39,23 @@ object Layout {
     spreadBits16(x.cast("long"))
       .bitwiseOR(shiftleft(spreadBits16(y.cast("long")), 1))
 
+  /** Spread the low 16 bits of `c` every THIRD bit position (for 3-D
+    * interleaving): bit i lands at bit 3i. Same magic-number technique,
+    * different masks. */
+  def spreadBits16x3(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(0xFFFFL))
+    val x1 = (x0.bitwiseOR(shiftleft(x0, 16))).bitwiseAND(lit(0x0000FF0000FFL))
+    val x2 = (x1.bitwiseOR(shiftleft(x1, 8))).bitwiseAND(lit(0xF00F00F00F00FL))
+    val x3 = (x2.bitwiseOR(shiftleft(x2, 4))).bitwiseAND(lit(0x30C30C30C30C3L))
+    (x3.bitwiseOR(shiftleft(x3, 2))).bitwiseAND(lit(0x9249249249249L))
+  }
+
+  /** 3-D Morton key over the low 16 bits of three integer columns. */
+  def zvalue3(x: Column, y: Column, z: Column): Column =
+    spreadBits16x3(x.cast("long"))
+      .bitwiseOR(shiftleft(spreadBits16x3(y.cast("long")), 1))
+      .bitwiseOR(shiftleft(spreadBits16x3(z.cast("long")), 2))
+
   /** Affine-scale a numeric column from [lo, hi] onto the full 16-bit
     * budget [0, 65535]. Interleaving only balances dimensions whose bit
     * widths are comparable — a 4-bit dimension zipped against an 8-bit

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Incremental view maintenance: the algebraic-merge pattern that turns
+  * a daily 100 TB recompute into a small-delta update, plus
+  * deterministic pseudonymization for privacy-safe training exports.
+  */
+object IncrementalQueries extends QueryGroup {
+
+  /** Incrementally-maintained KPI table: the events stream is processed
+    * as two disjoint batches (even vs odd day — standing in for
+    * yesterday's materialized state + today's delta); each batch
+    * produces ALGEBRAIC partials (count, decimal sum, HLL sketch for
+    * distinct users), and the view is the MERGE of partials — counts
+    * and sums add, sketches union. The final averages derive from
+    * merged sums, never from averaging averages.
+    *
+    * The query hash-matching a plain full aggregation (the oracle) is
+    * the cross-engine proof that merge(partial(A), partial(B)) =
+    * full(A ∪ B) — the property that makes the view maintainable
+    * without re-touching history. (countDistinct would NOT merge; the
+    * sketch is what buys mergeability, its 5% bound pinned as data like
+    * a_approx_distinct.) */
+  private def incrementalKpis(s: SparkSession, dir: String): DataFrame = {
+    val e = Sources.table(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        col("value").cast("decimal(18,6)").as("v"),
+        (datediff(col("ts").cast("date"), lit("1970-01-01")) % 2 === 0)
+          .as("even_day"))
+    def partial(batch: DataFrame): DataFrame = batch
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = partial(e.filter(col("even_day")))
+      .unionByName(partial(e.filter(!col("even_day"))))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+        hll_union_agg(col("sk")).as("sk"))
+    val exactUsers = Sources.table(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.join(exactUsers, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        // avg from MERGED sums: decimal→double cast is exact here
+        // (< 16 sig digits), then one IEEE division — identical in any
+        // engine, no decimal-division scale rules to reconcile
+        (col("sv").cast("double") / col("n")).as("avg_value"),
+        col("exact_users"),
+        (abs(hll_sketch_estimate(col("sk")) - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("merged_within_5pct"))
+      .orderBy("event_type")
+  }
+
+  private val incrementalOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      |    AS avg_value,
+      |  COUNT(DISTINCT user_id) AS exact_users,
+      |  TRUE AS merged_within_5pct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Deterministic pseudonymization: user ids become salted SHA-256
+    * tokens — stable across runs and engines (re-joinable on the token),
+    * irreversible without the salt, and a pure codegen'd map stage. The
+    * cross-engine oracle doubles as proof the tokenization is
+    * reproducible anywhere. */
+  private def pseudonymize(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .select(col("event_id"),
+        sha2(concat(lit("graft-salt-v1:"),
+          col("user_id").cast("string")).cast("binary"), 256)
+          .as("user_token"),
+        col("event_type"))
+      .orderBy("event_id")
+
+  private val pseudonymizeOracle: String =
+    """SELECT event_id,
+      |  sha256('graft-salt-v1:' || CAST(user_id AS VARCHAR)) AS user_token,
+      |  event_type
+      |FROM events ORDER BY event_id""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("etl_incremental_kpis", incrementalKpis, Some(incrementalOracle)),
+    QueryDef("f_pseudonymize", pseudonymize, Some(pseudonymizeOracle)),
+  )
+}

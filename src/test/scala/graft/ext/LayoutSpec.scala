@@ -35,6 +35,34 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  /** Reference 3-D Morton interleave. */
+  private def morton3Ref(x: Long, y: Long, z: Long): Long = {
+    var r = 0L
+    var i = 0
+    while (i < 16) {
+      r |= ((x >> i) & 1L) << (3 * i)
+      r |= ((y >> i) & 1L) << (3 * i + 1)
+      r |= ((z >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    r
+  }
+
+  test("zvalue3 matches the bit-loop reference on a value sweep") {
+    val triples = for {
+      x <- Seq(0L, 1L, 255L, 4095L, 65535L)
+      y <- Seq(0L, 2L, 1000L, 65535L)
+      z <- Seq(0L, 7L, 32768L, 65535L)
+    } yield (x, y, z)
+    val df = spark.createDataFrame(triples).toDF("x", "y", "z")
+      .withColumn("m", Layout.zvalue3(col("x"), col("y"), col("z")))
+    df.collect().foreach { r =>
+      assert(r.getLong(3) ===
+        morton3Ref(r.getLong(0), r.getLong(1), r.getLong(2)),
+        s"(${r.getLong(0)}, ${r.getLong(1)}, ${r.getLong(2)})")
+    }
+  }
+
   test("z-clustering keeps both dimensions prunable; single sort does not") {
     val li = graft.io.Sources.table(spark, "/root/testdata/sf0.001", "lineitem")
       .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
