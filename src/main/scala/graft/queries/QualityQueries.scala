@@ -104,8 +104,31 @@ object QualityQueries extends QueryGroup {
       |       END AS safe_elem
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Audit/lineage columns: which file each row came from
+    * (input_file_name — the per-split metadata column, free at scan
+    * time) and a deterministic row fingerprint for cross-system
+    * reconciliation. The oracle pins the basename (single-file fixture)
+    * and recomputes the same fingerprint — proving the fingerprint is
+    * engine-independent, which is what makes it usable to diff a Spark
+    * export against any other system's copy. */
+  private def lineageCols(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .select(col("event_id"),
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("source_file"),
+        md5(concat_ws("|", col("event_id").cast("string"),
+          col("user_id").cast("string"), col("event_type"))
+          .cast("binary")).as("row_fp"))
+      .orderBy("event_id")
+
+  private val lineageOracle: String =
+    """SELECT event_id, 'events.parquet' AS source_file,
+      |  md5(CAST(event_id AS VARCHAR) || '|' ||
+      |      CAST(user_id AS VARCHAR) || '|' || event_type) AS row_fp
+      |FROM events ORDER BY event_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("f_dq_checks", dqChecks, Some(dqOracle)),
     QueryDef("p_try_arithmetic", tryArithmetic, Some(tryArithmeticOracle)),
+    QueryDef("p_lineage_cols", lineageCols, Some(lineageOracle)),
   )
 }

@@ -86,6 +86,12 @@ object StreamingQueries extends QueryGroup {
       (s, dir) => graft.streaming.RunningCounts.runAvailableNow(s, dir), Some(
       """SELECT user_id, CAST(count(*) AS BIGINT) AS total
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    QueryDef("streaming_type_totals",
+      (s, dir) => graft.streaming.RunningCounts.runTypesAvailableNow(s, dir),
+      Some(
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin)),
     QueryDef("streaming_dedup_hashes", streamDedup, Some(
       """SELECT DISTINCT md5(text) AS content_hash FROM documents
         |ORDER BY content_hash""".stripMargin)),

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-key running totals on the MODERN arbitrary-state API
   * (`transformWithState`, Spark 4) — the successor to
@@ -36,6 +36,70 @@ object RunningCounts {
       count.update(n)
       Iterator.single(Total(key, n))
     }
+  }
+
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** MapState twin of [[Processor]]: per user, a keyed sub-map of
+    * event_type → running count. MapState stores each (user, type) pair
+    * as its OWN state-store entry — updating one type never rewrites
+    * the user's whole map (a ValueState[Map] would round-trip the full
+    * map per update), which is the property that keeps wide per-key
+    * maps cheap in RocksDB at scale. */
+  class TypeProcessor extends StatefulProcessor[Long, (Long, String),
+      TypeCount] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("type_counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String)],
+                                 timerValues: TimerValues)
+        : Iterator[TypeCount] = {
+      rows.foreach { case (_, t) =>
+        val cur = if (counts.containsKey(t)) counts.getValue(t) else 0L
+        counts.updateValue(t, cur + 1L)
+      }
+      counts.iterator().map { p => TypeCount(key, p._1, p._2) }
+    }
+  }
+
+  /** Per-(user, type) running counts via MapState (update mode). */
+  def typeTotals(pairs: Dataset[(Long, String)]): Dataset[TypeCount] = {
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val inEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val outEnc: Encoder[TypeCount] = Encoders.product[TypeCount]
+    pairs.groupByKey(_._1)
+      .transformWithState(new TypeProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
+  /** [[typeTotals]] over everything currently in `dir` (AvailableNow):
+    * the single delivered batch makes each emitted (user, type) row its
+    * full count — the plain GROUP BY twin DuckDB checks. */
+  def runTypesAvailableNow(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      implicit val inEnc: Encoder[(Long, String)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+      val pairs = spark.readStream.schema(schema).parquet(s"$dir/events.*")
+        .select(col("user_id"), col("event_type")).as[(Long, String)]
+      val q = typeTotals(pairs)
+        .writeStream.format("memory").queryName("graft_tws_types")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table("graft_tws_types").orderBy("user_id", "event_type")
+    } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   /** Running totals over a stream of keys (update mode: one row per key
