@@ -176,7 +176,27 @@ object FunctionQueries extends QueryGroup {
       |FROM b GROUP BY 1
       |ORDER BY cnt DESC, bigram ASC LIMIT 20""".stripMargin
 
+  /** Schema-evolution union: a pre-migration extract (no props column)
+    * unions with a post-migration one BY NAME with missing columns
+    * null-filled — `unionByName(allowMissingColumns)`, the contract
+    * that lets old and new batches flow through one pipeline. The
+    * oracle states the row-level semantics directly. */
+  private def unionEvolve(s: SparkSession, dir: String): DataFrame = {
+    val e = Sources.table(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("props"))
+    val v1 = e.filter(col("event_id") % 2 === 0).drop("props")
+    val v2 = e.filter(col("event_id") % 2 =!= 0)
+    v1.unionByName(v2, allowMissingColumns = true)
+      .orderBy("event_id")
+  }
+
+  private val unionEvolveOracle: String =
+    """SELECT event_id, event_type,
+      |  CASE WHEN event_id % 2 = 0 THEN NULL ELSE props END AS props
+      |FROM events ORDER BY event_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("o_union_evolve", unionEvolve, Some(unionEvolveOracle)),
     QueryDef("p_string_funcs", stringFuncs, Some(stringFuncsOracle)),
     QueryDef("p_date_funcs", dateFuncs, Some(dateFuncsOracle)),
     QueryDef("o_posexplode", posExplode, Some(posExplodeOracle)),

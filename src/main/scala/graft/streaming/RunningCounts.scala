@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, MapState, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Per-key running totals on the MODERN arbitrary-state API
   * (`transformWithState`, Spark 4) — the successor to
@@ -100,6 +100,67 @@ object RunningCounts {
       q.awaitTermination()
       spark.table("graft_tws_types").orderBy("user_id", "event_type")
     } finally saved.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  final case class IdleSession(user_id: Long, n_events: Long, last_ms: Long)
+
+  /** Event-time TIMERS on the modern state API: a gap-based session
+    * that emits when the WATERMARK passes last-event + gap — i.e. the
+    * engine calls [[handleExpiredTimer]], not a new input row. This is
+    * the push-based expiry that replaces flatMapGroupsWithState's
+    * GroupStateTimeout: timers are first-class per-key state (register/
+    * delete/list), checkpointed with the store, and fire exactly once
+    * per expiry even if the key never appears again — which is what
+    * lets 100 TB-scale session state drain itself instead of leaking
+    * keys that went quiet. Stale timers (superseded by a later event)
+    * are detected by comparing the firing time against last + gap. */
+  class IdleSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, Long), IdleSession] {
+    @transient private var n: ValueState[Long] = _
+    @transient private var last: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      n = getHandle.getValueState[Long]("n", Encoders.scalaLong,
+        TTLConfig.NONE)
+      last = getHandle.getValueState[Long]("last", Encoders.scalaLong,
+        TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+                                 timerValues: TimerValues)
+        : Iterator[IdleSession] = {
+      var cnt = if (n.exists()) n.get() else 0L
+      var mx = if (last.exists()) last.get() else Long.MinValue
+      rows.foreach { case (_, t) => cnt += 1; if (t > mx) mx = t }
+      n.update(cnt)
+      last.update(mx)
+      // one live timer per key: re-arm at the new idle deadline
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(mx + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo)
+        : Iterator[IdleSession] = {
+      val mx = if (last.exists()) last.get() else Long.MinValue
+      if (expiredTimerInfo.getExpiryTimeInMs >= mx + gapMs && n.exists()) {
+        val out = IdleSession(key, n.get(), mx)
+        n.clear(); last.clear()
+        Iterator.single(out)
+      } else Iterator.empty // stale timer: a later event re-armed
+    }
+  }
+
+  /** Gap-closed sessions over (key, event-time-ms) pairs; emission is
+    * timer-driven (watermark-gated), not input-driven. */
+  def idleSessions(pairs: Dataset[(Long, Long)], gapMs: Long)
+      : Dataset[IdleSession] = {
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val outEnc: Encoder[IdleSession] = Encoders.product[IdleSession]
+    pairs.groupByKey(_._1)
+      .transformWithState(new IdleSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Running totals over a stream of keys (update mode: one row per key
