@@ -338,6 +338,43 @@ object OperatorQueries extends QueryGroup {
       .orderBy("l_returnflag")
   }
 
+  /** One-pass least-squares fit (y = intercept + slope·x) per return flag,
+    * from the same five algebraic sums as [[corrStats]] — the mergeable-
+    * aggregate regression path: each executor keeps (n, Σx, Σy, Σxy, Σx²)
+    * per group, partials combine map-side, ONE shuffle of 5 numbers per
+    * group regardless of input size. Closed-form coefficients come from
+    * DECIMAL-exact sums (slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept via
+    * the all-exact (ΣyΣx²−ΣxΣxy) form rather than (Σy−bΣx)/n which would
+    * reuse the float slope); r² is derived in double from the same exact
+    * numerators (squaring inside DECIMAL would overflow 38 digits at
+    * scale). Each engine cross-checks its own regr_slope builtin in-plan
+    * (bound-as-data), so a hash match certifies builtin == textbook. */
+  private def regrFit(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    val agg = Sources.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x.cast("decimal(18,2)")).as("sx"),
+        sum(y.cast("decimal(18,2)")).as("sy"),
+        sum((x * y).cast("decimal(28,4)")).as("sxy"),
+        sum((x * x).cast("decimal(28,4)")).as("sxx"),
+        sum((y * y).cast("decimal(28,4)")).as("syy"),
+        expr("regr_slope(l_extendedprice, l_quantity)").as("slope_builtin"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+    val icptNum = (col("sy") * col("sxx") - col("sx") * col("sxy"))
+      .cast("double")
+    val slope = num / dx
+    agg.select(col("l_returnflag"), col("n"),
+        round(slope, 6).as("slope"),
+        round(icptNum / dx, 6).as("intercept"),
+        round(num * num / (dx * dy), 6).as("r2"),
+        (abs(col("slope_builtin") - slope) < lit(1e-6))
+          .as("builtin_matches_exact"))
+      .orderBy("l_returnflag")
+  }
+
   /** RANGE window frame over event time (vs w_running_total's ROWS
     * frame): each event's count of same-user events in the trailing hour.
     * The frame is VALUE-bounded, so ties in the order column all join the
@@ -399,6 +436,30 @@ object OperatorQueries extends QueryGroup {
         |  abs(corr_builtin - CAST(n * sxy - sx * sy AS DOUBLE)
         |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
         |         * CAST(n * syy - sy * sy AS DOUBLE))) < 1e-6
+        |    AS builtin_matches_exact
+        |FROM a ORDER BY l_returnflag""".stripMargin)),
+    QueryDef("a_regr_fit", regrFit, Some(
+      """WITH a AS (SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS sxy,
+        |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS sxx,
+        |    SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4)))
+        |      AS syy,
+        |    regr_slope(l_extendedprice, l_quantity) AS slope_builtin
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS intercept,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      * CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |       * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2,
+        |  abs(slope_builtin - CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE)) < 1e-6
         |    AS builtin_matches_exact
         |FROM a ORDER BY l_returnflag""".stripMargin)),
     QueryDef("p_json_extract", jsonExtract, Some(

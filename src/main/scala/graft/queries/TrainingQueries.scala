@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Packing, Pretrain, Splits, TextAnalysis}
+import graft.ext.{Bpe, Packing, Pretrain, Splits, TextAnalysis}
 import graft.io.Sources
 
 /** Training-data pipeline operators beyond the round-2 surface: sequence
@@ -149,9 +149,42 @@ object TrainingQueries extends QueryGroup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** BPE training, round 1 (ext/Bpe): weighted adjacent-pair counts over the
+    * char-split word table — the per-round aggregate the trainer argmaxes.
+    * Verifying the pair statistic cross-engine pins the half of BPE that IS
+    * SQL-expressible; the iterative merge loop itself is spec-verified
+    * against an independent sequential reimplementation (BpeSpec). Top 50
+    * under a total order, so ties can't flap the cut. */
+  private def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val wc = Bpe.wordCounts(Sources.table(s, dir, "documents"))
+    wc.select(col("cnt"),
+        explode(Bpe.adjacentPairs(Bpe.initTokens(col("word")))).as("p"))
+      .groupBy(col("p.a").as("pa"), col("p.b").as("pb"))
+      .agg(sum(col("cnt")).cast("bigint").as("pair_cnt"))
+      .orderBy(col("pair_cnt").desc, col("pa").asc, col("pb").asc)
+      .limit(50)
+  }
+
+  private val bpePairsOracle: String =
+    s"""WITH d AS (SELECT
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents)
+       |, w AS (SELECT word
+       |    FROM (SELECT unnest(string_split(norm, ' ')) AS word FROM d)
+       |    WHERE regexp_full_match(word, '[a-z]+'))
+       |, pos AS (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM w)
+       |, p AS (SELECT substring(word, i, 1) AS pa,
+       |    CASE WHEN i < length(word) THEN substring(word, i + 1, 1)
+       |         ELSE '${Bpe.Eow}' END AS pb
+       |  FROM pos)
+       |SELECT pa, pb, CAST(COUNT(*) AS BIGINT) AS pair_cnt
+       |FROM p GROUP BY pa, pb
+       |ORDER BY pair_cnt DESC, pa ASC, pb ASC LIMIT 50""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("pipeline_pretrain", pipelinePretrain,
       Some(pipelinePretrainOracle)),
+    QueryDef("text_bpe_pairs", bpePairs, Some(bpePairsOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("f_stratified_sample", stratifiedSample,
       Some(stratifiedSampleOracle)),
