@@ -13,13 +13,16 @@ import org.apache.spark.sql.types._
   * IMAGES decode for real: [[decodeImages]] runs JDK `javax.imageio`
   * (PNG/JPEG, zero external codecs) inside the mapPartitions boundary —
   * actual raster width/height, features average-pooled from actual pixels.
-  * Audio/video stay behind the STUB boundary ([[decodeStub]]: deterministic
-  * fake features from the bytes — this environment ships no a/v codecs); a
-  * production deployment swaps `fakeDecode` for a JNI/codec call without
-  * touching the plan shape. Both decoders share one output schema, so
-  * everything downstream (resize plan, frame sampling, the feature→ANN
-  * chain) is agnostic to which produced the frame. (The reference has no
-  * media path at all; this is a north-star extension per BASELINE.json.)
+  * AUDIO decodes for real too: [[decodeAudio]] runs JDK
+  * `javax.sound.sampled` over WAV/PCM bytes — actual sample rate, channel
+  * count, frame length, features from actual amplitudes. VIDEO stays
+  * behind the STUB boundary ([[decodeStub]]: deterministic fake features
+  * from the bytes — the JDK ships no video codec); a production deployment
+  * swaps `fakeDecode` for a JNI/codec call without touching the plan
+  * shape. The decoders share output shape conventions, so everything
+  * downstream (resize plan, frame sampling, the feature→ANN chain) is
+  * agnostic to which produced the frame. (The reference has no media path
+  * at all; this is a north-star extension per BASELINE.json.)
   *
   * Scale notes: payload bytes stay columnar parquet-binary end to end; the
   * decoder is a narrow mapPartitions (no shuffle); metadata-only queries
@@ -194,6 +197,120 @@ object Multimodal {
               band += 1
             }
             Row(id, modality, w, h, 1, feats.toSeq)
+          }
+        }
+      }(enc)
+  }
+
+  private val decodedAudioSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("modality", StringType),
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_samples", IntegerType),
+    StructField("feature", ArrayType(FloatType)),
+  ))
+
+  /** Synthetic 8-bit mono PCM WAV (hand-rolled RIFF container — the format
+    * is public and 44 bytes of header): 8 equal time bands, each holding a
+    * constant amplitude from the same cubic seed-mix as [[syntheticPng]]
+    * (affine-in-band rules would make every seed's vector near-collinear).
+    * Constant bands mean a real decoder's per-band amplitude mean recovers
+    * each value EXACTLY, so an external oracle can predict the
+    * sample-derived features arithmetically. */
+  def syntheticWav(seed: Long): Array[Byte] = {
+    val s = java.lang.Math.floorMod(seed, 256L * 256L)
+    val sampleRate = 8000 * ((s % 3) + 1).toInt
+    val bandLen = (((s % 5) + 2) * 100).toInt
+    val n = 8 * bandLen
+    val out = new java.io.ByteArrayOutputStream(44 + n)
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("RIFF".getBytes("US-ASCII")); le32(36 + n)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1) /* PCM */ ; le16(1) /* mono */
+    le32(sampleRate); le32(sampleRate) /* byteRate */ ; le16(1); le16(8)
+    out.write("data".getBytes("US-ASCII")); le32(n)
+    var band = 0
+    while (band < 8) {
+      val v = (((s * s + 1) * (band * band * band + 7) + s * 91 + band * 41)
+        % 256).toInt
+      var i = 0
+      while (i < bandLen) { out.write(v); i += 1 }
+      band += 1
+    }
+    out.toByteArray
+  }
+
+  /** A media table of synthetic WAVs (executor-side generation, same
+    * boundary as [[syntheticImageMedia]]). */
+  def syntheticAudioMedia(ids: DataFrame, idCol: String = "doc_id",
+                          seedMod: Long = 0L): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType), StructField("wav", BinaryType)))
+    val enc = RowEncoder.encoderFor(schema)
+    val raw = graft.io.Sources
+      .scatter(ids.select(col(idCol).cast("long").as("media_id")))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val seed = if (seedMod > 0) java.lang.Math.floorMod(id, seedMod)
+                     else id
+          Row(id, syntheticWav(seed))
+        }
+      }(enc)
+    asMedia(raw, "media_id", "wav", "audio")
+  }
+
+  /** REAL audio decode — JDK `javax.sound.sampled`, no external codecs.
+    * WAV/PCM bytes → actual format metadata (sample rate, channels, frame
+    * count) plus an 8-dim feature vector: mean amplitude over 8 equal time
+    * bands (8-bit unsigned PCM → exact small integers through double, the
+    * same bit-reproducibility contract as [[decodeImages]]). Undecodable
+    * or null payloads yield a null-metadata row, never an exception — one
+    * corrupt object must not kill a 100 TB scan. Tail samples beyond the
+    * last full band fold into band 7 (n is a multiple of 8 for the
+    * synthetic fixtures, so the fixture bands are exact). */
+  def decodeAudio(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(decodedAudioSchema)
+    graft.io.Sources.scatter(media.select("media_id", "modality", "content"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0); val modality = r.getString(1)
+          val bytes = r.getAs[Array[Byte]]("content")
+          val decoded =
+            if (bytes == null) null
+            else
+              try {
+                val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                val fmt = in.getFormat
+                val data = in.readAllBytes()
+                (fmt.getSampleRate.toInt, fmt.getChannels,
+                  in.getFrameLength.toInt, data)
+              } catch { case scala.util.control.NonFatal(_) => null }
+          if (decoded == null) Row(id, modality, null, null, null, null)
+          else {
+            val (rate, ch, nFrames, data) = decoded
+            val n = data.length
+            val feats = new Array[Float](8)
+            if (n > 0) {
+              val bandLen = n / 8
+              var band = 0
+              while (band < 8) {
+                val i0 = band * bandLen
+                val i1 = if (band == 7) n else (band + 1) * bandLen
+                var sum = 0.0d; var i = i0
+                while (i < i1) { sum += (data(i) & 0xff); i += 1 }
+                feats(band) = if (i1 == i0) 0f else (sum / (i1 - i0)).toFloat
+                band += 1
+              }
+            }
+            Row(id, modality, rate, ch, nFrames, feats.toSeq)
           }
         }
       }(enc)

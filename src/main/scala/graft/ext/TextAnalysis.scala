@@ -154,6 +154,76 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("tok"), col("tfidf"))
   }
 
+  /** Sparse TF-IDF cosine document similarity via an INVERTED-INDEX
+    * expansion — the classic IR sparse-vector shape, complementary to the
+    * dense-embedding LSH path in [[Similarity]]: candidate pairs come from
+    * shared TERMS, so two docs are compared iff they share vocabulary.
+    *
+    * Scale design:
+    *   - vocabulary pruning (df ≤ maxDf) bounds every posting list, making
+    *     in-list pair expansion O(maxDf²) per term — the same
+    *     bucket-bounded candidate discipline as the LSH paths; common
+    *     terms carry no discrimination (idf → 0) and are dropped whole.
+    *   - the weight matrix is consumed ONCE: df and per-doc norms ride
+    *     along as window aggregates (no branch-and-rejoin, nothing to
+    *     persist), and norms travel inside the postings so the dot-product
+    *     aggregate needs no norm join afterwards.
+    *   - weights are INTEGER (tf · round(ln(N/df)·scale)): dot products
+    *     and norms are exact BIGINT sums, so the result is independent of
+    *     accumulation order — float dot products would differ between
+    *     engines/partitionings because addition is not associative. The
+    *     only float ops (sqrt, final divide) happen once per pair on
+    *     identical integers. Bound: |w| ≤ tf·ln(N)·scale must stay well
+    *     under 2^31.5 so w² sums fit BIGINT — scale=10⁴ leaves tf·ln(N)
+    *     headroom of ~3·10⁵, far above any real document.
+    *   - ranked on the ROUNDED cosine (4 dp) with a total (doc_a, doc_b)
+    *     tie-break — the cross-engine ordering contract. */
+  def sparseCosinePairs(docs: DataFrame, idCol: String = "doc_id",
+      maxDf: Int = 50, scale: Int = 10000, minCosine: Double = 0.30)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = broadcast(docs.agg(count(lit(1)).cast("double").as("_n")))
+    val tf = scatter(docs.select(col(idCol), normalize(col("text"))
+        .as("norm")))
+      .select(col(idCol), explode(tokens(col("norm"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val wts = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("tok"))))
+      .filter(col("df") <= maxDf)
+      .crossJoin(n)
+      .select(col(idCol), col("tok"), col("df"),
+        (col("tf") * round(log(col("_n") / col("df")) * scale))
+          .cast("long").as("w"))
+      .withColumn("n2",
+        sum(col("w") * col("w")).over(Window.partitionBy(col(idCol))))
+    val postings = wts.filter(col("df") >= 2)
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_list(
+        struct(col(idCol).as("id"), col("w").as("w"), col("n2").as("n2"))))
+        .as("ps"))
+    val dots = postings
+      .select(explode(expr(
+        """transform(ps, (p, i) -> named_struct(
+          |  'id_a', p.id, 'w_a', p.w, 'n2_a', p.n2,
+          |  'rest', slice(ps, i + 2, size(ps))))""".stripMargin)).as("x"))
+      .select(col("x.id_a").as("doc_a"), col("x.w_a").as("w_a"),
+        col("x.n2_a").as("n2_a"), explode(col("x.rest")).as("q"))
+      .select(col("doc_a"), col("q.id").as("doc_b"),
+        (col("w_a") * col("q.w")).as("wprod"),
+        col("n2_a"), col("q.n2").as("n2_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wprod")).as("dot"),
+        max(col("n2_a")).as("n2_a"), max(col("n2_b")).as("n2_b"))
+    dots
+      .select(col("doc_a"), col("doc_b"),
+        round(col("dot").cast("double") /
+          (sqrt(col("n2_a").cast("double")) *
+           sqrt(col("n2_b").cast("double"))), 4).as("cosine"))
+      .filter(col("cosine") >= minCosine)
+      .orderBy(col("cosine").desc, col("doc_a").asc, col("doc_b").asc)
+  }
+
   /** Rolling-hash fingerprint: min-md5 over char shingles (winnowing-style
     * representative hash; equal fingerprints ⇒ shared rare shingle). */
   def fingerprint(docs: DataFrame, idCol: String = "doc_id", k: Int = 8,

@@ -512,6 +512,36 @@ object ExtensionQueries extends QueryGroup {
        |FROM documents ORDER BY media_id""".stripMargin
   }
 
+  /** REAL WAV decode via JDK javax.sound (Multimodal.decodeAudio): format
+    * metadata and band-mean amplitudes from actually-decoded PCM samples;
+    * the oracle predicts every field arithmetically from the synthetic
+    * generator's closed form (constant amplitude bands survive the
+    * encode/decode round trip exactly). */
+  private def multimodalDecodeAudio(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.ext.Multimodal.syntheticAudioMedia(
+      docs(s, dir).select("doc_id"), "doc_id")
+    graft.ext.Multimodal.decodeAudio(media)
+      .select(Seq(col("media_id"), col("sample_rate"), col("channels"),
+        col("n_samples")) ++
+        (0 until 8).map(i =>
+          element_at(col("feature"), i + 1).cast("int").as(s"f$i")): _*)
+      .orderBy("media_id")
+  }
+
+  private val multimodalDecodeAudioOracle: String = {
+    val feats = (0 until 8).map { i =>
+      val ci = i * i * i + 7
+      s"CAST(((doc_id * doc_id + 1) * $ci + doc_id * 91 + ${i * 41}) % 256" +
+        s" AS INTEGER) AS f$i"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id AS media_id,
+       |  CAST(8000 * ((doc_id % 3) + 1) AS INTEGER) AS sample_rate,
+       |  CAST(1 AS INTEGER) AS channels,
+       |  CAST(8 * ((doc_id % 5) + 2) * 100 AS INTEGER) AS n_samples,
+       |  $feats
+       |FROM documents ORDER BY media_id""".stripMargin
+  }
+
   /** decode→ANN chain on PIXEL-derived features: ids sharing doc_id % 50
     * carry identical PNGs, so their decoded vectors are identical and the
     * banded sign-LSH + cosine≥0.98 path must surface them (plus any
@@ -646,6 +676,8 @@ object ExtensionQueries extends QueryGroup {
       Some(multimodalNearDupOracle)),
     QueryDef("multimodal_decode_image", multimodalDecodeImage,
       Some(multimodalDecodeImageOracle)),
+    QueryDef("multimodal_decode_audio", multimodalDecodeAudio,
+      Some(multimodalDecodeAudioOracle)),
     QueryDef("multimodal_neardup_px", multimodalNearDupPx,
       Some(multimodalNearDupPxOracle)),
     QueryDef("multimodal_meta", multimodalMeta, Some(

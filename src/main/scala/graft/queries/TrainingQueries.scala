@@ -181,10 +181,51 @@ object TrainingQueries extends QueryGroup {
        |FROM p GROUP BY pa, pb
        |ORDER BY pair_cnt DESC, pa ASC, pb ASC LIMIT 50""".stripMargin
 
+  /** Sparse TF-IDF cosine pairs via the inverted index (ext/TextAnalysis
+    * .sparseCosinePairs). Constants are shared with the oracle below so the
+    * engines can never disagree about the pruning/rounding contract. */
+  private val CosMaxDf = 50
+  private val CosScale = 10000
+  private val CosMin = 0.30
+  private def sparseCosine(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.sparseCosinePairs(Sources.table(s, dir, "documents"),
+      maxDf = CosMaxDf, scale = CosScale, minCosine = CosMin)
+
+  private val sparseCosineOracle: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents)
+       |, tf AS (SELECT doc_id, tok, COUNT(*) AS tf
+       |    FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+       |          FROM d)
+       |    WHERE length(tok) > 0 GROUP BY doc_id, tok)
+       |, nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+       |, wts AS (SELECT doc_id, tok, df,
+       |      CAST(tf * round(ln(n_docs / df) * $CosScale) AS BIGINT) AS w
+       |    FROM (SELECT *, COUNT(*) OVER (PARTITION BY tok) AS df FROM tf),
+       |         nn
+       |    WHERE df <= $CosMaxDf)
+       |, norms AS (SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2
+       |    FROM wts GROUP BY doc_id)
+       |, dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |      CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+       |    FROM wts a JOIN wts b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |    GROUP BY doc_a, doc_b)
+       |SELECT * FROM (
+       |  SELECT doc_a, doc_b,
+       |    round(dot / (sqrt(CAST(na.n2 AS DOUBLE))
+       |               * sqrt(CAST(nb.n2 AS DOUBLE))), 4) AS cosine
+       |  FROM dots
+       |  JOIN norms na ON dots.doc_a = na.doc_id
+       |  JOIN norms nb ON dots.doc_b = nb.doc_id)
+       |WHERE cosine >= $CosMin
+       |ORDER BY cosine DESC, doc_a ASC, doc_b ASC""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("pipeline_pretrain", pipelinePretrain,
       Some(pipelinePretrainOracle)),
     QueryDef("text_bpe_pairs", bpePairs, Some(bpePairsOracle)),
+    QueryDef("sim_sparse_cosine", sparseCosine, Some(sparseCosineOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("f_stratified_sample", stratifiedSample,
       Some(stratifiedSampleOracle)),

@@ -132,6 +132,21 @@ class PlanSpec extends SparkSpec {
       "per-key limit must run map-side before the exchange")
   }
 
+  test("sparse-cosine query plans without a driver-side data job") {
+    // N rides as a lazy broadcast 1-row aggregate; building the full
+    // inverted-index pipeline must add no jobs over a bare documents scan.
+    def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val j0 = jobs
+    graft.io.Sources.table(spark, dir, "documents")
+    val scanJobs = jobs - j0
+    val j1 = jobs
+    val df = SparkEntry.queries("sim_sparse_cosine")(spark, dir)
+    val queryJobs = jobs - j1
+    assert(df != null)
+    assert(queryJobs <= scanJobs,
+      s"query construction ran $queryJobs job(s) vs $scanJobs for a bare scan")
+  }
+
   test("sign-LSH query plans without a driver-side data job") {
     // sign-LSH previously probed dims via head() at plan-construction time.
     // spark.read.parquet itself runs a fixed footer/schema job, so measure

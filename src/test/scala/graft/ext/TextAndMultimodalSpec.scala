@@ -106,6 +106,48 @@ class TextAndMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("real javax.sound decode: WAV round trip recovers the generation rule") {
+    // off-Spark first: the hand-rolled RIFF container must be readable by
+    // the JDK decoder with the exact synth parameters
+    for (seed <- Seq(0L, 1L, 7L, 49L, 255L)) {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(Multimodal.syntheticWav(seed)))
+      assert(in.getFormat.getSampleRate.toInt == 8000 * ((seed % 3) + 1))
+      assert(in.getFormat.getChannels == 1)
+      assert(in.getFrameLength == 8 * ((seed % 5) + 2) * 100)
+    }
+    // and through the Spark boundary: format + band means exactly the
+    // arithmetic the oracle predicts
+    val ids = (0L until 20L).toDF("doc_id")
+    val decoded = Multimodal.decodeAudio(
+        Multimodal.syntheticAudioMedia(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    (0L until 20L).foreach { id =>
+      val r = decoded(id)
+      assert(r.getAs[Int]("sample_rate") == 8000 * ((id % 3) + 1))
+      assert(r.getAs[Int]("channels") == 1)
+      assert(r.getAs[Int]("n_samples") == 8 * ((id % 5) + 2) * 100)
+      val f = r.getSeq[Float](r.fieldIndex("feature"))
+      (0 until 8).foreach { i =>
+        val expected = ((id * id + 1) * (i * i * i + 7) + id * 91 + i * 41) % 256
+        assert(f(i) == expected.toFloat, s"id=$id band=$i got ${f(i)}")
+      }
+    }
+  }
+
+  test("audio decode: corrupt and null payloads yield null-metadata rows") {
+    val junk = Seq(
+      (1L, "audio", "definitely not RIFF".getBytes("UTF-8")),
+      (2L, "audio", null.asInstanceOf[Array[Byte]]),
+      (3L, "audio", Multimodal.syntheticWav(3L)),
+    ).toDF("media_id", "modality", "content")
+    val out = Multimodal.decodeAudio(junk).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).isNullAt(out(1L).fieldIndex("sample_rate")))
+    assert(out(2L).isNullAt(out(2L).fieldIndex("sample_rate")))
+    assert(out(3L).getAs[Int]("sample_rate") == 8000) // seed 3 → 3%3=0
+  }
+
   test("real decode: corrupt and null payloads yield null-metadata rows") {
     val junk = Seq(
       (1L, "image", "not a png at all".getBytes("UTF-8")),
