@@ -106,6 +106,55 @@ object EngineQueries extends QueryGroup {
           .as("approx_within_5pct"))
       .orderBy("event_type")
 
+  /** Count-Min point-frequency estimates over the user_id key: the sketch
+    * is a fixed d×w long matrix with element-wise merge, so the exchange
+    * moves one array per partition — frequency point queries on a 100 TB
+    * high-cardinality key without a corpus-wide key shuffle. Probe keys
+    * are plan literals, so their cell indices are computed once in Scala
+    * and the estimate is a codegen'd element_at chain. Both CMS
+    * guarantees ride as data: estimates never undercount, and overcount
+    * stays within ⌈e·N/w⌉ (deterministic for fixed hashes); DuckDB
+    * supplies the exact counts and literal TRUEs. */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+  private val CmsProbeKeys = Seq(-1L, 1L, 17L, 41L, 89L, 149L)
+
+  private def cmsCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cms = new graft.functions.CountMinSketch(CmsDepth, CmsWidth)
+    val events = Sources.table(s, dir, "events")
+    val sketch = events.agg(udaf(cms).apply(col("user_id")).as("cms"),
+      count(lit(1)).as("n_total"))
+    val probes = CmsProbeKeys.map(k => (k, cms.probeIndices(k)))
+      .toDF("user_id", "idxs")
+    val exact = events.filter(col("user_id").isin(CmsProbeKeys: _*))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("exact_cnt"))
+    probes.join(exact, Seq("user_id"), "left")
+      .na.fill(0L, Seq("exact_cnt"))
+      .crossJoin(broadcast(sketch))
+      .withColumn("est",
+        expr("array_min(transform(idxs, i -> element_at(cms, i + 1)))"))
+      .select(col("user_id"), col("exact_cnt"),
+        (col("est") >= col("exact_cnt")).as("no_undercount"),
+        (col("est") <= col("exact_cnt") +
+          ceil(lit(math.E) * col("n_total") / lit(CmsWidth)))
+          .as("within_eps_bound"))
+      .orderBy("user_id")
+  }
+
+  private val cmsCountsOracle: String = {
+    val values = CmsProbeKeys.sorted
+      .map(k => s"(CAST($k AS BIGINT))").mkString(", ")
+    s"""WITH probes(user_id) AS (VALUES $values),
+       |c AS (SELECT user_id, COUNT(*) AS exact_cnt FROM events
+       |      GROUP BY user_id)
+       |SELECT p.user_id, CAST(COALESCE(c.exact_cnt, 0) AS BIGINT)
+       |    AS exact_cnt,
+       |  TRUE AS no_undercount, TRUE AS within_eps_bound
+       |FROM probes p LEFT JOIN c ON p.user_id = c.user_id
+       |ORDER BY p.user_id""".stripMargin
+  }
+
   /** Two-pass exact heavy hitters: a Misra-Gries sketch (bounded memory,
     * map-side mergeable — functions/FrequentItems) proposes ≤ k candidate
     * values, then one exact pass over just those candidates recovers true
@@ -348,6 +397,7 @@ object EngineQueries extends QueryGroup {
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
         |       TRUE AS approx_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    QueryDef("a_cms_counts", cmsCounts, Some(cmsCountsOracle)),
     QueryDef("a_heavy_hitters", heavyHitters, Some(
       s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events WHERE event_type IS NOT NULL GROUP BY event_type
