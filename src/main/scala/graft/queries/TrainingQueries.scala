@@ -221,11 +221,76 @@ object TrainingQueries extends QueryGroup {
        |WHERE cosine >= $CosMin
        |ORDER BY cosine DESC, doc_a ASC, doc_b ASC""".stripMargin
 
+  /** Self-trained bigram surprisal per document — the LM-based quality
+    * signal (CCNet-style perplexity filtering, public knowledge): low mean
+    * surprisal ⇒ repetitive/templated text, high ⇒ rare constructions.
+    * The model is the corpus's own bigram table; every observed bigram has
+    * c12 ≥ 1 so no smoothing branch exists to diverge on.
+    *
+    * Determinism: per-bigram surprisal is SCALED-INTEGER
+    * (round(ln(c1/c12)·10⁶)), so per-doc totals are exact BIGINT sums —
+    * independent of accumulation order, the same trick as
+    * sim_sparse_cosine. The only float ops are one ln per bigram TYPE and
+    * one final division per doc.
+    *
+    * Scale: bigram rows shuffle once to build the model; the scoring join
+    * re-partitions by the same (w1, w2) key, so the exchange is reusable;
+    * c1 rides the model via a window, never a second corpus pass. */
+  private def bigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Sources.scatter(Sources.table(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokens(TextAnalysis.normalize(col("text")))
+            .as("toks")))
+      .filter(size(col("toks")) >= 2)
+    val pairs = base
+      .select(col("doc_id"), explode(Bpe.adjacentPairs(col("toks"))).as("p"))
+      .select(col("doc_id"), col("p.a").as("w1"), col("p.b").as("w2"))
+    val model = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .withColumn("c1",
+        sum(col("c12")).over(Window.partitionBy(col("w1"))))
+      .withColumn("sps",
+        round(log(col("c1").cast("double") / col("c12")) * 1e6)
+          .cast("long"))
+      .select(col("w1"), col("w2"), col("sps"))
+    pairs.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("sps")).as("surprisal_scaled"))
+      .withColumn("avg_surprisal",
+        round(col("surprisal_scaled") / col("n_bigrams") / 1e6, 6))
+      .orderBy("doc_id")
+  }
+
+  private val bigramSurprisalOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |, t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+      |        WHERE len(string_split(norm, ' ')) >= 2)
+      |, p AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |          FROM t))
+      |, m AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY w1, w2)
+      |, ms AS (SELECT w1, w2,
+      |    CAST(round(ln(CAST(SUM(c12) OVER (PARTITION BY w1) AS DOUBLE)
+      |                  / c12) * 1000000) AS BIGINT) AS sps
+      |  FROM m)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(sps) AS BIGINT) AS surprisal_scaled,
+      |  round(CAST(SUM(sps) AS DOUBLE) / COUNT(*) / 1000000, 6)
+      |    AS avg_surprisal
+      |FROM p JOIN ms USING (w1, w2)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("pipeline_pretrain", pipelinePretrain,
       Some(pipelinePretrainOracle)),
     QueryDef("text_bpe_pairs", bpePairs, Some(bpePairsOracle)),
     QueryDef("sim_sparse_cosine", sparseCosine, Some(sparseCosineOracle)),
+    QueryDef("text_bigram_surprisal", bigramSurprisal,
+      Some(bigramSurprisalOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("f_stratified_sample", stratifiedSample,
       Some(stratifiedSampleOracle)),
