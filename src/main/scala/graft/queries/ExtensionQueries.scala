@@ -512,6 +512,32 @@ object ExtensionQueries extends QueryGroup {
        |FROM documents ORDER BY media_id""".stripMargin
   }
 
+  /** Cross-document repeated-span mining: char shingles occurring in ≥ 2
+    * distinct documents, ranked by spread — the candidate-discovery step
+    * of exact-substring dedup (Lee et al. 2022's "deduplicating training
+    * data" shape, restricted to fixed-length spans so it is one
+    * hash-aggregate instead of a suffix array). Same shingle grain as the
+    * MinHash path, so the oracle reuses its CTE arithmetic; top-100 under
+    * a total order. */
+  private def dedupRepeatedSpans(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charShingles(docs(s, dir), "doc_id", 8, 4)
+      .groupBy(col("shingle"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc,
+        col("shingle").asc)
+      .limit(100)
+
+  private val dedupRepeatedSpansOracle: String =
+    dCte + shCte +
+      """SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        |FROM sh GROUP BY shingle
+        |HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, n_occurrences DESC, shingle ASC
+        |LIMIT 100""".stripMargin
+
   /** REAL WAV decode via JDK javax.sound (Multimodal.decodeAudio): format
     * metadata and band-mean amplitudes from actually-decoded PCM samples;
     * the oracle predicts every field arithmetically from the synthetic
@@ -678,6 +704,8 @@ object ExtensionQueries extends QueryGroup {
       Some(multimodalDecodeImageOracle)),
     QueryDef("multimodal_decode_audio", multimodalDecodeAudio,
       Some(multimodalDecodeAudioOracle)),
+    QueryDef("dedup_repeated_spans", dedupRepeatedSpans,
+      Some(dedupRepeatedSpansOracle)),
     QueryDef("multimodal_neardup_px", multimodalNearDupPx,
       Some(multimodalNearDupPxOracle)),
     QueryDef("multimodal_meta", multimodalMeta, Some(

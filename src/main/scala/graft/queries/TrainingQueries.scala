@@ -233,9 +233,14 @@ object TrainingQueries extends QueryGroup {
     * sim_sparse_cosine. The only float ops are one ln per bigram TYPE and
     * one final division per doc.
     *
-    * Scale: bigram rows shuffle once to build the model; the scoring join
-    * re-partitions by the same (w1, w2) key, so the exchange is reusable;
-    * c1 rides the model via a window, never a second corpus pass. */
+    * Scale: the model is Heaps-law bounded (bigram TYPES, not tokens) —
+    * Catalyst broadcasts it here, so the scoring side never exchanges at
+    * all; past the broadcast threshold the shuffle join keys on exactly
+    * the (w1, w2) partitioning the model aggregate produced. c1 rides the
+    * model via a window, never a second corpus pass. The corpus-side pair
+    * subtree is evaluated for both the model build and the scoring pass —
+    * in a real deployment the model is trained ONCE and persisted as an
+    * artifact; re-deriving it in-query keeps this self-contained. */
   private def bigramSurprisal(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Sources.scatter(Sources.table(s, dir, "documents")
@@ -284,6 +289,46 @@ object TrainingQueries extends QueryGroup {
       |FROM p JOIN ms USING (w1, w2)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Domain mixing weights: per-source token shares and the resampling
+    * weight that would equalize source contributions (uniform target; any
+    * target vector is the same arithmetic). The global totals ride as
+    * window aggregates OVER the per-source frame — cardinality = #sources,
+    * so the single-partition window costs nothing at any corpus scale and
+    * the corpus itself is scanned exactly once. All ratios are single
+    * divisions of exact BIGINTs (identical doubles in both engines). */
+  private def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSource = Sources.scatter(Sources.table(s, dir, "documents")
+        .select(col("source"),
+          size(TextAnalysis.tokens(TextAnalysis.normalize(col("text"))))
+            .cast("long").as("n_toks")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val w = Window.partitionBy()
+    perSource
+      .withColumn("total_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("total_tokens"), 6).as("token_share"),
+        round(col("total_tokens") / (col("k") * col("n_tokens")), 6)
+          .as("mix_weight"))
+      .orderBy("source")
+  }
+
+  private val mixWeightsOracle: String =
+    """WITH t AS (SELECT source,
+      |    len(string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+      |        'g')), ' ')) AS n_toks
+      |  FROM documents)
+      |, s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM t GROUP BY source)
+      |SELECT source, n_docs, n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE)
+      |      / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) AS token_share,
+      |  round(CAST(SUM(n_tokens) OVER () AS DOUBLE)
+      |      / CAST(COUNT(*) OVER () * n_tokens AS DOUBLE), 6) AS mix_weight
+      |FROM s ORDER BY source""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("pipeline_pretrain", pipelinePretrain,
       Some(pipelinePretrainOracle)),
@@ -291,6 +336,7 @@ object TrainingQueries extends QueryGroup {
     QueryDef("sim_sparse_cosine", sparseCosine, Some(sparseCosineOracle)),
     QueryDef("text_bigram_surprisal", bigramSurprisal,
       Some(bigramSurprisalOracle)),
+    QueryDef("f_mix_weights", mixWeights, Some(mixWeightsOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("f_stratified_sample", stratifiedSample,
       Some(stratifiedSampleOracle)),
