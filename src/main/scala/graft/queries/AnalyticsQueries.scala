@@ -107,8 +107,92 @@ object AnalyticsQueries extends QueryGroup {
       |           THEN ts_ms END) AS first_purchase_ms
       |FROM s2 GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Exponentially-weighted moving average of daily play counts per type:
+    * the trend-smoothing signal monitoring dashboards chart. Half-life
+    * decay (α = 1/2 per day) over a 14-day horizon — beyond 13 days a
+    * weight is < 2⁻¹³ of today's and is cut.
+    *
+    * Shape: ONE shuffle builds the daily grain; the decayed sum is a RANGE
+    * window (value-bounded on the epoch-day key, so missing days weight
+    * correctly — a ROWS frame would mis-date gaps) collecting ≤ 14
+    * (day, count) structs, folded by a codegen'd HOF. No self-join, no
+    * second exchange.
+    *
+    * Cross-engine exactness: weights are 1/2ᵏ via integer shift-left and
+    * one division — exact dyadic rationals, so every term and the ≤14-term
+    * sum are exact IEEE doubles in any engine and any addition order (no
+    * pow(), whose last-bit rounding libm does not guarantee). */
+  private def ewma(s: SparkSession, dir: String): DataFrame = {
+    val daily = Sources.table(s, dir, "events")
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01"))
+          .cast("long").as("d"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rangeBetween(-13, Window.currentRow)
+    daily
+      .withColumn("hist",
+        collect_list(struct(col("d").as("hd"), col("cnt").as("hc"))).over(w))
+      .select(col("event_type"), col("d"),
+        expr("""aggregate(hist, cast(0.0 as double), (acc, h) ->
+                |  acc + h.hc / cast(shiftleft(1L, cast(d - h.hd as int))
+                |                    as double))""".stripMargin).as("ewma"))
+      .orderBy("event_type", "d")
+  }
+
+  private val ewmaOracle: String =
+    """WITH daily AS (SELECT event_type,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+      |    CAST(COUNT(*) AS DOUBLE) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT c.event_type, c.d,
+      |  SUM(h.cnt / CAST(1 << (c.d - h.d) AS DOUBLE)) AS ewma
+      |FROM daily c JOIN daily h
+      |  ON c.event_type = h.event_type
+      | AND h.d BETWEEN c.d - 13 AND c.d
+      |GROUP BY c.event_type, c.d
+      |ORDER BY c.event_type, c.d""".stripMargin
+
+  /** Market-basket co-occurrence: part pairs ordered together, with
+    * support ≥ 2 orders — the item-item signal collaborative filtering
+    * starts from.
+    *
+    * Scale: the naive formulation (the oracle's self-join on order key)
+    * shuffles the fact table TWICE and materializes every comparison.
+    * Here one shuffle builds sorted per-order baskets, pair expansion is
+    * a narrow codegen'd HOF bounded by C(basket, 2) — baskets are
+    * naturally small (TPC-H ≤ 7 items; a production variant caps the
+    * basket at top-N items, the standard guard) — and the pair count is
+    * map-side combinable. Sorting inside the basket gives p1 < p2 without
+    * a distinct pass. */
+  private def copurchase(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), y ->
+          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc)
+
+  private val copurchaseOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+      |       CAST(COUNT(*) AS BIGINT) AS n_orders
+      |FROM li a JOIN li b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |ORDER BY n_orders DESC, p1 ASC, p2 ASC""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("t_gap_fill", gapFill, Some(gapFillOracle)),
     QueryDef("f_funnel_stages", funnel, Some(funnelOracle)),
+    QueryDef("t_ewma_daily", ewma, Some(ewmaOracle)),
+    QueryDef("g_copurchase_pairs", copurchase, Some(copurchaseOracle)),
   )
 }

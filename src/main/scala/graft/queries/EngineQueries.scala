@@ -218,6 +218,31 @@ object EngineQueries extends QueryGroup {
         concat(lit("hot_"), (col("user_id") % 2).cast("string")))
       .otherwise(concat(lit("cold_"), col("event_id").cast("string")))
 
+  /** EXACT distinct counting via bitmap aggregation — the third point on
+    * the cardinality trade-off curve next to exact Expand
+    * (a5_a7_hourly_agg) and approximate HLL (a_approx_distinct): exact
+    * like the former, mergeable-fixed-state like the latter. Each key is
+    * mapped to (bucket, bit position); per (group, bucket) a 4 KB bitmap
+    * is OR-merged (map-side combinable, state size independent of row
+    * count), and the group's distinct count is the sum of its buckets'
+    * popcounts. Dense-integer keys — exactly a user_id dimension — hit
+    * few buckets, so at 100 TB this counts distincts exactly with
+    * bounded aggregation state and no Expand blow-up. Ids shift by +1:
+    * the bit-position mapping is defined for POSITIVE inputs and the
+    * fixture's ids start at 0 (the shift is a bijection, so the count is
+    * unchanged). */
+  private def bitmapDistinct(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        expr("bitmap_bucket_number(user_id + 1)").as("bkt"),
+        expr("bitmap_bit_position(user_id + 1)").as("pos"))
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .groupBy(col("event_type"))
+      .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_users"))
+      .orderBy("event_type")
+
   /** Window frame: per-user running play count ordered by time (ROWS
     * UNBOUNDED PRECEDING — the frame spec surface the reference never
     * uses). Tie-broken by event_id for a total order. */
@@ -398,6 +423,11 @@ object EngineQueries extends QueryGroup {
         |       TRUE AS approx_within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     QueryDef("a_cms_counts", cmsCounts, Some(cmsCountsOracle)),
+    QueryDef("a_bitmap_distinct", bitmapDistinct, Some(
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS n_users
+        |FROM events WHERE user_id IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
     QueryDef("a_heavy_hitters", heavyHitters, Some(
       s"""SELECT event_type, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM events WHERE event_type IS NOT NULL GROUP BY event_type

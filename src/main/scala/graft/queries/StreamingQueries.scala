@@ -114,6 +114,27 @@ object StreamingQueries extends QueryGroup {
         |       MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
         |       COUNT(*) AS n_events
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    // The native operator ACTUALLY STREAMING: same result contract as
+    // sessionize_native (same oracle), but computed through the streaming
+    // session-state store — tumbling, sliding, and session windows all
+    // have a real-stream entry.
+    QueryDef("streaming_sessions",
+      (s, dir) => StreamingKpis.runSessionsAvailableNow(s, dir), Some(
+      """WITH o AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |b AS (SELECT user_id, ts_ms,
+        |        CASE WHEN ts_ms - lag(ts_ms) OVER
+        |               (PARTITION BY user_id ORDER BY ts_ms) >= 1800000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM o),
+        |s AS (SELECT user_id, ts_ms,
+        |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |          ROWS UNBOUNDED PRECEDING) AS session_no
+        |      FROM b)
+        |SELECT user_id,
+        |       MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
+        |       COUNT(*) AS n_events
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_start_ms""".stripMargin)),
     QueryDef("sessionize_native", sessionsNative, Some(
       """WITH o AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
         |b AS (SELECT user_id, ts_ms,

@@ -175,6 +175,31 @@ object StreamingKpis {
       .orderBy("win_start_ms", "event_type")
   }
 
+  /** SESSION event-time windows as a real stream: the same native
+    * session_window operator as the batch sessionize_native query, run
+    * through the streaming state store (merging-session state, not
+    * fixed-window state). Complete mode keeps every closed-and-open
+    * session in the sink so the AvailableNow run returns exactly the
+    * batch answer; a production run uses append + watermark and emits
+    * each session once it can no longer grow. Window end is
+    * last-event + gap by definition, so the last EVENT time is
+    * end − gap. */
+  def runSessionsAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val gapMs = 30 * 60 * 1000L
+    val q = eventStream(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.format("memory").queryName("graft_streaming_sessions")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("graft_streaming_sessions")
+      .select(col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        (unix_millis(col("w.end")) - lit(gapMs)).as("session_end_ms"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_ms")
+  }
+
   /** Run the streaming query over everything currently in `dir` and return
     * the final result table (memory sink, complete mode). */
   def runAvailableNow(spark: SparkSession, dir: String): DataFrame = {
