@@ -147,6 +147,32 @@ class PlanSpec extends SparkSpec {
       s"query construction ran $queryJobs job(s) vs $scanJobs for a bare scan")
   }
 
+  test("co-purchase pairs: basket expansion, not a fact self-join") {
+    val p = plan(SparkEntry.queries("g_copurchase_pairs")(spark, dir))
+    assert(!p.contains("Join"),
+      s"pair expansion must come from the basket HOF, not a self-join:\n$p")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"lineitem must be scanned once, got $scans:\n$p")
+  }
+
+  test("EWMA: range-window fold, no self-join on the daily grain") {
+    val p = plan(SparkEntry.queries("t_ewma_daily")(spark, dir))
+    assert(!p.contains("Join"),
+      s"decayed sum must be a window fold, not the oracle's self-join:\n$p")
+    assert(p.contains("RangeFrame, -13"),
+      s"horizon must be a value-bounded RANGE frame:\n$p")
+  }
+
+  test("bitmap exact-distinct avoids the Expand multi-distinct shape") {
+    val p = plan(SparkEntry.queries("a_bitmap_distinct")(spark, dir))
+    assert(!p.contains("Expand"),
+      s"bitmap path must not expand rows per distinct column:\n$p")
+    // the fixed-size bitmap state must OR-merge map-side — that partial
+    // combine is what bounds the exchange at 100 TB
+    assert(p.contains("partial_bitmap_construct_agg"),
+      s"bitmap build must combine map-side:\n$p")
+  }
+
   test("sign-LSH query plans without a driver-side data job") {
     // sign-LSH previously probed dims via head() at plan-construction time.
     // spark.read.parquet itself runs a fixed footer/schema job, so measure
