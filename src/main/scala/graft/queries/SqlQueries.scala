@@ -114,9 +114,68 @@ object SqlQueries extends QueryGroup {
       |       TRUE AS merged_within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Recursive CTE (Spark 4): ancestor closure of a decimal-decade key
+    * hierarchy — the adjacency-walk shape warehouses run for org charts,
+    * category trees, and BOM explosion. Spark's recursion is UNION ALL
+    * form; it terminates here because the parent step is strictly
+    * monotone (k div 10 < k), giving log-depth recursion where every
+    * level is one narrow projection of the previous — a shape that
+    * survives any table size. Cyclic graphs (connected components) stay
+    * with the iterative min-label operator: UNION-distinct recursion is
+    * not in Spark yet, and `dedup_clusters` already pins that twin
+    * against DuckDB's recursive closure. */
+  private def recursiveHierarchy(s: SparkSession, dir: String): DataFrame = {
+    val c = view(s, dir, "customer")
+    s.sql(
+      s"""WITH RECURSIVE anc(custkey, ancestor, depth) AS (
+         |  SELECT c_custkey, c_custkey DIV 10, 1
+         |  FROM $c WHERE c_custkey > 0
+         |  UNION ALL
+         |  SELECT custkey, ancestor DIV 10, depth + 1 FROM anc
+         |  WHERE ancestor > 0)
+         |SELECT custkey, ancestor, depth FROM anc
+         |ORDER BY custkey, depth""".stripMargin)
+  }
+
+  private val recursiveOracle: String =
+    """WITH RECURSIVE anc(custkey, ancestor, depth) AS (
+      |  SELECT c_custkey, c_custkey // 10, 1
+      |  FROM customer WHERE c_custkey > 0
+      |  UNION ALL
+      |  SELECT custkey, ancestor // 10, depth + 1 FROM anc
+      |  WHERE ancestor > 0)
+      |SELECT custkey, ancestor, depth FROM anc
+      |ORDER BY custkey, depth""".stripMargin
+
+  /** SQL pipe syntax (Spark 4): the linear dataflow dialect — FROM
+    * |> EXTEND |> AGGREGATE |> WHERE |> ORDER BY reads top-to-bottom in
+    * execution order instead of inside-out. Parses to exactly the plan
+    * of the nested form (the oracle's HAVING formulation), so the
+    * surface costs nothing; the post-AGGREGATE WHERE is the HAVING
+    * equivalent. */
+  private def pipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    val e = view(s, dir, "events")
+    s.sql(
+      s"""FROM $e
+         ||> EXTEND CAST(CAST(ts AS DATE) AS STRING) AS date
+         ||> AGGREGATE COUNT(*) AS plays GROUP BY date, event_type
+         ||> WHERE plays >= 5
+         ||> SELECT date, event_type, plays
+         ||> ORDER BY date, event_type""".stripMargin)
+  }
+
+  private val pipeOracle: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date, event_type,
+      |       COUNT(*) AS plays
+      |FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 5
+      |ORDER BY date, event_type""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q_subqueries", subqueries, Some(subqueriesOracle)),
     QueryDef("j_lateral_top2", lateralTop2, Some(lateralOracle)),
     QueryDef("a_hll_merge_daily", hllMergeDaily, Some(hllMergeOracle)),
+    QueryDef("q_recursive_hierarchy", recursiveHierarchy,
+      Some(recursiveOracle)),
+    QueryDef("q_pipe_syntax", pipeSyntax, Some(pipeOracle)),
   )
 }

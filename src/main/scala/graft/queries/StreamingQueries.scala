@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.io.Sources
 import graft.streaming.{Sessionize, StreamingKpis}
 
-/** Streaming parity queries: the Structured Streaming hourly counts must
-  * equal the equivalent batch aggregation (DuckDB computes the batch twin),
-  * and gap-based sessionization is checked in its batch-window formulation
-  * (the streaming flatMapGroupsWithState twin is asserted equal in
-  * SessionizeSpec). */
+/** Streaming parity queries: each Structured Streaming query must equal
+  * the equivalent batch aggregation (DuckDB computes the batch twin).
+  * Every window family has a real-stream entry — tumbling
+  * (streaming_hourly_counts), sliding (streaming_sliding_counts), and
+  * session (streaming_sessions) — plus gap sessionization in its batch
+  * formulation (the flatMapGroupsWithState custom-state twin is asserted
+  * equal in SessionizeSpec). */
 object StreamingQueries extends QueryGroup {
 
   private def hourly(s: SparkSession, dir: String): DataFrame =

@@ -241,7 +241,12 @@ object TrainingQueries extends QueryGroup {
     * subtree is evaluated for both the model build and the scoring pass —
     * in a real deployment the model is trained ONCE and persisted as an
     * artifact; re-deriving it in-query keeps this self-contained. */
-  private def bigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+  private def bigramSurprisal(s: SparkSession, dir: String): DataFrame =
+    docSurprisal(s, dir).orderBy("doc_id")
+
+  /** Per-doc surprisal scores, unordered (shared by the reporting query
+    * and the percentile gate). */
+  private def docSurprisal(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = Sources.scatter(Sources.table(s, dir, "documents")
         .select(col("doc_id"),
@@ -265,8 +270,56 @@ object TrainingQueries extends QueryGroup {
         sum(col("sps")).as("surprisal_scaled"))
       .withColumn("avg_surprisal",
         round(col("surprisal_scaled") / col("n_bigrams") / 1e6, 6))
+  }
+
+  /** CCNet-style perplexity-bucket gate: per SOURCE, keep the
+    * low-surprisal half of documents (the "head/middle" cut — templated
+    * and fluent text stays, rare-construction tails go to review). The
+    * cut is an exact discrete median via row_number against the doubled
+    * rank (rn·2 ≤ n+1 keeps ⌈n/2⌉), not percentile interpolation — ties
+    * break on doc_id so the kept set is identical in any engine and
+    * under any partitioning. One source-keyed exchange serves both the
+    * rank and the count. */
+  private def surprisalGate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docSurprisal(s, dir).join(
+      Sources.table(s, dir, "documents").select("doc_id", "source"),
+      Seq("doc_id"))
+    val bySource = Window.partitionBy(col("source"))
+    val ranked = scored
+      .withColumn("rn", row_number().over(
+        bySource.orderBy(col("avg_surprisal").asc, col("doc_id").asc)))
+      .withColumn("n", count(lit(1)).over(bySource))
+    ranked.filter(col("rn") * 2 <= col("n") + 1)
+      .select("doc_id", "source", "avg_surprisal")
       .orderBy("doc_id")
   }
+
+  private val surprisalGateOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |, t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+      |        WHERE len(string_split(norm, ' ')) >= 2)
+      |, p AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |          FROM t))
+      |, m AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY w1, w2)
+      |, ms AS (SELECT w1, w2,
+      |    CAST(round(ln(CAST(SUM(c12) OVER (PARTITION BY w1) AS DOUBLE)
+      |                  / c12) * 1000000) AS BIGINT) AS sps
+      |  FROM m)
+      |, sc AS (SELECT doc_id,
+      |    round(CAST(SUM(sps) AS DOUBLE) / COUNT(*) / 1000000, 6)
+      |      AS avg_surprisal
+      |  FROM p JOIN ms USING (w1, w2) GROUP BY doc_id)
+      |, r AS (SELECT sc.doc_id, doc.source, sc.avg_surprisal,
+      |    row_number() OVER (PARTITION BY doc.source
+      |      ORDER BY sc.avg_surprisal ASC, sc.doc_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY doc.source) AS n
+      |  FROM sc JOIN documents doc USING (doc_id))
+      |SELECT doc_id, source, avg_surprisal FROM r
+      |WHERE rn * 2 <= n + 1 ORDER BY doc_id""".stripMargin
 
   private val bigramSurprisalOracle: String =
     """WITH d AS (SELECT doc_id,
@@ -336,6 +389,8 @@ object TrainingQueries extends QueryGroup {
     QueryDef("sim_sparse_cosine", sparseCosine, Some(sparseCosineOracle)),
     QueryDef("text_bigram_surprisal", bigramSurprisal,
       Some(bigramSurprisalOracle)),
+    QueryDef("text_surprisal_gate", surprisalGate,
+      Some(surprisalGateOracle)),
     QueryDef("f_mix_weights", mixWeights, Some(mixWeightsOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("f_stratified_sample", stratifiedSample,
