@@ -29,6 +29,8 @@ object SparkEntry {
     SequenceQueries,
     QualityQueries,
     IncrementalQueries,
+    SketchQueries,
+    GraphQueries,
   )
 
   private val all: Seq[QueryDef] = groups.flatMap(_.defs)

@@ -189,8 +189,56 @@ object AnalyticsQueries extends QueryGroup {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
       |ORDER BY n_orders DESC, p1 ASC, p2 ASC""".stripMargin
 
+  /** 2-D skyline (Pareto frontier) of parts: cheapest-for-their-size
+    * parts — no other part is both ≤ price and ≥ size with one strict.
+    * The multi-objective "best tradeoff" query (Börzsönyi et al. 2001,
+    * "The Skyline Operator") that naive SQL answers with an O(n²)
+    * NOT EXISTS self-join.
+    *
+    * Here the 2-D case collapses to a sort-sweep, expressed declaratively:
+    * group per price (max size per price group), one running-max window
+    * over the price-ordered group table, then a semi-join back. A point
+    * survives iff it holds its price group's max size AND beats the max
+    * size of every strictly cheaper group. The fact table is scanned
+    * once; the window runs over DISTINCT PRICES (already aggregated, ≪
+    * rows); the join back is a broadcast of the tiny frontier-candidate
+    * table. The sweep provably equals the NOT EXISTS definition (checked
+    * against it in DuckDB; ties on both dims survive on both sides —
+    * neither dominates without a strict inequality). */
+  private def skylinePareto(s: SparkSession, dir: String): DataFrame = {
+    val pts = Sources.table(s, dir, "part")
+      .filter(col("p_retailprice").isNotNull && col("p_size").isNotNull)
+      .select(col("p_partkey"), col("p_retailprice").as("price"),
+        col("p_size").as("size"))
+    val gm = pts.groupBy(col("price")).agg(max(col("size")).as("gm"))
+    val w = Window.orderBy(col("price").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = gm.withColumn("prev_max", max(col("gm")).over(w))
+      .filter(col("prev_max").isNull || col("gm") > col("prev_max"))
+    pts.join(broadcast(frontier), Seq("price"))
+      .filter(col("size") === col("gm"))
+      .select(col("p_partkey"), col("price"), col("size"))
+      .orderBy(col("price").asc, col("p_partkey").asc)
+  }
+
+  private val skylineOracle: String =
+    """WITH g AS (SELECT p_retailprice AS price, MAX(p_size) AS gm
+      |  FROM part
+      |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+      |  GROUP BY 1),
+      |r AS (SELECT price, gm, MAX(gm) OVER (ORDER BY price
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |        AS prev_max
+      |      FROM g)
+      |SELECT p.p_partkey, p.p_retailprice AS price, p.p_size AS size
+      |FROM part p JOIN r ON p.p_retailprice = r.price
+      |WHERE p.p_size = r.gm
+      |  AND (r.prev_max IS NULL OR p.p_size > r.prev_max)
+      |ORDER BY price, p.p_partkey""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("t_gap_fill", gapFill, Some(gapFillOracle)),
+    QueryDef("t_skyline_pareto", skylinePareto, Some(skylineOracle)),
     QueryDef("f_funnel_stages", funnel, Some(funnelOracle)),
     QueryDef("t_ewma_daily", ewma, Some(ewmaOracle)),
     QueryDef("g_copurchase_pairs", copurchase, Some(copurchaseOracle)),

@@ -586,7 +586,35 @@ object ExtensionQueries extends QueryGroup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Sorted-neighborhood dedup candidates (see
+    * [[graft.ext.Dedup.sortedNeighborhoodPairs]]): the key-locality
+    * blocking family, complementing MinHash-LSH (content overlap) and
+    * SimHash banding (bit similarity). */
+  private def dedupSnm(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.sortedNeighborhoodPairs(
+      docs(s, dir).select(col("doc_id"), col("text")))
+
+  private val dedupSnmOracle: String =
+    """WITH d AS (SELECT doc_id, text, substr(text, 1, 12) AS k,
+      |    substr(text, 1, 4) AS blk FROM documents),
+      |w AS (SELECT doc_id, text, k, blk,
+      |    lead(doc_id, 1) OVER (PARTITION BY blk ORDER BY k, doc_id) AS id1,
+      |    lead(text, 1) OVER (PARTITION BY blk ORDER BY k, doc_id) AS t1,
+      |    lead(doc_id, 2) OVER (PARTITION BY blk ORDER BY k, doc_id) AS id2,
+      |    lead(text, 2) OVER (PARTITION BY blk ORDER BY k, doc_id) AS t2
+      |  FROM d),
+      |p AS (SELECT doc_id AS doc_a, id1 AS doc_b,
+      |        levenshtein(substr(text, 1, 40), substr(t1, 1, 40)) AS dist
+      |      FROM w WHERE id1 IS NOT NULL
+      |      UNION ALL
+      |      SELECT doc_id, id2,
+      |        levenshtein(substr(text, 1, 40), substr(t2, 1, 40))
+      |      FROM w WHERE id2 IS NOT NULL)
+      |SELECT doc_a, doc_b, CAST(dist AS INTEGER) AS dist
+      |FROM p WHERE dist <= 12 ORDER BY doc_a, doc_b""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("dedup_snm_pairs", dedupSnm, Some(dedupSnmOracle)),
     QueryDef("dedup_exact_groups", dedupExact, Some(
       """SELECT md5(text) AS content_hash, COUNT(*) AS copies,
         |       MIN(doc_id) AS keep_id

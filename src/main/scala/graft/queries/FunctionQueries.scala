@@ -195,7 +195,40 @@ object FunctionQueries extends QueryGroup {
       |  CASE WHEN event_id % 2 = 0 THEN NULL ELSE props END AS props
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** Ordered string aggregation (LISTAGG / string_agg): the distinct
+    * ship months per (returnflag, linestatus), high-quantity lines only,
+    * concatenated in order — the report-formatting aggregate every SQL
+    * dialect grew its own syntax for.
+    *
+    * Determinism is the whole trick: collect_set carries no order, so the
+    * array is sorted BEFORE joining — the result is a pure function of
+    * the set, not of partitioning. Scale: distinct-months-per-group is
+    * bounded (≤ #months in the data), so the collected arrays stay tiny
+    * even when the fact table does not; the distinct pre-aggregate is
+    * map-side combinable. */
+  private def listaggMonths(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sort_array(collect_set(col("ym"))).as("yms"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        array_join(col("yms"), ",").as("months"),
+        size(col("yms")).cast("long").as("n_months"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val listaggMonthsOracle: String =
+    """WITH d AS (SELECT DISTINCT l_returnflag, l_linestatus,
+      |    strftime(l_shipdate, '%Y-%m') AS ym
+      |  FROM lineitem WHERE l_quantity >= 49)
+      |SELECT l_returnflag, l_linestatus,
+      |  string_agg(ym, ',' ORDER BY ym) AS months,
+      |  CAST(COUNT(*) AS BIGINT) AS n_months
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("o_listagg_months", listaggMonths, Some(listaggMonthsOracle)),
     QueryDef("o_union_evolve", unionEvolve, Some(unionEvolveOracle)),
     QueryDef("p_string_funcs", stringFuncs, Some(stringFuncsOracle)),
     QueryDef("p_date_funcs", dateFuncs, Some(dateFuncsOracle)),

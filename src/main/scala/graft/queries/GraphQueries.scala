@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Graph-shape analytics over the co-purchase graph (parts linked when
+  * ordered together in ≥ 2 orders — the `g_copurchase_pairs` edge set):
+  * triangle counting, the classic "can your join engine do graphs"
+  * benchmark and the basis of clustering-coefficient / community
+  * features.
+  */
+object GraphQueries extends QueryGroup {
+
+  /** Per-node triangle participation counts, by degree-ordered edge
+    * orientation (the node-iterator++ algorithm of Schank & Wagner 2005 /
+    * Suri & Vassilvitskii 2011 for MapReduce).
+    *
+    * Why not the naive three-way self-join the oracle runs: its wedge
+    * step fans out quadratically at hub nodes (a node of degree d spawns
+    * d² wedge candidates). Orienting every edge from its lower-(degree,
+    * id) endpoint to the higher one makes each triangle countable exactly
+    * once at its minimum vertex, and bounds every node's out-degree by
+    * O(√|E|) — the wedge join's fan-out becomes Σ outdeg² ≤ |E|^1.5
+    * instead of Σ deg², which is the difference between a night and a
+    * no-show at 100 TB edge scale. The orientation changes only the
+    * intermediate sizes, never the triangle set, so the id-ordered oracle
+    * hash-matches.
+    *
+    * Shape: one shuffle builds edges, one small aggregate builds degrees
+    * (broadcast back onto edges), the wedge join and the closing join
+    * both shuffle on edge keys; the closing join's probe side is the
+    * (bounded) wedge set. */
+  private def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    // Undirected edge set, canonical p1 < p2 — same as g_copurchase_pairs.
+    val edges = Sources.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), y ->
+          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+      .select(col("p1"), col("p2"))
+    val deg = edges.select(col("p1").as("node"))
+      .unionAll(edges.select(col("p2").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // Orient each edge from the lower (deg, id) endpoint to the higher;
+    // carry the destination's order key for the wedge comparison.
+    val e = edges
+      .join(broadcast(deg).withColumnRenamed("node", "p1")
+        .withColumnRenamed("deg", "d1"), Seq("p1"))
+      .join(broadcast(deg).withColumnRenamed("node", "p2")
+        .withColumnRenamed("deg", "d2"), Seq("p2"))
+      .select(
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          struct(col("p1").as("id"), col("d1").as("deg")))
+          .otherwise(struct(col("p2").as("id"), col("d2").as("deg")))
+          .as("src"),
+        when(struct(col("d1"), col("p1")) < struct(col("d2"), col("p2")),
+          struct(col("p2").as("id"), col("d2").as("deg")))
+          .otherwise(struct(col("p1").as("id"), col("d1").as("deg")))
+          .as("dst"))
+    // Wedges at the minimum vertex: two out-edges a→b, a→c with b < c in
+    // the same (deg, id) order; the triangle closes iff b→c is an edge.
+    val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = e.select(col("src").as("a2"), col("dst").as("c"))
+    val close = e.select(col("src.id").as("bi"), col("dst.id").as("ci"))
+    val tri = e1
+      .join(e2, col("a") === col("a2") &&
+        struct(col("b.deg"), col("b.id")) < struct(col("c.deg"), col("c.id")))
+      .join(close, col("b.id") === col("bi") && col("c.id") === col("ci"))
+      .select(col("a.id").as("na"), col("b.id").as("nb"), col("c.id").as("nc"))
+    tri.select(explode(array(col("na"), col("nb"), col("nc"))).as("p_partkey"))
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("p_partkey").asc)
+  }
+
+  private val triangleOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      |      FROM li a JOIN li b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |t AS (SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+      |      FROM e e1
+      |      JOIN e e2 ON e1.p2 = e2.p1
+      |      JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2),
+      |n AS (SELECT a AS node FROM t
+      |      UNION ALL SELECT b FROM t
+      |      UNION ALL SELECT c FROM t)
+      |SELECT node AS p_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |FROM n GROUP BY node
+      |ORDER BY n_triangles DESC, p_partkey ASC""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("g_triangle_count", triangleCount, Some(triangleOracle)),
+  )
+}

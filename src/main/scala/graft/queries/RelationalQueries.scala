@@ -59,6 +59,56 @@ object RelationalQueries extends QueryGroup {
       |WHERE r_name = 'ASIA'
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q10 shape: revenue lost to returned items per customer over
+    * one quarter, top 20 — the "who should the support team call" query,
+    * and the canonical selective-fact/ranked-dim report.
+    *
+    * Scale: the two selective predicates (order-date quarter, return
+    * flag) are pushed into their parquet scans BEFORE the join — the
+    * quarter keeps ~4% of orders and the flag a third of lineitem, so the
+    * orders⋈lineitem shuffle moves a small fraction of either table.
+    * Customer and nation are broadcast; revenue accumulates in DECIMAL
+    * (exact, order-independent) and the top-20 is a bounded TakeOrdered,
+    * never a global sort. */
+  private def q10ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val ord = Sources.table(s, dir, "orders")
+      .filter(col("o_orderdate").cast("date") >= lit("1996-01-01") &&
+        col("o_orderdate").cast("date") < lit("1996-04-01"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Sources.table(s, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(12,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(4,2)")).as("rev"))
+    val cust = Sources.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val nat = Sources.table(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+      .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue"))
+  }
+
+  private val q10Oracle: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE)
+      |    AS revenue
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+
   /** CDC merge-apply over the customer dimension: the day's change set
     * (derived deterministically from orders — latest order per customer
     * sets the new balance; every 7th key is a delete; every 11th key
@@ -261,6 +311,7 @@ object RelationalQueries extends QueryGroup {
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q5_star_join", q5StarJoin, Some(q5Oracle)),
+    QueryDef("q10_returned_items", q10ReturnedItems, Some(q10Oracle)),
     QueryDef("q18_top_orders", q18TopOrders, Some(q18Oracle)),
     QueryDef("etl_merge_apply", mergeApply, Some(mergeApplyOracle)),
     QueryDef("a_udaf_geomean", udafGeomean, Some(geomeanOracle)),

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Sources
+
+/** Statistical-sketch and information-theoretic operators: KMV distinct
+  * estimation (the deterministic, oracle-checkable sketch), Shannon
+  * entropy profiles, and a chi-square independence test — the
+  * distribution-monitoring surface a production pipeline runs next to its
+  * KPIs (drift detection, mix-shift alarms, cardinality tracking).
+  *
+  * Cross-engine exactness strategy (see [[QueryDef]]): every per-cell
+  * irrational (ln, a squared deviation ratio) is quantized to micro-units
+  * as BIGINT immediately, so all SUMs are exact integer arithmetic in any
+  * order and any engine; exactly one double division happens at the end.
+  */
+object SketchQueries extends QueryGroup {
+
+  private val KmvK = 64
+  // Hashes are the first 15 hex digits of md5 → uniform on [0, 16^15);
+  // 16^15 = 2^60, exactly representable as a double.
+  private val MaxHash = 1152921504606846976L
+
+  /** KMV distinct user-day estimate per event type, verified in-plan
+    * against the exact count (the bound-as-data pattern of
+    * `a_approx_distinct`). The key is the (user, epoch-day) composite —
+    * the "daily active entity" grain whose cardinality actually needs
+    * sketching at 100 TB — encoded as user_id·10⁶ + day so both engines
+    * hash the identical string.
+    *
+    * Unlike HLL, the KMV state — the k smallest distinct md5-derived
+    * hashes — is a pure function of the SET of keys: visit order,
+    * partitioning, and engine internals cannot change it, so DuckDB
+    * computes the identical sketch from the identical rows and the whole
+    * estimate hash-matches with no tolerance. The estimator is
+    * (k−1)·2⁶⁰ / h_k (Bar-Yossef et al.; rel. std. err ≈ 1/√(k−2) ≈ 13%
+    * at k=64); below k distincts the sketch IS the distinct set and the
+    * estimate is exact.
+    *
+    * Scale: the [[graft.functions.KmvSketch]] buffer is ≤ k longs,
+    * map-side combined and merged associatively — O(k) per partition
+    * through the exchange, where the exact twin (count_distinct) expands
+    * every distinct key. The exact column here is the verification twin
+    * at test SF, not part of the production recipe. */
+  private def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(KmvK), Encoders.scalaLong)
+    val key = (col("user_id") * lit(1000000L) +
+      datediff(col("ts").cast("date"), lit("1970-01-01"))).cast("long")
+    val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val est = when(size(col("mins")) < KmvK,
+        size(col("mins")).cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(MaxHash.toDouble) /
+        element_at(col("mins"), KmvK).cast("double"))
+    Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), h.as("h"))
+      .groupBy(col("event_type"))
+      .agg(kmv(col("h")).as("mins"),
+        count_distinct(col("h")).as("n_exact"))
+      .select(col("event_type"), col("n_exact"),
+        round(est, 4).as("est_kmv"),
+        (abs(est - col("n_exact")) <= lit(0.5) * col("n_exact"))
+          .as("within_bound"))
+      .orderBy("event_type")
+  }
+
+  private val kmvDistinctOracle: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |    ('0x' || substr(md5(CAST(CAST(user_id * 1000000
+       |        + (CAST(ts AS DATE) - DATE '1970-01-01') AS BIGINT)
+       |        AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+       |  FROM h),
+       |a AS (SELECT event_type, CAST(MAX(nd) AS BIGINT) AS n_exact,
+       |    CASE WHEN MAX(nd) < $KmvK THEN CAST(MAX(nd) AS DOUBLE)
+       |         ELSE ${KmvK - 1}.0 * $MaxHash /
+       |              CAST(MAX(CASE WHEN rn = $KmvK THEN h END) AS DOUBLE)
+       |    END AS est
+       |  FROM r GROUP BY event_type)
+       |SELECT event_type, n_exact, round(est, 4) AS est_kmv,
+       |       abs(est - n_exact) <= 0.5 * n_exact AS within_bound
+       |FROM a ORDER BY event_type""".stripMargin
+
+  /** Shannon entropy (nats) of the event-type mix per day-of-week — the
+    * mix-shift drift signal: a collapsing entropy means one event type is
+    * swallowing the distribution.
+    *
+    * H = ln(n) − Σ cᵢ·ln(cᵢ) / n, computed from integer counts with each
+    * ln quantized to micro-nats (BIGINT) first: the Σ is exact integer
+    * arithmetic — associative, order-free, engine-free — and exactly one
+    * double division happens at the end (the `text_bigram_surprisal`
+    * recipe). One narrow projection + two hash aggregates; nothing wide. */
+  private def entropyByDow(s: SparkSession, dir: String): DataFrame = {
+    def qln(c: org.apache.spark.sql.Column) =
+      round(log(c.cast("double")) * lit(1e6)).cast("long")
+    Sources.table(s, dir, "events")
+      .select((dayofweek(col("ts")) - lit(1)).as("dow"), col("event_type"))
+      .groupBy(col("dow"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("dow"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt") * qln(col("cnt"))).as("s"),
+        count(lit(1)).as("n_types"))
+      .select(col("dow"), col("n").as("n_events"), col("n_types"),
+        round((qln(col("n")) * col("n") - col("s")).cast("double") /
+          (col("n") * lit(1000000L)).cast("double"), 6).as("entropy_nats"))
+      .orderBy("dow")
+  }
+
+  private val entropyByDowOracle: String =
+    """WITH c AS (SELECT dayofweek(ts) AS dow, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |a AS (SELECT dow, SUM(cnt) AS n,
+      |    SUM(cnt * CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT))
+      |      AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types
+      |  FROM c GROUP BY dow)
+      |SELECT dow, CAST(n AS BIGINT) AS n_events, n_types,
+      |  round(CAST(CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) * n
+      |             - s AS DOUBLE)
+      |        / CAST(n * 1000000 AS DOUBLE), 6) AS entropy_nats
+      |FROM a ORDER BY dow""".stripMargin
+
+  /** Chi-square test of independence between event type and day-of-week —
+    * "is the event mix stable across the week?", the categorical-drift
+    * check run over every training-data refresh.
+    *
+    * Per-cell statistic from the contingency table: with o the observed
+    * count, r/c the margins and n the total,
+    * (o − r·c/n)²/(r·c/n) = (o·n − r·c)² / (n·r·c) — numerator and
+    * denominator are EXACT BIGINT products, each cast to double once;
+    * the per-cell term is then quantized to micro-units so the final sum
+    * is exact integer arithmetic (order-free across engines), divided
+    * back once. The margins come from windows over the tiny cell table
+    * (|types| × 7 rows), so the fact table is scanned exactly once. */
+  private def chiSquare(s: SparkSession, dir: String): DataFrame = {
+    val cells = Sources.table(s, dir, "events")
+      .select((dayofweek(col("ts")) - lit(1)).as("dow"), col("event_type"))
+      .groupBy(col("dow"), col("event_type"))
+      .agg(count(lit(1)).as("o"))
+    val wt = Window.partitionBy(col("event_type"))
+    val wd = Window.partitionBy(col("dow"))
+    val wa = Window.partitionBy()
+    val withMargins = cells
+      .withColumn("r", sum(col("o")).over(wt))
+      .withColumn("c", sum(col("o")).over(wd))
+      .withColumn("n", sum(col("o")).over(wa))
+    val a = (col("o") * col("n") - col("r") * col("c")).cast("double")
+    val term = a * a / (col("n") * col("r") * col("c")).cast("double")
+    withMargins
+      .select(col("dow"), col("event_type"), col("n"),
+        round(term * lit(1e6)).cast("long").as("q"))
+      .agg(
+        round(sum(col("q")).cast("double") / lit(1e6), 6).as("chi2"),
+        ((count_distinct(col("event_type")) - 1) *
+          (count_distinct(col("dow")) - 1)).as("dof"),
+        max(col("n")).as("n_events"))
+  }
+
+  private val chiSquareOracle: String =
+    """WITH cells AS (SELECT dayofweek(ts) AS dow, event_type,
+      |    CAST(COUNT(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT dow, event_type, o,
+      |    SUM(o) OVER (PARTITION BY event_type) AS r,
+      |    SUM(o) OVER (PARTITION BY dow) AS c,
+      |    SUM(o) OVER () AS n
+      |  FROM cells),
+      |t AS (SELECT n, CAST(round(
+      |      CAST(o * n - r * c AS DOUBLE) * CAST(o * n - r * c AS DOUBLE)
+      |        / CAST(n * r * c AS DOUBLE) * 1e6) AS BIGINT) AS q,
+      |    event_type, dow
+      |  FROM m)
+      |SELECT round(CAST(SUM(q) AS DOUBLE) / 1e6, 6) AS chi2,
+      |  CAST((COUNT(DISTINCT event_type) - 1)
+      |       * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof,
+      |  CAST(MAX(n) AS BIGINT) AS n_events
+      |FROM t""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("a_kmv_distinct", kmvDistinct, Some(kmvDistinctOracle)),
+    QueryDef("a_entropy_by_dow", entropyByDow, Some(entropyByDowOracle)),
+    QueryDef("a_chi_square", chiSquare, Some(chiSquareOracle)),
+  )
+}
