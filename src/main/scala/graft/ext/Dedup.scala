@@ -391,4 +391,62 @@ object Dedup {
     pairs.filter(col("dist") <= maxDist)
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (Chaudhuri et
+    * al. 2006 SSJoin / Bayardo et al. 2007 AllPairs): all document pairs
+    * with token-set Jaccard ≥ t/100 — no false negatives, unlike MinHash.
+    *
+    * The lossless trick: order every document's tokens by ONE global
+    * (frequency, token) order, rarest first. If Jaccard(x, y) ≥ t then
+    * x and y MUST share a token within their first
+    * Lₓ = |x| − ⌈t·|x|⌉ + 1 (resp. L_y) tokens — so exploding only that
+    * prefix and equi-joining on the token generates a candidate superset,
+    * and one exact |∩|·100 ≥ t·|∪| check (pure integers, no float
+    * boundary) finishes the job. Rare-first ordering makes prefix tokens
+    * the most selective ones, so candidate fan-out per token stays small.
+    *
+    * Scale: token frequencies are one hash-agg; per-doc sort is a narrow
+    * array op; the candidate join shuffles (token → doc pairs) with
+    * prefix-bounded fan-out; verification re-joins the (small) distinct
+    * candidate set to the token arrays. Nothing is all-pairs: the corpus
+    * quadratic never materializes — exactly the property that lets an
+    * exact near-dup pass run where brute force cannot. The verify step
+    * compares intersection/union sizes as integers, so the threshold
+    * behaves identically in every engine. */
+  def setSimilarityPairs(docs: DataFrame, t100: Int = 95): DataFrame = {
+    require(t100 > 0 && t100 <= 100, s"threshold must be in (0,100]: $t100")
+    val tok = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val ranked = tok.join(freq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("f"), col("tok"))))
+        .as("fts"))
+      .select(col("doc_id"), expr("transform(fts, s -> s.tok)").as("toks"))
+    // Lₓ = n − ⌈t·n⌉ + 1, in integer arithmetic (no float boundary):
+    // ⌈t100·n/100⌉ = (t100·n + 99) div 100
+    val n = size(col("toks"))
+    val prefLen = (n - expr(s"($t100 * size(toks) + 99) div 100") + lit(1))
+      .cast("int")
+    val prefix = ranked
+      .select(col("doc_id"), explode(slice(col("toks"), lit(1), prefLen))
+        .as("ptok"))
+    val cand = prefix.select(col("ptok"), col("doc_id").as("doc_a"))
+      .join(prefix.select(col("ptok"), col("doc_id").as("doc_b")), "ptok")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = ranked.select(col("doc_id"), col("toks"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        size(array_union(col("ta"), col("tb"))).cast("long").as("uni"))
+      .filter(col("inter") * lit(100L) >= lit(t100.toLong) * col("uni"))
+      .orderBy(col("doc_a").asc, col("doc_b").asc)
+  }
 }

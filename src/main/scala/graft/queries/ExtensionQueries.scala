@@ -613,8 +613,31 @@ object ExtensionQueries extends QueryGroup {
       |SELECT doc_a, doc_b, CAST(dist AS INTEGER) AS dist
       |FROM p WHERE dist <= 12 ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Exact set-similarity join (see
+    * [[graft.ext.Dedup.setSimilarityPairs]]): the prefix filter is
+    * LOSSLESS, so the oracle can be the brute-force all-pairs Jaccard
+    * definition — algorithm vs. definition, same result set. */
+  private def dedupSetSim(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.setSimilarityPairs(
+      docs(s, dir).select(col("doc_id"), col("text")))
+
+  private val dedupSetSimOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    list_distinct(list_filter(string_split(text, ' '),
+      |                              x -> len(x) > 0)) AS toks
+      |  FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+      |  CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT)
+      |    AS uni
+      |FROM d a JOIN d b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.toks, b.toks)) * 100 >=
+      |      95 * len(list_distinct(list_concat(a.toks, b.toks)))
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_snm_pairs", dedupSnm, Some(dedupSnmOracle)),
+    QueryDef("dedup_setsim_pairs", dedupSetSim, Some(dedupSetSimOracle)),
     QueryDef("dedup_exact_groups", dedupExact, Some(
       """SELECT md5(text) AS content_hash, COUNT(*) AS copies,
         |       MIN(doc_id) AS keep_id

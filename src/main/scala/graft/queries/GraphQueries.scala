@@ -99,7 +99,85 @@ object GraphQueries extends QueryGroup {
       |FROM n GROUP BY node
       |ORDER BY n_triangles DESC, p_partkey ASC""".stripMargin
 
+  /** Three PageRank iterations over the UNIPARTITE co-purchase graph —
+    * loop-structured in Spark (adding rounds changes no per-round plan),
+    * unrolled in the oracle. Complements `g_rank_propagation`
+    * (RelationalQueries), which pushes rank across the BIPARTITE
+    * customer↔supplier graph without per-round damping normalization.
+    * Ranks live in INTEGER parts-per-million (r₀ = 10⁶ per
+    * node), each step is r' = 150 000 + (850 000 · Σ ⌊r(u)/deg(u)⌋) / 10⁶
+    * with floor division throughout — every intermediate is an exact
+    * BIGINT, so Spark and the SQL oracle agree bit-for-bit with no float
+    * tolerance, unlike double-valued PageRank whose sum order is
+    * engine-dependent. (The quantization error vs. real PageRank is
+    * ≤ 1 ppm per edge per step — irrelevant for ranking.)
+    *
+    * Scale shape: the degree table joins onto edges ONCE; each iteration
+    * is contributions (narrow) → one shuffle on dst → join back to the
+    * rank table on the same key — the same partitioning reused every
+    * round, which is the property that makes iterated graph algorithms
+    * survive on a cluster. Symmetric edges mean no dangling mass. */
+  private def pagerankInt(s: SparkSession, dir: String): DataFrame = {
+    val und = Sources.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), y ->
+          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+    // symmetric directed edges; out-degree = undirected degree
+    val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(und.select(col("p2").as("src"), col("p1").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(deg, Seq("src"))
+    var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = withDeg
+        .join(rank, col("src") === col("node"))
+        .select(col("dst"), expr("r div deg").as("c")) // integer floor div
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("in_sum"))
+      rank = contrib.select(col("dst").as("node"),
+        (lit(150000L) + expr("(850000 * in_sum) div 1000000"))
+          .cast("long").as("r"))
+    }
+    rank.select(col("node").as("p_partkey"), col("r").as("rank_ppm"))
+      .orderBy(col("rank_ppm").desc, col("p_partkey").asc)
+  }
+
+  private val pagerankOracle: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |u AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      |      FROM li a JOIN li b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS (SELECT p1 AS src, p2 AS dst FROM u
+      |      UNION ALL SELECT p2, p1 FROM u),
+      |d AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+      |      FROM e GROUP BY src),
+      |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM d),
+      |r1 AS (SELECT e.dst AS node,
+      |         150000 + (850000 * SUM(r.r // d.deg)) // 1000000 AS r
+      |       FROM e JOIN d USING (src) JOIN r0 r ON r.node = e.src
+      |       GROUP BY e.dst),
+      |r2 AS (SELECT e.dst AS node,
+      |         150000 + (850000 * SUM(r.r // d.deg)) // 1000000 AS r
+      |       FROM e JOIN d USING (src) JOIN r1 r ON r.node = e.src
+      |       GROUP BY e.dst),
+      |r3 AS (SELECT e.dst AS node,
+      |         150000 + (850000 * SUM(r.r // d.deg)) // 1000000 AS r
+      |       FROM e JOIN d USING (src) JOIN r2 r ON r.node = e.src
+      |       GROUP BY e.dst)
+      |SELECT node AS p_partkey, CAST(r AS BIGINT) AS rank_ppm
+      |FROM r3 ORDER BY rank_ppm DESC, p_partkey ASC""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("g_triangle_count", triangleCount, Some(triangleOracle)),
+    QueryDef("g_pagerank_int", pagerankInt, Some(pagerankOracle)),
   )
 }

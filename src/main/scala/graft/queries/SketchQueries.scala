@@ -185,8 +185,58 @@ object SketchQueries extends QueryGroup {
       |  CAST(MAX(n) AS BIGINT) AS n_events
       |FROM t""".stripMargin
 
+  /** Weighted median: the price at which half the QUANTITY (not half the
+    * rows) has shipped, per return flag — the "median dollar" statistic
+    * that plain median misrepresents whenever weights skew.
+    *
+    * Lower weighted median by cumulative-weight crossing: order by price
+    * with a total tie-break, running weight sum (explicit ROWS frame —
+    * the default RANGE frame would lump price ties and overshoot), first
+    * row where 2·cum ≥ total. Weights are integer-valued quantities cast
+    * to BIGINT, so the crossing comparison is exact integer arithmetic in
+    * both engines. One sort per group, no self-join; at scale this is a
+    * single range-partitioned sort — the same cost as any quantile. */
+  private def weightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("price").asc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("l_returnflag"))
+    Sources.table(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("price"),
+        col("l_quantity").cast("long").as("qty"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("cum", sum(col("qty")).over(cumW))
+      .withColumn("total", sum(col("qty")).over(tot))
+      .filter(col("cum") * 2 >= col("total"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_returnflag"), col("price").as("wmedian_price"),
+        col("total").as("total_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  private val weightedMedianOracle: String =
+    """WITH r AS (SELECT l_returnflag, l_extendedprice AS price,
+      |    CAST(l_quantity AS BIGINT) AS qty,
+      |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+      |      PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(CAST(l_quantity AS BIGINT)) OVER (
+      |      PARTITION BY l_returnflag) AS total,
+      |    l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |f AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+      |        ORDER BY price ASC, l_orderkey ASC, l_linenumber ASC) AS rn
+      |      FROM r WHERE cum * 2 >= total)
+      |SELECT l_returnflag, price AS wmedian_price,
+      |       CAST(total AS BIGINT) AS total_qty
+      |FROM f WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("a_kmv_distinct", kmvDistinct, Some(kmvDistinctOracle)),
+    QueryDef("a_weighted_median", weightedMedian, Some(weightedMedianOracle)),
     QueryDef("a_entropy_by_dow", entropyByDow, Some(entropyByDowOracle)),
     QueryDef("a_chi_square", chiSquare, Some(chiSquareOracle)),
   )

@@ -84,6 +84,20 @@ object StreamingQueries extends QueryGroup {
         | AND i.event_type = 'view' AND c.event_type = 'click'
         | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 30 MINUTE
         |ORDER BY 1, 2, 3, 4""".stripMargin)),
+    // Streaming top-k per hour window: stateful windowed counts in the
+    // stream, bounded ranking on the complete sink (see
+    // StreamingKpis.runTopKAvailableNow).
+    QueryDef("streaming_topk_types",
+      (s, dir) => StreamingKpis.runTopKAvailableNow(s, dir), Some(
+      """WITH c AS (SELECT epoch_ms(date_trunc('hour', ts)) AS win_start_ms,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS plays
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY win_start_ms
+        |        ORDER BY plays DESC, event_type ASC) AS INTEGER) AS rk
+        |      FROM c)
+        |SELECT win_start_ms, event_type, plays, rk
+        |FROM r WHERE rk <= 3
+        |ORDER BY win_start_ms ASC, rk ASC""".stripMargin)),
     QueryDef("streaming_running_totals",
       (s, dir) => graft.streaming.RunningCounts.runAvailableNow(s, dir), Some(
       """SELECT user_id, CAST(count(*) AS BIGINT) AS total

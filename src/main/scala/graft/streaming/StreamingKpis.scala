@@ -213,4 +213,35 @@ object StreamingKpis {
     spark.table("graft_streaming_hourly")
       .orderBy("date", "hour", "event_type")
   }
+
+  /** Streaming top-k: the 3 busiest event types per hour window. Split
+    * where streaming semantics demand it: the STATEFUL part (windowed
+    * counts) runs through the streaming engine — bounded (window, type)
+    * state under the watermark — and the RANKING runs on the complete
+    * sink output, which is already aggregated (|windows|·|types| rows,
+    * data-volume-independent). Ranking inside the stream would need
+    * retractions per trigger; ranking the sink is the standard pattern
+    * and gives the identical final answer. */
+  def runTopKAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+    val counts = eventStream(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("plays"))
+      .select(unix_millis(col("window.start")).as("win_start_ms"),
+        col("event_type"), col("plays"))
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("graft_streaming_topk")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("win_start_ms"))
+      .orderBy(col("plays").desc, col("event_type").asc)
+    spark.table("graft_streaming_topk")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("win_start_ms").asc, col("rk").asc)
+  }
 }

@@ -61,6 +61,40 @@ class GraphSkylineSpec extends SparkSpec {
       "sweep skyline and NOT-EXISTS skyline disagree")
   }
 
+  test("prefix-filtered set-similarity join == brute-force all-pairs") {
+    import spark.implicits._
+    val docs = graft.io.Sources.table(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val fast = graft.ext.Dedup.setSimilarityPairs(docs, t100 = 95)
+    // brute force: all pairs, exact integer Jaccard check — the definition
+    val sets = docs.select(col("doc_id"),
+      array_distinct(filter(split(col("text"), " "), t => length(t) > 0))
+        .as("toks"))
+    val brute = sets.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+      .crossJoin(sets.select(col("doc_id").as("doc_b"), col("toks").as("tb")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        size(array_union(col("ta"), col("tb"))).cast("long").as("uni"))
+      .filter(col("inter") * 100 >= col("uni") * 95)
+    assert(fast.count() > 0, "no set-similar pairs at sf0.001")
+    assert(fast.exceptAll(brute).isEmpty && brute.exceptAll(fast).isEmpty,
+      "prefix filter dropped or invented pairs — it must be lossless")
+  }
+
+  test("integer PageRank: mass stays bounded and hubs outrank leaves") {
+    val pr = GraphQueries.defs.find(_.name == "g_pagerank_int").get
+      .fn(spark, dir).collect()
+    assert(pr.nonEmpty, "empty PageRank at sf0.001")
+    val ranks = pr.map(_.getLong(1))
+    // floor division only ever LOSES mass: mean rank ≤ 10⁶ ppm, and the
+    // damping floor keeps every rank ≥ 150 000 ppm
+    assert(ranks.forall(_ >= 150000L), "rank below the damping floor")
+    assert(ranks.sum <= ranks.length * 1000000L,
+      "integer PageRank created mass — floor division must only lose it")
+    assert(ranks.max > ranks.min, "degenerate rank vector")
+  }
+
   test("SNM pairs surface exact-prefix duplicates and respect the window") {
     val pairs = ExtensionQueries.defs.find(_.name == "dedup_snm_pairs").get
       .fn(spark, dir).collect()
