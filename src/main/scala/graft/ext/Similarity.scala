@@ -30,16 +30,17 @@ object Similarity {
   /** Local-then-global top-k: rank within (query, scan partition), keep k,
     * re-rank globally per query. Results identical to a single global
     * window, but the global step only sees survivors. */
-  private def twoPhaseTopK(scored: DataFrame, k: Int): DataFrame = {
+  private def twoPhaseTopK(scored: DataFrame, k: Int,
+                           scoreCol: String = "cosine"): DataFrame = {
     val local = Window
       .partitionBy(col("query_id"), spark_partition_id())
-      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .orderBy(col(scoreCol).desc, col("vec_id").asc)
     val global = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .orderBy(col(scoreCol).desc, col("vec_id").asc)
     scored
       .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= k)
       .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("cosine"))
+      .select(col("query_id"), col("rank"), col("vec_id"), col(scoreCol))
   }
 
   /** Aggregator-based top-k: one shuffle, map-side partial top-k — each
@@ -109,6 +110,54 @@ object Similarity {
         ((h(0) & 0xff) % 2) * 2 - 1
       }
     }
+  }
+
+  /** SQ8 scalar quantization: each vector is L2-normalized and its
+    * components rounded to int8 range [-127, 127]. At 100 TB of
+    * embeddings this is THE storage/IO lever — the quantized corpus is 4×
+    * smaller than float32 (and 8× smaller than the promoted doubles),
+    * which is the difference between an in-memory scan and a spilling
+    * one; distances become exact BIGINT integer arithmetic, so scores are
+    * bitwise-stable under any partitioning or retry (no float reduction-
+    * order drift) and SIMD-friendly on the executor. Quantization itself
+    * is a narrow codegen'd map, computed once at write time in a real
+    * deployment.
+    *
+    * Determinism contract: the fold order of the norm (left-to-right over
+    * the array), the round-half-up `floor(x/l2*127 + 0.5)`, and the
+    * float→double promotion are each IEEE-exact and identically ordered
+    * in Spark and the DuckDB oracle, so the quantized codes — and hence
+    * every downstream integer score — match bitwise across engines. */
+  def sq8Quantize(emb: DataFrame, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val l2 = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
+    emb.select(
+      col(idCol),
+      when(l2 === 0.0d, expr(s"transform(cast($vecCol as array<double>), x -> 0L)"))
+        .otherwise(transform(v, x =>
+          floor(x / l2 * lit(127.0d) + lit(0.5d)).cast("long")))
+        .as("qv"))
+  }
+
+  /** SQ8 brute-force top-k: rank candidates by the integer dot product of
+    * int8 codes (≈ 127² × cosine). Same two-phase ranking as
+    * [[bruteForceTopK]], but the score is exact BIGINT — no rounding
+    * contract needed for cross-engine stability. Recall vs the float
+    * exact scan is pinned in Sq8Spec. */
+  def sq8TopK(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val q = broadcast(sq8Quantize(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("qv").as("qq")))
+    val c = scatter(sq8Quantize(corpus, idCol, vecCol)
+      .select(col(idCol).as("vec_id"), col("qv").as("cq")))
+    val scored = c.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot_q",
+        aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+    twoPhaseTopK(scored, k, scoreCol = "dot_q")
   }
 
   /** Random-hyperplane (sign) LSH signatures: `planes` deterministic

@@ -87,4 +87,34 @@ class SimilaritySpec extends SparkSpec {
     assert(sigs == again)          // deterministic across runs
     assert(sigs(7L) == sigs(999L)) // identical vectors share every plane sign
   }
+
+  test("sq8Quantize: codes are int8-ranged; zero vector maps to all zeros") {
+    val withZero = corpus.union(
+      Seq((998L, 0, Array.fill(16)(0.0f))).toDF("vec_id", "label", "embedding"))
+    val codes = Similarity.sq8Quantize(withZero)
+      .select($"vec_id", $"qv").as[(Long, Seq[Long])].collect().toMap
+    codes.values.foreach(qv =>
+      qv.foreach(q => assert(q >= -127L && q <= 127L, s"code out of range: $q")))
+    assert(codes(998L).forall(_ == 0L))
+    // a unit-norm direction survives quantization at full scale
+    assert(codes.values.exists(_.exists(q => math.abs(q) > 64L)))
+  }
+
+  test("sq8TopK: identical vector ranks first; recall@5 vs exact >= 0.8") {
+    val dup = Seq((999L, 0, randVec(7))).toDF("vec_id", "label", "embedding")
+    val all = corpus.union(dup)
+    val top = Similarity.sq8TopK(all.filter($"vec_id" === 7L), all)
+      .filter($"rank" === 1).head()
+    assert(top.getAs[Long]("vec_id") == 999L)
+
+    val queries = corpus.filter($"vec_id" < 10)
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").as[(Long, Long)]
+        .collect().groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    val exact = topSets(Similarity.bruteForceTopK(queries, corpus, k = 5))
+    val sq8 = topSets(Similarity.sq8TopK(queries, corpus, k = 5))
+    val recall = exact.map { case (q, ids) =>
+      (sq8(q) & ids).size.toDouble / ids.size }.sum / exact.size
+    assert(recall >= 0.8, s"SQ8 recall@5 too low: $recall")
+  }
 }
