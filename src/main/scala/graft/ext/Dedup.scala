@@ -412,30 +412,55 @@ object Dedup {
     * quadratic never materializes — exactly the property that lets an
     * exact near-dup pass run where brute force cannot. The verify step
     * compares intersection/union sizes as integers, so the threshold
-    * behaves identically in every engine. */
+    * behaves identically in every engine.
+    *
+    * Two further lossless prunes run INSIDE the candidate join, before
+    * the distinct (both standard, both exact):
+    *  - size-ratio (SSJoin): J ≥ t forces t·max(|x|,|y|) ≤ 100·min;
+    *  - positional (PPJoin, Xiao et al. 2008): a shared prefix token at
+    *    positions (pa, pb) bounds the overlap by 1 + min(nₐ−pa, n_b−pb),
+    *    which must reach α = ⌈t(nₐ+n_b)/(100+t)⌉. Under the size filter
+    *    a qualifying pair's FIRST shared token always sits in both
+    *    prefixes and carries the loosest bound, so keeping pairs where
+    *    ANY match passes loses nothing.
+    * Tokens travel as 60-bit md5-derived ids, not strings — the
+    * candidate shuffle and the verify arrays carry longs (~8× lighter,
+    * integer comparisons); the DuckDB oracle brute-forces the RAW-string
+    * definition, so the id mapping is independently verified. */
   def setSimilarityPairs(docs: DataFrame, t100: Int = 95): DataFrame = {
     require(t100 > 0 && t100 <= 100, s"threshold must be in (0,100]: $t100")
+    val t = t100.toLong
     val tok = docs
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
       .filter(length(col("tok")) > 0)
-    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("f"))
-    val ranked = tok.join(freq, Seq("tok"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
+    val freq = tok.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val ranked = tok.join(freq, Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("f"), col("tok"))))
-        .as("fts"))
-      .select(col("doc_id"), expr("transform(fts, s -> s.tok)").as("toks"))
+      .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("fh"))
+      .select(col("doc_id"), expr("transform(fh, s -> s.h)").as("toks"))
     // Lₓ = n − ⌈t·n⌉ + 1, in integer arithmetic (no float boundary):
     // ⌈t100·n/100⌉ = (t100·n + 99) div 100
     val n = size(col("toks"))
     val prefLen = (n - expr(s"($t100 * size(toks) + 99) div 100") + lit(1))
       .cast("int")
     val prefix = ranked
-      .select(col("doc_id"), explode(slice(col("toks"), lit(1), prefLen))
-        .as("ptok"))
-    val cand = prefix.select(col("ptok"), col("doc_id").as("doc_a"))
-      .join(prefix.select(col("ptok"), col("doc_id").as("doc_b")), "ptok")
+      .select(col("doc_id"), n.cast("long").as("n"),
+        posexplode(slice(col("toks"), lit(1), prefLen)))
+      .select(col("doc_id"), col("n"), (col("pos") + lit(1L)).as("p"),
+        col("col").as("ptok"))
+    val cand = prefix
+      .select(col("ptok"), col("doc_id").as("doc_a"), col("n").as("na"),
+        col("p").as("pa"))
+      .join(prefix.select(col("ptok"), col("doc_id").as("doc_b"),
+        col("n").as("nb"), col("p").as("pb")), "ptok")
       .filter(col("doc_a") < col("doc_b"))
+      .filter(lit(t) * greatest(col("na"), col("nb")) <=
+        lit(100L) * least(col("na"), col("nb")))
+      .filter((least(col("na") - col("pa"), col("nb") - col("pb")) + lit(1L)) *
+        lit(100L + t) >= lit(t) * (col("na") + col("nb")))
       .select("doc_a", "doc_b").distinct()
     val sets = ranked.select(col("doc_id"), col("toks"))
     cand
@@ -446,7 +471,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
         size(array_union(col("ta"), col("tb"))).cast("long").as("uni"))
-      .filter(col("inter") * lit(100L) >= lit(t100.toLong) * col("uni"))
+      .filter(col("inter") * lit(100L) >= lit(t) * col("uni"))
       .orderBy(col("doc_a").asc, col("doc_b").asc)
   }
 }
