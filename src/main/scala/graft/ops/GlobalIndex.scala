@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.LongType
+
+/** Global consecutive row numbering over a total order — the distributed
+  * alternative to `row_number() OVER (ORDER BY …)`, whose empty
+  * partition-by clause funnels the ENTIRE dataset through one reducer
+  * (the canonical 100 TB cliff; Spark even warns about it at plan time).
+  *
+  * Shape: range-repartition on the order keys (distributed total sort —
+  * boundaries from Spark's deterministic reservoir sketch), sort within
+  * partitions, then `zipWithIndex`, which runs one O(partitions) count
+  * job and adds each partition's offset map-side. Cost: one wide
+  * exchange + one scalar-per-partition driver round — no data ever
+  * converges on a single task. The assigned ids equal ROW_NUMBER's as
+  * long as the order keys are a total order (unique); with duplicate
+  * keys the ids are still consecutive and sorted, but tie order is
+  * partitioning-dependent — pass a tie-breaking key, as ROW_NUMBER
+  * itself would need for determinism anyway.
+  */
+object GlobalIndex {
+
+  def withRowId(df: DataFrame, orderCols: Seq[Column],
+                idCol: String = "row_id", partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val schema = sorted.schema.add(idCol, LongType, nullable = false)
+    val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(indexed, schema)
+  }
+}

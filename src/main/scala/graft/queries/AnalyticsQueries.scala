@@ -236,11 +236,67 @@ object AnalyticsQueries extends QueryGroup {
       |  AND (r.prev_max IS NULL OR p.p_size > r.prev_max)
       |ORDER BY price, p.p_partkey""".stripMargin
 
+  /** Max concurrent sessions per day — interval overlap by sweep line.
+    * Sessions (closed intervals [start, end], from the oracle-pinned
+    * Sessionize.batch) become ±1 deltas, AGGREGATED PER TIMESTAMP first
+    * (the big shrink: distinct sweep points, and it makes the running
+    * value order-free — per-row ties would be partitioning-dependent),
+    * then the global cumulative count runs through
+    * [[graft.ops.PrefixSum]] — range-partitioned two-phase prefix sum,
+    * NOT a single-reducer `SUM OVER (ORDER BY t)`. Closed-interval rule:
+    * sessions ending exactly at t are still alive at t, so concurrency
+    * at t adds ends(t) back onto the cumulative net. */
+  private def maxConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val sess = graft.streaming.Sessionize
+      .batch(Sources.table(s, dir, "events"), gapMs = 1800000L)
+    val deltas = sess
+      .select(col("session_start_ms").as("t"), lit(1L).as("d_s"),
+        lit(0L).as("d_e"))
+      .unionAll(sess.select(col("session_end_ms").as("t"), lit(0L).as("d_s"),
+        lit(1L).as("d_e")))
+      .groupBy(col("t"))
+      .agg(sum(col("d_s")).as("starts"), sum(col("d_e")).as("ends"))
+      .withColumn("net", col("starts") - col("ends"))
+    graft.ops.PrefixSum.runningSum(deltas, Seq(col("t")), "net", "cum")
+      .withColumn("conc", col("cum") + col("ends"))
+      .groupBy(date_format(timestamp_millis(col("t")), "yyyy-MM-dd")
+        .as("date"))
+      .agg(max(col("conc")).as("max_concurrency"))
+      .orderBy("date")
+  }
+
+  private val maxConcurrencyOracle: String =
+    """WITH o AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+      |b AS (SELECT user_id, ts_ms,
+      |        CASE WHEN ts_ms - lag(ts_ms) OVER
+      |               (PARTITION BY user_id ORDER BY ts_ms) > 1800000
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM o),
+      |s AS (SELECT user_id, ts_ms,
+      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+      |          ROWS UNBOUNDED PRECEDING) AS session_no
+      |      FROM b),
+      |sess AS (SELECT user_id, session_no, MIN(ts_ms) AS st,
+      |               MAX(ts_ms) AS en
+      |         FROM s GROUP BY 1, 2),
+      |d AS (SELECT t, SUM(d_s) AS starts, SUM(d_e) AS ends
+      |      FROM (SELECT st AS t, 1 AS d_s, 0 AS d_e FROM sess
+      |            UNION ALL SELECT en, 0, 1 FROM sess)
+      |      GROUP BY t),
+      |c AS (SELECT t, ends,
+      |        SUM(starts - ends) OVER (ORDER BY t
+      |          ROWS UNBOUNDED PRECEDING) AS cum
+      |      FROM d)
+      |SELECT strftime(epoch_ms(CAST(t AS BIGINT)), '%Y-%m-%d') AS date,
+      |       CAST(MAX(cum + ends) AS BIGINT) AS max_concurrency
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("t_gap_fill", gapFill, Some(gapFillOracle)),
     QueryDef("t_skyline_pareto", skylinePareto, Some(skylineOracle)),
     QueryDef("f_funnel_stages", funnel, Some(funnelOracle)),
     QueryDef("t_ewma_daily", ewma, Some(ewmaOracle)),
     QueryDef("g_copurchase_pairs", copurchase, Some(copurchaseOracle)),
+    QueryDef("t_max_concurrency", maxConcurrency, Some(maxConcurrencyOracle)),
   )
 }

@@ -405,6 +405,16 @@ object OperatorQueries extends QueryGroup {
         round(expr("percentile(value, 0.75)"), 6).as("p75"))
       .orderBy("event_type")
 
+  /** Global consecutive row ids WITHOUT the single-reducer global window —
+    * range-sort + zipWithIndex (see [[graft.ops.GlobalIndex]]). The oracle
+    * is the very ROW_NUMBER() OVER (ORDER BY …) formulation whose physical
+    * plan this operator exists to avoid: identical ids, distributed sort. */
+  private def globalRowId(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GlobalIndex.withRowId(
+      Sources.table(s, dir, "orders").select(col("o_orderkey")),
+      Seq(col("o_orderkey")))
+      .orderBy("o_orderkey")
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("w_range_frame", rangeFrame, Some(
       """SELECT user_id, event_id,
@@ -612,5 +622,9 @@ object OperatorQueries extends QueryGroup {
       """SELECT event_type,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    QueryDef("o_global_rowid", globalRowId, Some(
+      """SELECT o_orderkey,
+        |       ROW_NUMBER() OVER (ORDER BY o_orderkey) AS row_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
   )
 }
