@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, NaiveBayesText, Similarity, TextAnalysis}
 import graft.io.Sources
 
 /** North-star extension queries (BASELINE.json): dedup, similarity search,
@@ -666,6 +666,59 @@ object ExtensionQueries extends QueryGroup {
       |      95 * len(list_distinct(list_concat(a.toks, b.toks)))
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Naive Bayes language ID: hold out fold 0 by doc_id mod 5, train on
+    * the rest, predict the held-out fold. The LEARNED twin of the
+    * stopword-heuristic `text_langid`; scores in exact micro-nats (see
+    * NaiveBayesText for the determinism contract). */
+  private def textNaiveBayes(s: SparkSession, dir: String): DataFrame =
+    NaiveBayesText.trainPredict(docs(s, dir))
+      .select(col("doc_id"), col("pred").as("pred_lang"),
+        col("label").as("lang"), col("matches"), col("score_m"))
+      .orderBy("doc_id")
+
+  private val naiveBayesOracle: String = dCte +
+    """, tok AS (SELECT doc_id, lang,
+      |    unnest(string_split(norm, ' ')) AS word FROM d),
+      |tr AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+      |te AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tok_cnt
+      |       FROM tok WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+      |ntok AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
+      |         FROM tok WHERE doc_id % 5 = 0 GROUP BY 1),
+      |wc AS (SELECT lang AS l, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM tr GROUP BY 1, 2),
+      |tot AS (SELECT l, SUM(cnt) AS total FROM wc GROUP BY 1),
+      |v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM wc),
+      |ld AS (SELECT lang AS l, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
+      |         AS docs_l FROM tr GROUP BY 1),
+      |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_total
+      |       FROM tr),
+      |lc AS (SELECT ld.l,
+      |    CAST(round(ln(CAST(docs_l AS DOUBLE)) * 1e6) AS BIGINT)
+      |      - CAST(round(ln(CAST(docs_total AS DOUBLE)) * 1e6) AS BIGINT)
+      |      AS prior_m,
+      |    CAST(round(ln(CAST(total + v AS DOUBLE)) * 1e6) AS BIGINT)
+      |      AS denom_m
+      |  FROM ld CROSS JOIN nd CROSS JOIN v
+      |  JOIN tot ON ld.l = tot.l),
+      |seen AS (SELECT te.doc_id, wc.l,
+      |    SUM(te.tok_cnt *
+      |      CAST(round(ln(CAST(cnt + 1 AS DOUBLE)) * 1e6) AS BIGINT))
+      |      AS seen_m
+      |  FROM te JOIN wc ON te.word = wc.word GROUP BY 1, 2),
+      |sc AS (SELECT n.doc_id, lc.l,
+      |    lc.prior_m + COALESCE(seen.seen_m, 0)
+      |      - n.n_tok * lc.denom_m AS score_m
+      |  FROM ntok n CROSS JOIN lc
+      |  LEFT JOIN seen ON seen.doc_id = n.doc_id AND seen.l = lc.l),
+      |r AS (SELECT doc_id, l, score_m,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score_m DESC, l ASC) AS rn
+      |  FROM sc)
+      |SELECT r.doc_id, r.l AS pred_lang, d.lang,
+      |       (r.l = d.lang) AS matches, r.score_m
+      |FROM r JOIN d ON r.doc_id = d.doc_id
+      |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("dedup_snm_pairs", dedupSnm, Some(dedupSnmOracle)),
     QueryDef("dedup_setsim_pairs", dedupSetSim, Some(dedupSetSimOracle)),
@@ -725,6 +778,7 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("sim_bruteforce_topk", simBruteForce, Some(topkOracle(false))),
     QueryDef("sim_ivf_topk", simIvf, Some(topkOracle(true))),
     QueryDef("sim_sq8_topk", simSq8, Some(sq8Oracle)),
+    QueryDef("text_naive_bayes", textNaiveBayes, Some(naiveBayesOracle)),
     QueryDef("text_token_stats", textTokens, Some(dCte +
       """SELECT doc_id,
         |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
