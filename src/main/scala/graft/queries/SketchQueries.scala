@@ -234,8 +234,122 @@ object SketchQueries extends QueryGroup {
       |       CAST(total AS BIGINT) AS total_qty
       |FROM f WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
 
+  /** KMV sketch ALGEBRA — distinct-set union/intersection estimates for
+    * every event-type pair FROM THE SKETCHES ALONE (Beyer et al. 2007):
+    * merging two KMV sketches and keeping the k smallest is exactly the
+    * union's sketch, and the fraction ρ of merged entries present in
+    * BOTH input sketches estimates Jaccard, so |A∩B| ≈ ρ·|A∪B|-est.
+    * This is the audience-overlap path at 100 TB: once per-segment
+    * sketches (k longs each) exist, every pairwise overlap query runs on
+    * O(k) state with NO rescan of the fact table — the exact twin
+    * (per-pair distinct counts, carried here as the bound-as-data
+    * verification) would rescan and reshuffle the corpus per query.
+    * Like `a_kmv_distinct`, everything is deterministic given the md5
+    * hash, so DuckDB reproduces the sketches — and the estimates —
+    * bit-for-bit. */
+  private def kmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvSketch(KmvK), Encoders.scalaLong)
+    val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val ev = Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"), h.as("h"))
+    val sk = ev.groupBy(col("event_type")).agg(kmv(col("h")).as("mins"))
+    val pairs = sk.select(col("event_type").as("type_a"), col("mins").as("ma"))
+      .crossJoin(sk.select(col("event_type").as("type_b"),
+        col("mins").as("mb")))
+      .filter(col("type_a") < col("type_b"))
+      .withColumn("m", slice(array_sort(array_union(col("ma"), col("mb"))),
+        1, KmvK))
+      .withColumn("nm", size(col("m")))
+    val estU = when(col("nm") < KmvK, col("nm").cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble) * lit(MaxHash.toDouble) /
+        element_at(col("m"), KmvK).cast("double"))
+    val kBoth = size(array_intersect(array_intersect(col("m"), col("ma")),
+      col("mb"))).cast("long")
+    val est = pairs.select(col("type_a"), col("type_b"),
+      round(estU, 4).as("est_union"), kBoth.as("k_both"),
+      round(kBoth.cast("double") / col("nm").cast("double") * estU, 4)
+        .as("est_intersect"))
+    // exact verification twin (test-SF only; production keeps sketches)
+    val u = ev.distinct()
+    val exact = est.select(col("type_a"), col("type_b"))
+      .withColumn("event_type",
+        explode(array(col("type_a"), col("type_b"))))
+      .join(u, "event_type")
+      .groupBy(col("type_a"), col("type_b"), col("h"))
+      .agg(count_distinct(col("event_type")).as("nt"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("nt") === 2, 1L).otherwise(0L)).as("exact_int"))
+    est.join(exact, Seq("type_a", "type_b"))
+      .select(col("type_a"), col("type_b"), col("est_union"),
+        col("k_both"), col("est_intersect"), col("exact_union"),
+        col("exact_int"),
+        (abs(col("est_union") - col("exact_union")) <=
+          lit(0.5) * col("exact_union")).as("union_in_bound"),
+        (abs(col("est_intersect") - col("exact_int")) <=
+          lit(0.5) * col("exact_int")).as("int_in_bound"))
+      .orderBy("type_a", "type_b")
+  }
+
+  private val kmvSetOpsOracle: String =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+       |      AS h
+       |  FROM events WHERE user_id IS NOT NULL),
+       |r AS (SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM h),
+       |sk AS (SELECT event_type, h FROM r WHERE rn <= $KmvK),
+       |p AS (SELECT a.event_type AS ta, b.event_type AS tb
+       |      FROM (SELECT DISTINCT event_type FROM sk) a,
+       |           (SELECT DISTINCT event_type FROM sk) b
+       |      WHERE a.event_type < b.event_type),
+       |mu AS (SELECT p.ta, p.tb, s.h FROM p JOIN sk s ON s.event_type = p.ta
+       |       UNION
+       |       SELECT p.ta, p.tb, s.h FROM p JOIN sk s ON s.event_type = p.tb),
+       |mr AS (SELECT ta, tb, h,
+       |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+       |  FROM mu),
+       |m AS (SELECT ta, tb, h FROM mr WHERE rn <= $KmvK),
+       |mm AS (SELECT ta, tb, CAST(COUNT(*) AS INTEGER) AS nm, MAX(h) AS hk
+       |       FROM m GROUP BY 1, 2),
+       |kb AS (SELECT m.ta, m.tb, CAST(COUNT(*) AS BIGINT) AS k_both
+       |       FROM m
+       |       JOIN sk s1 ON s1.event_type = m.ta AND s1.h = m.h
+       |       JOIN sk s2 ON s2.event_type = m.tb AND s2.h = m.h
+       |       GROUP BY 1, 2),
+       |est AS (SELECT mm.ta, mm.tb, mm.nm,
+       |    CASE WHEN mm.nm < $KmvK THEN CAST(mm.nm AS DOUBLE)
+       |         ELSE ${KmvK - 1}.0 * $MaxHash / CAST(mm.hk AS DOUBLE)
+       |    END AS est_u,
+       |    COALESCE(kb.k_both, 0) AS k_both
+       |  FROM mm LEFT JOIN kb ON kb.ta = mm.ta AND kb.tb = mm.tb),
+       |ex AS (SELECT q.ta, q.tb,
+       |    CAST(COUNT(*) AS BIGINT) AS exact_union,
+       |    CAST(SUM(CASE WHEN q.nt = 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS exact_int
+       |  FROM (SELECT p.ta, p.tb, h.h,
+       |          COUNT(DISTINCT h.event_type) AS nt
+       |        FROM p JOIN h
+       |          ON h.event_type = p.ta OR h.event_type = p.tb
+       |        GROUP BY 1, 2, 3) q
+       |  GROUP BY 1, 2)
+       |SELECT est.ta AS type_a, est.tb AS type_b,
+       |  round(est_u, 4) AS est_union, k_both,
+       |  round(CAST(k_both AS DOUBLE) / nm * est_u, 4) AS est_intersect,
+       |  ex.exact_union, ex.exact_int,
+       |  abs(round(est_u, 4) - exact_union) <= 0.5 * exact_union
+       |    AS union_in_bound,
+       |  abs(round(CAST(k_both AS DOUBLE) / nm * est_u, 4) - exact_int)
+       |    <= 0.5 * exact_int AS int_in_bound
+       |FROM est JOIN ex ON ex.ta = est.ta AND ex.tb = est.tb
+       |ORDER BY 1, 2""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("a_kmv_distinct", kmvDistinct, Some(kmvDistinctOracle)),
+    QueryDef("a_kmv_setops", kmvSetOps, Some(kmvSetOpsOracle)),
     QueryDef("a_weighted_median", weightedMedian, Some(weightedMedianOracle)),
     QueryDef("a_entropy_by_dow", entropyByDow, Some(entropyByDowOracle)),
     QueryDef("a_chi_square", chiSquare, Some(chiSquareOracle)),
