@@ -274,7 +274,12 @@ object EngineQueries extends QueryGroup {
   /** unpivot (melt): the four lineitem measures wide→long in ONE Expand
     * pass — the inverse of pivot, vs the 4-scan UNION ALL formulation the
     * oracle uses (at 100 TB, 1 scan vs 4 is the point; all measures are
-    * already DOUBLE so no unifying cast is needed). */
+    * already DOUBLE so no unifying cast is needed). Deliberately NO
+    * ORDER BY on either side: melt is a narrow map whose output order is
+    * unspecified (the driver's compare is row-sort-insensitive), and a
+    * total sort of the 4×-fact-table output would cost 5× the operator
+    * itself — the one place the repo's order-everything convention would
+    * misrepresent the operator's scale cost. */
   private def unpivotMeasures(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "lineitem")
       .unpivot(
@@ -282,7 +287,6 @@ object EngineQueries extends QueryGroup {
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
           col("l_tax")),
         "metric", "val")
-      .orderBy("l_orderkey", "l_linenumber", "metric")
 
   /** Relational INTERSECT/EXCEPT (distinct set semantics): the audience
     * in BOTH the click and purchase sets, and the click-only remainder,
@@ -363,8 +367,7 @@ object EngineQueries extends QueryGroup {
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
         |       l_discount FROM lineitem
         |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
-        |       l_tax FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin)),
+        |       l_tax FROM lineitem""".stripMargin)),
     QueryDef("o_set_ops", setOps, Some(
       """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
         |     p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
