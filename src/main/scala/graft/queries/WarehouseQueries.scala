@@ -24,7 +24,11 @@ object WarehouseQueries extends QueryGroup {
     * self-join against "next row" as a naive SQL port would do. Ordering
     * carries an event_id tie-break so same-millisecond events version
     * deterministically in any engine. */
-  private def scd2Build(s: SparkSession, dir: String): DataFrame = {
+  /** Unsorted SCD2 version table — shared by the build query (which adds
+    * the presentation sort) and the temporal join (which must NOT pay a
+    * total sort it would immediately re-shuffle). */
+  private[queries] def scd2Versions(s: SparkSession, dir: String)
+      : DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_ms").asc, col("event_id").asc)
     val changes = Sources.table(s, dir, "events")
@@ -40,8 +44,10 @@ object WarehouseQueries extends QueryGroup {
         col("ts_ms").as("valid_from_ms"),
         lead(col("ts_ms"), 1).over(w).as("valid_to_ms"))
       .withColumn("is_current", col("valid_to_ms").isNull)
-      .orderBy("user_id", "version")
   }
+
+  private def scd2Build(s: SparkSession, dir: String): DataFrame =
+    scd2Versions(s, dir).orderBy("user_id", "version")
 
   private val scd2Oracle: String =
     """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
@@ -149,8 +155,83 @@ object WarehouseQueries extends QueryGroup {
       |  RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** USE the SCD2 dimension: enrich each purchase with the version valid
+    * at its event time. At scale this is an AS-OF join (one keyed
+    * exchange via ops/Joins.asofJoin — last version whose valid_from ≤
+    * event time), NOT the interval join the oracle states: BETWEEN
+    * predicates either broadcast or explode, while the as-of shape runs
+    * on two 100 TB inputs. Versions are deduped to the max version per
+    * (user, valid_from) first — an empty [t, t) interval can hold no
+    * event — which is exactly what makes the two formulations equal. */
+  private def scd2Temporal(s: SparkSession, dir: String): DataFrame = {
+    val purchases = Sources.table(s, dir, "events")
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+    val versions = scd2Versions(s, dir)
+      .groupBy(col("user_id"), col("valid_from_ms"))
+      .agg(max_by(struct(col("version"), col("state")), col("version"))
+        .as("vs"))
+      .select(col("user_id"), col("valid_from_ms").as("vts"),
+        col("vs.version").as("version"), col("vs.state").as("state"))
+    graft.ops.Joins.asofJoin(purchases, versions, Seq("user_id"),
+        "ts_ms", "vts")
+      .select(col("event_id"), col("user_id"), col("ts_ms"), col("state"),
+        col("version"))
+      .orderBy("event_id")
+  }
+
+  private val scd2TemporalOracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+      |           FROM events),
+      |c AS (SELECT *, lag(event_type) OVER (
+      |        PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev
+      |      FROM e),
+      |ch AS (SELECT user_id, event_type, ts_ms, event_id FROM c
+      |       WHERE prev IS DISTINCT FROM event_type),
+      |v AS (SELECT user_id,
+      |        row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts_ms, event_id) AS version,
+      |        event_type AS state, ts_ms AS valid_from_ms,
+      |        lead(ts_ms) OVER (PARTITION BY user_id
+      |          ORDER BY ts_ms, event_id) AS valid_to_ms
+      |      FROM ch),
+      |p AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events
+      |      WHERE event_type = 'purchase' AND user_id IS NOT NULL)
+      |SELECT p.event_id, p.user_id, p.ts_ms, v.state,
+      |       CAST(v.version AS BIGINT) AS version
+      |FROM p JOIN v ON v.user_id = p.user_id
+      | AND v.valid_from_ms <= p.ts_ms
+      | AND (v.valid_to_ms IS NULL OR p.ts_ms < v.valid_to_ms)
+      |ORDER BY event_id""".stripMargin
+
+  /** k-anonymity audit over quasi-identifiers (segment, nation,
+    * account-balance band): the equivalence-class sizes that decide
+    * whether a training-data release re-identifies — classes below k
+    * must be suppressed or generalized. One hash aggregate at any scale;
+    * the banding (integer floor division) is the generalization step. */
+  private def kAnonymity(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        floor(col("c_acctbal") / lit(1000)).cast("long").as("acctbal_band"))
+      .groupBy(col("c_mktsegment"), col("c_nationkey"), col("acctbal_band"))
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("meets_k", col("class_size") >= lit(5L))
+      .orderBy("c_mktsegment", "c_nationkey", "acctbal_band")
+
+  private val kAnonymityOracle: String =
+    """SELECT c_mktsegment, c_nationkey,
+      |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+      |  CAST(COUNT(*) AS BIGINT) AS class_size,
+      |  COUNT(*) >= 5 AS meets_k
+      |FROM customer
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("etl_scd2_build", scd2Build, Some(scd2Oracle)),
+    QueryDef("j_scd2_temporal", scd2Temporal, Some(scd2TemporalOracle)),
+    QueryDef("f_k_anonymity", kAnonymity, Some(kAnonymityOracle)),
     QueryDef("a_cohort_retention", cohortRetention, Some(cohortOracle)),
     QueryDef("j_full_outer", fullOuterReconcile, Some(fullOuterOracle)),
     QueryDef("w_rolling_7d", rolling7d, Some(rolling7dOracle)),
