@@ -666,6 +666,87 @@ object ExtensionQueries extends QueryGroup {
       |      95 * len(list_distinct(list_concat(a.toks, b.toks)))
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** End-to-end entity resolution: SNM blocking → edit-distance verify
+    * (tighter bound than the candidate query: a merge DECISION, not a
+    * review queue) → connected components → survivorship. Every doc
+    * resolves to an entity (singletons to themselves); the surviving
+    * record takes the min id as canonical key, majority vote on lang
+    * (lexicographic tie-break — deterministic), and summed extent.
+    * Scale: blocking and verify are the SNM window (one blk-keyed
+    * exchange), CC is the bounded-round label propagation, survivorship
+    * is two hash aggregates on entity_id — no stage is all-pairs. The
+    * oracle rebuilds the whole chain, with CC as a recursive CTE. */
+  private def pipelineEr(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val pairs = Dedup.sortedNeighborhoodPairs(
+        d.select(col("doc_id"), col("text")))
+      .filter(col("dist") <= 6)
+      .select("doc_a", "doc_b")
+    val clusters = Dedup.connectedComponents(pairs)
+    val labeled = d.join(clusters, Seq("doc_id"), "left")
+      .withColumn("entity_id", coalesce(col("cluster_id"), col("doc_id")))
+    val canonLang = labeled.groupBy(col("entity_id"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("entity_id"))
+          .orderBy(col("cnt").desc, col("lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("entity_id"), col("lang").as("canon_lang"))
+    labeled.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("canonical_id"),
+        sum(col("n_chars")).as("total_chars"))
+      .join(canonLang, "entity_id")
+      .select(col("entity_id"), col("canonical_id"), col("n_members"),
+        col("canon_lang"), col("total_chars"))
+      .orderBy("entity_id")
+  }
+
+  private val pipelineErOracle: String =
+    ("""WITH d AS (SELECT doc_id, text, substr(text, 1, 12) AS k,
+      |    substr(text, 1, 4) AS blk FROM documents),
+      |w AS (SELECT doc_id, text, k, blk,
+      |    lead(doc_id, 1) OVER (PARTITION BY blk ORDER BY k, doc_id) AS id1,
+      |    lead(text, 1) OVER (PARTITION BY blk ORDER BY k, doc_id) AS t1,
+      |    lead(doc_id, 2) OVER (PARTITION BY blk ORDER BY k, doc_id) AS id2,
+      |    lead(text, 2) OVER (PARTITION BY blk ORDER BY k, doc_id) AS t2
+      |  FROM d),
+      |p AS (SELECT doc_id AS doc_a, id1 AS doc_b,
+      |        levenshtein(substr(text, 1, 40), substr(t1, 1, 40)) AS dist
+      |      FROM w WHERE id1 IS NOT NULL
+      |      UNION ALL
+      |      SELECT doc_id, id2,
+      |        levenshtein(substr(text, 1, 40), substr(t2, 1, 40))
+      |      FROM w WHERE id2 IS NOT NULL),
+      |p2 AS (SELECT doc_a, doc_b FROM p WHERE dist <= 6),
+      |sym AS (SELECT doc_a AS a, doc_b AS b FROM p2
+      |        UNION SELECT doc_b, doc_a FROM p2),
+      |nodes AS (SELECT DISTINCT a AS n FROM sym),
+      |reach(src, dst) AS (
+      |    SELECT n, n FROM nodes
+      |    UNION
+      |    SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+      |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+      |         FROM reach GROUP BY src),
+      |lab AS (SELECT d2.doc_id, d2.lang, d2.n_chars,
+      |          COALESCE(c.cluster_id, d2.doc_id) AS entity_id
+      |        FROM documents d2 LEFT JOIN comp c ON d2.doc_id = c.doc_id),
+      |lc AS (SELECT entity_id, lang, COUNT(*) AS cnt FROM lab GROUP BY 1, 2),
+      |cl AS (SELECT entity_id, lang,
+      |    row_number() OVER (PARTITION BY entity_id
+      |      ORDER BY cnt DESC, lang ASC) AS rn
+      |  FROM lc),
+      |agg AS (SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |          MIN(doc_id) AS canonical_id,
+      |          CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |        FROM lab GROUP BY 1)
+      |SELECT a.entity_id, a.canonical_id, a.n_members,
+      |       c.lang AS canon_lang, a.total_chars
+      |FROM agg a JOIN cl c ON c.entity_id = a.entity_id AND c.rn = 1
+      |ORDER BY a.entity_id""".stripMargin)
+      .replaceFirst("WITH d AS", "WITH RECURSIVE d AS")
+
   /** Naive Bayes language ID: hold out fold 0 by doc_id mod 5, train on
     * the rest, predict the held-out fold. The LEARNED twin of the
     * stopword-heuristic `text_langid`; scores in exact micro-nats (see
@@ -779,6 +860,7 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("sim_ivf_topk", simIvf, Some(topkOracle(true))),
     QueryDef("sim_sq8_topk", simSq8, Some(sq8Oracle)),
     QueryDef("text_naive_bayes", textNaiveBayes, Some(naiveBayesOracle)),
+    QueryDef("pipeline_er", pipelineEr, Some(pipelineErOracle)),
     QueryDef("text_token_stats", textTokens, Some(dCte +
       """SELECT doc_id,
         |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
