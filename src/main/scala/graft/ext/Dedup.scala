@@ -468,10 +468,18 @@ object Dedup {
         "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
         "doc_b")
+      // |∪| = |x| + |y| − |∩| (tokens are distinct per doc): one hashed
+      // array traversal per pair instead of two — array_union was ~40% of
+      // verify time for identical information
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
-        size(array_union(col("ta"), col("tb"))).cast("long").as("uni"))
+        (size(col("ta")) + size(col("tb"))).cast("long").as("nab"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("nab") - col("inter")).as("uni"))
       .filter(col("inter") * lit(100L) >= lit(t) * col("uni"))
-      .orderBy(col("doc_a").asc, col("doc_b").asc)
+    // no ORDER BY: a global sort here would rerun the verify projection
+    // (everything after the last exchange) a second time just to sample
+    // range boundaries — half the query's cost for presentation order the
+    // differential compare doesn't need
   }
 }

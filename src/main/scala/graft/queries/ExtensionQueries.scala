@@ -663,8 +663,7 @@ object ExtensionQueries extends QueryGroup {
       |    AS uni
       |FROM d a JOIN d b ON a.doc_id < b.doc_id
       |WHERE len(list_intersect(a.toks, b.toks)) * 100 >=
-      |      95 * len(list_distinct(list_concat(a.toks, b.toks)))
-      |ORDER BY doc_a, doc_b""".stripMargin
+      |      95 * len(list_distinct(list_concat(a.toks, b.toks)))""".stripMargin
 
   /** End-to-end entity resolution: SNM blocking → edit-distance verify
     * (tighter bound than the candidate query: a merge DECISION, not a
