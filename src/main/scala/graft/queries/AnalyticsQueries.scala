@@ -291,7 +291,69 @@ object AnalyticsQueries extends QueryGroup {
       |       CAST(MAX(cum + ends) AS BIGINT) AS max_concurrency
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Autocorrelation of daily play counts per event type, lags 1..7 —
+    * the seasonality/drift detector (a weekly cycle shows as a lag-7
+    * peak). Exact to the last bit across engines: with n days, S = Σx,
+    * every centered term is scaled by n — (n·xₜ − S) is BIGINT — so
+    * r_L = Σ(n·xₜ−S)(n·xₜ₊L−S) / Σ(n·xₜ−S)² needs ONE double division
+    * at the end (the entropy/chi-square recipe; the n² scale factor
+    * cancels). Per-type series ride one keyed window (n, S, den as
+    * whole-partition aggregates; the lag via lead) — the series length
+    * is days, so the window partition is tiny however big the corpus. */
+  private def acf(s: SparkSession, dir: String): DataFrame = {
+    val maxLag = 7
+    val daily = Sources.table(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val full = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val centered = daily
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("ss", sum(col("x")).over(full))
+      .withColumn("c", col("n") * col("x") - col("ss"))
+      .withColumn("den", sum(col("c") * col("c")).over(full))
+    val lagged = (1 to maxLag).foldLeft(centered) { (df, l) =>
+      df.withColumn(s"c$l", lead(col("c"), l).over(w))
+    }
+    val stacked = lagged.select(col("event_type"), col("c"), col("den"),
+      explode(array((1 to maxLag).map(l =>
+        struct(lit(l).as("lag"), col(s"c$l").as("cl"))): _*)).as("z"))
+      .select(col("event_type"), col("z.lag").as("lag"),
+        col("c"), col("z.cl").as("cl"), col("den"))
+    stacked.filter(col("cl").isNotNull)
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum(col("c") * col("cl")).as("num"), max(col("den")).as("den"))
+      .select(col("event_type"), col("lag"),
+        round(col("num").cast("double") / col("den").cast("double"), 6)
+          .as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  private val acfOracle: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |c AS (SELECT event_type, day, x,
+      |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    SUM(x) OVER (PARTITION BY event_type) AS ss
+      |  FROM d),
+      |e AS (SELECT event_type, day, n * x - ss AS ctr,
+      |    SUM((n * x - ss) * (n * x - ss))
+      |      OVER (PARTITION BY event_type) AS den
+      |  FROM c),
+      |l AS (SELECT event_type, lag, ctr,
+      |    lead(ctr, lag) OVER (PARTITION BY event_type, lag ORDER BY day)
+      |      AS cl, den
+      |  FROM e CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7]) AS lag))
+      |SELECT event_type, lag,
+      |  round(CAST(SUM(ctr * cl) AS DOUBLE) / CAST(MAX(den) AS DOUBLE), 6)
+      |    AS acf
+      |FROM l WHERE cl IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_acf_daily", acf, Some(acfOracle)),
     QueryDef("t_gap_fill", gapFill, Some(gapFillOracle)),
     QueryDef("t_skyline_pareto", skylinePareto, Some(skylineOracle)),
     QueryDef("f_funnel_stages", funnel, Some(funnelOracle)),
