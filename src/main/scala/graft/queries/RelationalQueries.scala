@@ -309,7 +309,98 @@ object RelationalQueries extends QueryGroup {
       |ORDER BY o.o_totalprice DESC, o.o_orderkey
       |LIMIT 100""".stripMargin
 
+  /** TPC-H Q4 shape (order-priority checking): orders in one quarter
+    * with at least one late-shipping line item, counted by priority.
+    * EXISTS compiles to a LeftSemi join keyed on the order key — one
+    * probe per order, no fan-out however many line items match (the
+    * property an inner-join + distinct formulation loses). The ship-
+    * after-order predicate is pushed into the semi join's condition. */
+  private def q4PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val orders = Sources.table(s, dir, "orders")
+      .filter(col("o_orderdate").cast("date") >= lit("1996-01-01") &&
+        col("o_orderdate").cast("date") < lit("1996-04-01"))
+    val late = Sources.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    orders.join(late,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q4Oracle: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      |  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q13 shape (customer distribution): orders-per-customer
+    * histogram INCLUDING zero-order customers — the left outer join the
+    * shape exists to test (an inner join silently drops the c_count = 0
+    * bucket). Two aggregations: per-customer counts (keyed on the join's
+    * own partitioning), then the tiny histogram rollup. */
+  private def q13CustDist(s: SparkSession, dir: String): DataFrame = {
+    val customer = Sources.table(s, dir, "customer").select(col("c_custkey"))
+    val orders = Sources.table(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_custkey"), col("o_orderkey"))
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  private val q13Oracle: String =
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q16 shape (supplier count by part descriptor): distinct
+    * suppliers per (type, size), excluding one brand and a NOT-IN
+    * supplier blacklist. NOT IN over a non-null key is a LeftAnti join
+    * (broadcast — the blacklist is tiny); the distinct-count shuffles
+    * once on the group keys. */
+  private def q16SupplierCnt(s: SparkSession, dir: String): DataFrame = {
+    val ps = Sources.table(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"))
+    val part = Sources.table(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#45")
+      .select(col("p_partkey"), col("p_type"), col("p_size"))
+    val excluded = Sources.table(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    ps.join(part, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy(col("p_type"), col("p_size"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_type").asc,
+        col("p_size").asc)
+  }
+
+  private val q16Oracle: String =
+    """SELECT p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#45'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_type ASC, p_size ASC""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q4_priority_exists", q4PriorityExists, Some(q4Oracle)),
+    QueryDef("q13_custdist", q13CustDist, Some(q13Oracle)),
+    QueryDef("q16_supplier_cnt", q16SupplierCnt, Some(q16Oracle)),
     QueryDef("q5_star_join", q5StarJoin, Some(q5Oracle)),
     QueryDef("q10_returned_items", q10ReturnedItems, Some(q10Oracle)),
     QueryDef("q18_top_orders", q18TopOrders, Some(q18Oracle)),
