@@ -170,7 +170,33 @@ object SqlQueries extends QueryGroup {
       |FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 5
       |ORDER BY date, event_type""".stripMargin
 
+  /** GROUP BY ALL / ORDER BY ALL (Spark 4 ≡ DuckDB syntax — the oracle
+    * is the IDENTICAL text modulo table name): every non-aggregate
+    * select item becomes a group key, the whole select list the sort
+    * key. Sugar over the same Aggregate node — the plan is byte-for-byte
+    * the explicit GROUP BY's, so nothing changes at scale; the query
+    * pins that the sugar resolves the same columns in both engines. */
+  private def groupByAll(s: SparkSession, dir: String): DataFrame = {
+    val e = view(s, dir, "events")
+    s.sql(
+      s"""SELECT event_type, date_format(ts, 'yyyy-MM-dd') AS day,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+         |FROM $e
+         |GROUP BY ALL
+         |ORDER BY ALL""".stripMargin)
+  }
+
+  private val groupByAllOracle: String =
+    """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+      |FROM events
+      |GROUP BY ALL
+      |ORDER BY ALL""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_group_by_all", groupByAll, Some(groupByAllOracle)),
     QueryDef("q_subqueries", subqueries, Some(subqueriesOracle)),
     QueryDef("j_lateral_top2", lateralTop2, Some(lateralOracle)),
     QueryDef("a_hll_merge_daily", hllMergeDaily, Some(hllMergeOracle)),
