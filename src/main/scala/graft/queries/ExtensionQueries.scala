@@ -746,6 +746,54 @@ object ExtensionQueries extends QueryGroup {
       |ORDER BY a.entity_id""".stripMargin)
       .replaceFirst("WITH d AS", "WITH RECURSIVE d AS")
 
+  /** Covariance matrix of the first 8 embedding dims — the moment
+    * aggregation Pca.fit runs (there via treeAggregate over all 64 dims;
+    * here as the oracle-checkable DataFrame twin). Components quantize
+    * to integer 1e-5 units BEFORE summation, so Σx and Σxy are exact
+    * BIGINT in any order/engine; cov = (n·Σxy − Σx·Σy)/(n(n−1)) pays
+    * exactly one double division chain at the end. */
+  private def covMatrix(s: SparkSession, dir: String): DataFrame = {
+    val d = 8
+    emb(s, dir)
+      .select(expr("transform(cast(embedding as array<double>), " +
+        "x -> cast(round(x * 100000.0D) as bigint))").as("q"))
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, ${d - 1}), i ->
+           |  transform(sequence(i, ${d - 1}), j -> named_struct(
+           |    'i', i, 'j', j,
+           |    'xy', element_at(q, i + 1) * element_at(q, j + 1),
+           |    'xi', element_at(q, i + 1),
+           |    'xj', element_at(q, j + 1)))))""".stripMargin)).as("z"))
+      .select(col("z.i").as("i"), col("z.j").as("j"), col("z.xy"),
+        col("z.xi"), col("z.xj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"),
+        sum(col("xi")).as("sx"), sum(col("xj")).as("sy"))
+      .select(col("i"), col("j"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * (col("n") - lit(1L))).cast("double") / lit(1e10d), 10)
+          .as("cov"))
+      .orderBy("i", "j")
+  }
+
+  private val covMatrixOracle: String =
+    """WITH q AS (SELECT list_transform(embedding::DOUBLE[],
+      |    x -> CAST(round(x * 100000.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |p AS (SELECT ii.i, jj.j,
+      |        q.q[ii.i + 1] AS xi, q.q[jj.j + 1] AS xj
+      |      FROM q
+      |      CROSS JOIN (SELECT unnest(range(0, 8)) AS i) ii
+      |      CROSS JOIN (SELECT unnest(range(0, 8)) AS j) jj
+      |      WHERE jj.j >= ii.i),
+      |a AS (SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n,
+      |        SUM(xi * xj) AS sxy, SUM(xi) AS sx, SUM(xj) AS sy
+      |      FROM p GROUP BY 1, 2)
+      |SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+      |        / CAST(n * (n - 1) AS DOUBLE) / 1e10, 10) AS cov
+      |FROM a ORDER BY i, j""".stripMargin
+
   /** Naive Bayes language ID: hold out fold 0 by doc_id mod 5, train on
     * the rest, predict the held-out fold. The LEARNED twin of the
     * stopword-heuristic `text_langid`; scores in exact micro-nats (see
@@ -860,6 +908,7 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("sim_sq8_topk", simSq8, Some(sq8Oracle)),
     QueryDef("text_naive_bayes", textNaiveBayes, Some(naiveBayesOracle)),
     QueryDef("pipeline_er", pipelineEr, Some(pipelineErOracle)),
+    QueryDef("a_cov_matrix", covMatrix, Some(covMatrixOracle)),
     QueryDef("text_token_stats", textTokens, Some(dCte +
       """SELECT doc_id,
         |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,

@@ -1,0 +1,69 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSpec {
+
+  private lazy val emb =
+    graft.io.Sources.table(spark, "/root/testdata/sf0.01", "embeddings")
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  test("fit is bit-identical under repartitioning (integer moment sums)") {
+    val m1 = Pca.fit(emb)
+    val m2 = Pca.fit(emb.repartition(13))
+    assert(m1.n == m2.n)
+    assert(m1.mean.toSeq == m2.mean.toSeq)
+    assert(m1.eigenvalues.toSeq == m2.eigenvalues.toSeq)
+    assert(m1.components.map(_.toSeq).toSeq ==
+      m2.components.map(_.toSeq).toSeq)
+  }
+
+  test("components are orthonormal; eigenvalues descend and are ~nonnegative") {
+    val m = Pca.fit(emb)
+    for (i <- 0 until 8; j <- i until 8) {
+      val d = dot(m.components(i), m.components(j))
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(d - expect) < 1e-8, s"W${i}.W${j} = $d")
+    }
+    m.eigenvalues.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b - 1e-12)
+    }
+    assert(m.eigenvalues.forall(_ > -1e-9))
+  }
+
+  test("projected component variance equals its eigenvalue") {
+    val m = Pca.fit(emb)
+    val proj = Pca.project(emb, m, k = 3)
+      .select(element_at(col("projected"), 1).as("p0"),
+        element_at(col("projected"), 2).as("p1"),
+        element_at(col("projected"), 3).as("p2"))
+    val vars = proj.agg(var_samp(col("p0")), var_samp(col("p1")),
+      var_samp(col("p2"))).head()
+    for (c <- 0 until 3) {
+      val got = vars.getDouble(c)
+      val want = m.eigenvalues(c)
+      assert(math.abs(got - want) <= 1e-4 * math.max(1.0, want),
+        s"component $c variance $got != eigenvalue $want")
+    }
+    // top-1 really is the max-variance direction: λ0 strictly dominates
+    assert(m.eigenvalues(0) > m.eigenvalues(2))
+  }
+
+  test("projection equals explicit centering for a sampled row") {
+    val m = Pca.fit(emb)
+    val row = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>")).head()
+    val v = row.getSeq[Double](1).toArray
+    val id = row.getLong(0)
+    val got = Pca.project(emb.filter(col("vec_id") === id), m, k = 2)
+      .head().getSeq[Double](1)
+    for (c <- 0 until 2) {
+      val want = dot(v.zip(m.mean).map { case (x, mu) => x - mu },
+        m.components(c))
+      assert(math.abs(got(c) - want) < 1e-9)
+    }
+  }
+}
