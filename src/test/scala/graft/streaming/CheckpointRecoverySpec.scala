@@ -64,4 +64,38 @@ class CheckpointRecoverySpec extends SparkSpec {
       spark.sql("DROP VIEW IF EXISTS graft_rec2")
     }
   }
+
+  test("maxFilesPerTrigger paces the backlog into bounded micro-batches") {
+    val in = java.nio.file.Files.createTempDirectory("graft_pace_in").toFile
+    val chk = java.nio.file.Files.createTempDirectory("graft_pace").toFile
+    try {
+      val schema = StructType(Seq(StructField("k", StringType),
+        StructField("v", LongType)))
+      (1 to 3).foreach { i =>
+        Seq((s"k$i", i.toLong)).toDF("k", "v").repartition(1)
+          .write.mode("append").parquet(in.getAbsolutePath)
+      }
+      // a replay of a deep backlog must not become one giant batch: the
+      // source option caps files per micro-batch, bounding batch state,
+      // memory, and commit size — AvailableNow still drains everything
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(in.getAbsolutePath)
+        .groupBy($"k").agg(sum($"v").as("sv"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("graft_paced")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      assert(spark.table("graft_paced").count() == 3L)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 3,
+        s"expected 3 paced micro-batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows == 1L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(in)
+      org.apache.commons.io.FileUtils.deleteDirectory(chk)
+      spark.sql("DROP VIEW IF EXISTS graft_paced")
+    }
+  }
 }
