@@ -169,6 +169,26 @@ object Pca {
     }
   }
 
+  /** Mahalanobis distance² from the fitted distribution, computed in the
+    * eigenbasis: md² = Σ_c p_c² / λ_c (with all d components this IS
+    * (x−μ)ᵀΣ⁻¹(x−μ) — the eigendecomposition is the inverse, no matrix
+    * solve per row). The embedding-corpus outlier score: corrupt or
+    * out-of-distribution vectors stand out where raw L2 distance can't
+    * see correlated dims. Components with λ ≤ floor are skipped (rank-
+    * deficient directions would turn noise into ∞). One narrow map —
+    * same cost shape as project(). For N(μ,Σ) data E[md²] ≈ d, which
+    * PcaSpec asserts on the fixture. */
+  def mahalanobis(emb: DataFrame, model: Model,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  eigenFloor: Double = 1e-9): DataFrame = {
+    val used = model.eigenvalues.takeWhile(_ > eigenFloor).length
+    val proj = project(emb, model, used, idCol, vecCol)
+    val invL = model.eigenvalues.take(used).map(1.0 / _)
+    proj.select(col(idCol),
+      aggregate(zip_with(col("projected"), lit(invL), (p, il) => p * p * il),
+        lit(0.0d), (acc, x) => acc + x).as("md2"))
+  }
+
   /** Project onto the top-k components: p_c = ⟨v, W_c⟩ − ⟨mean, W_c⟩.
     * The mean term is a precomputed scalar, so projection is k codegen'd
     * dot products over the scan — a narrow map, no shuffle, and the

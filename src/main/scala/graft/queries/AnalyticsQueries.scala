@@ -352,7 +352,53 @@ object AnalyticsQueries extends QueryGroup {
       |FROM l WHERE cl IS NOT NULL
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Seasonal-naive forecasting with backtest: predict each day's count
+    * from 7 days earlier (the weekly cycle t_acf_daily detects), scored
+    * by MAE against the lag-1 naive baseline over the same evaluation
+    * days. All errors are exact BIGINT sums; the two MAEs divide once at
+    * the end — the standard "is there seasonality worth modeling" gate
+    * a forecasting pipeline runs before reaching for real models. */
+  private def forecastSnaive(s: SparkSession, dir: String): DataFrame = {
+    val daily = Sources.table(s, dir, "events")
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    daily
+      .withColumn("lag7", lag(col("x"), 7).over(w))
+      .withColumn("lag1", lag(col("x"), 1).over(w))
+      .filter(col("lag7").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("x") - col("lag7"))).as("e7"),
+        sum(abs(col("x") - col("lag1"))).as("e1"))
+      .select(col("event_type"), col("n_eval"),
+        round(col("e7").cast("double") / col("n_eval").cast("double"), 6)
+          .as("mae_snaive"),
+        round(col("e1").cast("double") / col("n_eval").cast("double"), 6)
+          .as("mae_naive"),
+        (col("e7") < col("e1")).as("snaive_wins"))
+      .orderBy("event_type")
+  }
+
+  private val forecastOracle: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS x
+      |  FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, x,
+      |    lag(x, 7) OVER (PARTITION BY event_type ORDER BY day) AS lag7,
+      |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY day) AS lag1
+      |  FROM d)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+      |  round(CAST(SUM(abs(x - lag7)) AS DOUBLE) / COUNT(*), 6)
+      |    AS mae_snaive,
+      |  round(CAST(SUM(abs(x - lag1)) AS DOUBLE) / COUNT(*), 6)
+      |    AS mae_naive,
+      |  SUM(abs(x - lag7)) < SUM(abs(x - lag1)) AS snaive_wins
+      |FROM l WHERE lag7 IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("t_forecast_snaive", forecastSnaive, Some(forecastOracle)),
     QueryDef("t_acf_daily", acf, Some(acfOracle)),
     QueryDef("t_gap_fill", gapFill, Some(gapFillOracle)),
     QueryDef("t_skyline_pareto", skylinePareto, Some(skylineOracle)),

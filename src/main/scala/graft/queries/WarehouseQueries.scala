@@ -228,10 +228,38 @@ object WarehouseQueries extends QueryGroup {
       |GROUP BY 1, 2, 3
       |ORDER BY 1, 2, 3""".stripMargin
 
+  /** l-diversity — k-anonymity's necessary companion: a class can be
+    * large (k-anonymous) yet reveal everyone's sensitive value if that
+    * value is uniform within it. Quasi-identifiers here are (segment,
+    * balance band); the sensitive attribute is nationality; a class
+    * passes at l ≥ 3 distinct values. Same single hash-aggregate shape
+    * as the k-audit. */
+  private def lDiversity(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "customer")
+      .select(col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000)).cast("long").as("acctbal_band"),
+        col("c_nationkey"))
+      .groupBy(col("c_mktsegment"), col("acctbal_band"))
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(col("c_nationkey")).as("l_distinct"))
+      .withColumn("meets_l", col("l_distinct") >= lit(3L))
+      .orderBy("c_mktsegment", "acctbal_band")
+
+  private val lDiversityOracle: String =
+    """SELECT c_mktsegment,
+      |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+      |  CAST(COUNT(*) AS BIGINT) AS class_size,
+      |  COUNT(DISTINCT c_nationkey) AS l_distinct,
+      |  COUNT(DISTINCT c_nationkey) >= 3 AS meets_l
+      |FROM customer
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("etl_scd2_build", scd2Build, Some(scd2Oracle)),
     QueryDef("j_scd2_temporal", scd2Temporal, Some(scd2TemporalOracle)),
     QueryDef("f_k_anonymity", kAnonymity, Some(kAnonymityOracle)),
+    QueryDef("f_l_diversity", lDiversity, Some(lDiversityOracle)),
     QueryDef("a_cohort_retention", cohortRetention, Some(cohortOracle)),
     QueryDef("j_full_outer", fullOuterReconcile, Some(fullOuterOracle)),
     QueryDef("w_rolling_7d", rolling7d, Some(rolling7dOracle)),

@@ -52,6 +52,21 @@ class PcaSpec extends SparkSpec {
     assert(m.eigenvalues(0) > m.eigenvalues(2))
   }
 
+  test("mahalanobis: E[md2] ~ d on the corpus; a far-out point stands out") {
+    val m = Pca.fit(emb)
+    val used = m.eigenvalues.count(_ > 1e-9)
+    val mean = Pca.mahalanobis(emb, m)
+      .agg(avg(col("md2"))).head().getDouble(0)
+    // for in-distribution data md2 averages ~rank (chi-square mean)
+    assert(mean > used * 0.8 && mean < used * 1.2,
+      s"mean md2 $mean far from rank $used")
+    val far = spark.range(1).select(lit(9999L).as("vec_id"),
+      typedLit(Array.fill(64)(1.0f)).as("embedding"))
+    val farMd2 = Pca.mahalanobis(far, m).head().getDouble(1)
+    assert(farMd2 > 10 * mean,
+      s"outlier md2 $farMd2 not separated from mean $mean")
+  }
+
   test("projection equals explicit centering for a sampled row") {
     val m = Pca.fit(emb)
     val row = emb.select(col("vec_id"),
