@@ -80,7 +80,7 @@ object RunningCounts {
     * the single delivered batch makes each emitted (user, type) row its
     * full count — the plain GROUP BY twin DuckDB checks. */
   def runTypesAvailableNow(spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
+      dir: String): org.apache.spark.sql.DataFrame = StreamConf.sized(spark) {
     import org.apache.spark.sql.functions.col
     val key = "spark.sql.streaming.stateStore.providerClass"
     val saved = spark.conf.getOption(key)
@@ -179,7 +179,7 @@ object RunningCounts {
     * accumulation is RunningCountsSpec's job; this entry data-checks the
     * operator (and the RocksDB provider path) on real data. */
   def runAvailableNow(spark: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame = StreamConf.sized(spark) {
     import org.apache.spark.sql.functions.col
     val key = "spark.sql.streaming.stateStore.providerClass"
     val saved = spark.conf.getOption(key)

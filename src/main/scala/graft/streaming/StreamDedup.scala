@@ -38,7 +38,7 @@ object StreamDedup {
     * hash set — which is exactly what the DuckDB oracle computes. The
     * eviction path (duplicates beyond the horizon surviving) is covered in
     * StreamDedupSpec; this entry data-checks the dedup itself. */
-  def runAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+  def runAvailableNow(spark: SparkSession, dir: String): DataFrame = StreamConf.sized(spark) {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     // +1 day: a row whose event time equals the initial watermark (epoch 0)
     // would be filtered as late before reaching the dedup state.

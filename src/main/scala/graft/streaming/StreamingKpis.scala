@@ -52,7 +52,7 @@ object StreamingKpis {
 
   /** [[genreCounts]] over everything currently in `dir` (AvailableNow),
     * joined to the customer dimension read statically. */
-  def runGenreAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+  def runGenreAvailableNow(spark: SparkSession, dir: String): DataFrame = StreamConf.sized(spark) {
     val dim = graft.etl.Enrich.dimUsers(spark, dir)
       .select("user_id", "c_mktsegment")
     val q = genreCounts(eventStream(spark, dir), dim).writeStream
@@ -75,7 +75,7 @@ object StreamingKpis {
     * match exactly once. Timestamps return as epoch millis (the
     * cross-engine-stable rendering). */
   def runAttributionAvailableNow(spark: SparkSession, dir: String)
-      : DataFrame = {
+      : DataFrame = StreamConf.sized(spark) {
     val ev = eventStream(spark, dir)
     val imps = ev.filter(col("event_type") === "view")
       .select(col("user_id"), col("ts"),
@@ -109,7 +109,7 @@ object StreamingKpis {
     * same shape runs per micro-batch with the batch's own partial
     * aggregates as updates. */
   def runUpsertReplayAvailableNow(spark: SparkSession, dir: String)
-      : DataFrame = {
+      : DataFrame = StreamConf.sized(spark) {
     val target = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_upsert_replay").toString
     def rm(f: java.io.File): Unit = {
@@ -163,7 +163,7 @@ object StreamingKpis {
         col("event_type"), col("plays"))
 
   /** [[slidingCounts]] over everything currently in `dir`. */
-  def runSlidingAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+  def runSlidingAvailableNow(spark: SparkSession, dir: String): DataFrame = StreamConf.sized(spark) {
     val q = slidingCounts(eventStream(spark, dir)).writeStream
       .format("memory")
       .queryName("graft_streaming_sliding")
@@ -184,7 +184,7 @@ object StreamingKpis {
     * each session once it can no longer grow. Window end is
     * last-event + gap by definition, so the last EVENT time is
     * end − gap. */
-  def runSessionsAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+  def runSessionsAvailableNow(spark: SparkSession, dir: String): DataFrame = StreamConf.sized(spark) {
     val gapMs = 30 * 60 * 1000L
     val q = eventStream(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
@@ -202,7 +202,7 @@ object StreamingKpis {
 
   /** Run the streaming query over everything currently in `dir` and return
     * the final result table (memory sink, complete mode). */
-  def runAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+  def runAvailableNow(spark: SparkSession, dir: String): DataFrame = StreamConf.sized(spark) {
     val q = hourlyCounts(eventStream(spark, dir)).writeStream
       .format("memory")
       .queryName("graft_streaming_hourly")
@@ -222,7 +222,7 @@ object StreamingKpis {
     * data-volume-independent). Ranking inside the stream would need
     * retractions per trigger; ranking the sink is the standard pattern
     * and gives the identical final answer. */
-  def runTopKAvailableNow(spark: SparkSession, dir: String): DataFrame = {
+  def runTopKAvailableNow(spark: SparkSession, dir: String): DataFrame = StreamConf.sized(spark) {
     val counts = eventStream(spark, dir)
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
