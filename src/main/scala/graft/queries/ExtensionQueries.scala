@@ -410,6 +410,85 @@ object ExtensionQueries extends QueryGroup {
       |       ELSE 'test' END AS split
       |FROM b ORDER BY event_id""".stripMargin
 
+  /** Leakage-safe splits: near-duplicate documents must land on ONE side
+    * of train/val/test — a near-copy of a training doc inside the test
+    * set is contamination the doc-grain hash split cannot see (and at
+    * web-corpus duplication rates, a LOT of it). The split key is the
+    * near-dup CLUSTER id (singletons: the doc itself), so an entire
+    * cluster rides one hash bucket; everything else is the same stable
+    * md5 rule as `f_split_assign`. Same cluster machinery as
+    * `dedup_clusters` — the cost is the dedup pass the pipeline runs
+    * anyway. */
+  private def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clusters = Dedup.connectedComponents(Dedup.minhashCandidates(d))
+    val entity = d.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("entity_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("entity_id"))
+    graft.ext.Splits.assign(entity, "entity_id")
+      .select(col("doc_id"), col("entity_id"), col("bucket"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  private val splitLeakageOracle: String =
+    (dCte + shCte + sigCte + ", cand AS (" + candSql + ")" +
+      """
+        |, sym AS (SELECT doc_a AS a, doc_b AS b FROM cand
+        |          UNION SELECT doc_b, doc_a FROM cand)
+        |, nodes AS (SELECT DISTINCT a AS n FROM sym)
+        |, reach(src, dst) AS (
+        |    SELECT n, n FROM nodes
+        |    UNION
+        |    SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+        |, comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+        |           FROM reach GROUP BY src)
+        |, lab AS (SELECT d2.doc_id,
+        |            COALESCE(c.cluster_id, d2.doc_id) AS entity_id
+        |          FROM documents d2
+        |          LEFT JOIN comp c ON d2.doc_id = c.doc_id)
+        |, b AS (SELECT doc_id, entity_id,
+        |    ('0x' || substr(md5(CAST(entity_id AS VARCHAR)), 1, 8))::BIGINT
+        |      % 100 AS bucket
+        |  FROM lab)
+        |SELECT doc_id, entity_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin)
+      .replaceFirst("WITH d AS", "WITH RECURSIVE d AS")
+
+  /** Overlapping token-window chunking — the RAG/pretraining prep step:
+    * windows of 50 tokens at stride 40 (10-token overlap so no boundary
+    * context is lost), deterministic (doc_id, chunk_no) ids, the final
+    * short window kept. Pure narrow ops: one transform over start
+    * positions + posexplode — no shuffle, no UDF; chunk volume is
+    * ~n_tokens/stride per doc, the bound that sizes the downstream
+    * embedding job. */
+  private def textChunking(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokens(TextAnalysis.normalize(col("text"))).as("toks"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(1, greatest(size(toks), 1), 40), " +
+          "i -> slice(toks, i, 50))")))
+      .select(col("doc_id"), (col("pos") + 1).as("chunk_no"),
+        size(col("col")).cast("long").as("n_tokens"),
+        array_join(col("col"), " ").as("chunk"))
+      .orderBy("doc_id", "chunk_no")
+
+  private val textChunkingOracle: String = dCte +
+    """, t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d),
+      |st AS (SELECT doc_id, toks,
+      |    unnest(range(1, greatest(len(toks), 1) + 1, 40)) AS i
+      |  FROM t),
+      |c AS (SELECT doc_id, i, toks[i : i + 49] AS chunk FROM st)
+      |SELECT doc_id,
+      |  CAST((i - 1) // 40 + 1 AS INTEGER) AS chunk_no,
+      |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+      |  array_to_string(chunk, ' ') AS chunk
+      |FROM c ORDER BY doc_id, chunk_no""".stripMargin
+
   // ---- multimodal ----
 
   private def multimodalFrames(s: SparkSession, dir: String): DataFrame =
@@ -909,6 +988,9 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("text_naive_bayes", textNaiveBayes, Some(naiveBayesOracle)),
     QueryDef("pipeline_er", pipelineEr, Some(pipelineErOracle)),
     QueryDef("a_cov_matrix", covMatrix, Some(covMatrixOracle)),
+    QueryDef("f_split_leakage_safe", splitLeakageSafe,
+      Some(splitLeakageOracle)),
+    QueryDef("text_chunking", textChunking, Some(textChunkingOracle)),
     QueryDef("text_token_stats", textTokens, Some(dCte +
       """SELECT doc_id,
         |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
