@@ -458,6 +458,49 @@ object ExtensionQueries extends QueryGroup {
         |FROM b ORDER BY doc_id""".stripMargin)
       .replaceFirst("WITH d AS", "WITH RECURSIVE d AS")
 
+  /** Feature hashing (the hashing trick): tokens fold into a fixed
+    * 16-slot signed vector — slot = md5 bucket, sign = an independent
+    * md5 nibble's parity, weight = Σ sign·count. Model-free
+    * vectorization whose dimensionality is CHOSEN, not learned: no
+    * vocabulary table, no fitting pass, collisions fold in by design
+    * (sign balance keeps them unbiased — Weinberger et al. 2009). At
+    * corpus scale this is one explode + one hash aggregate; emitted at
+    * (doc, slot) grain so no array assembly sits in the plan. */
+  private def featureHash(s: SparkSession, dir: String): DataFrame = {
+    val slots = 16
+    val tok = docs(s, dir)
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(TextAnalysis.normalize(col("text"))))
+          .as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+    tok
+      .withColumn("slot",
+        pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"),
+          lit(slots.toLong)))
+      .withColumn("sign",
+        conv(substring(md5(col("tok")), 9, 1), 16, 10).cast("long") % 2
+          * 2 - 1)
+      .groupBy(col("doc_id"), col("slot"))
+      .agg(sum(col("sign") * col("cnt")).as("weight"))
+      .filter(col("weight") =!= 0)
+      .orderBy("doc_id", "slot")
+  }
+
+  private val featureHashOracle: String = dCte +
+    """, tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+      |          FROM d),
+      |tc AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM tok GROUP BY 1, 2),
+      |h AS (SELECT doc_id,
+      |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 16 AS slot,
+      |    (('0x' || substr(md5(tok), 9, 1))::BIGINT % 2) * 2 - 1 AS sign,
+      |    cnt
+      |  FROM tc)
+      |SELECT doc_id, slot, SUM(sign * cnt) AS weight
+      |FROM h GROUP BY 1, 2
+      |HAVING SUM(sign * cnt) <> 0
+      |ORDER BY doc_id, slot""".stripMargin
+
   /** Overlapping token-window chunking — the RAG/pretraining prep step:
     * windows of 50 tokens at stride 40 (10-token overlap so no boundary
     * context is lost), deterministic (doc_id, chunk_no) ids, the final
@@ -991,6 +1034,7 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("f_split_leakage_safe", splitLeakageSafe,
       Some(splitLeakageOracle)),
     QueryDef("text_chunking", textChunking, Some(textChunkingOracle)),
+    QueryDef("f_feature_hash", featureHash, Some(featureHashOracle)),
     QueryDef("text_token_stats", textTokens, Some(dCte +
       """SELECT doc_id,
         |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
