@@ -129,15 +129,16 @@ object Similarity {
     * in Spark and the DuckDB oracle, so the quantized codes — and hence
     * every downstream integer score — match bitwise across engines. */
   def sq8Quantize(emb: DataFrame, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding",
+                  keep: Seq[String] = Nil): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val l2 = sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x * x))
     emb.select(
-      col(idCol),
+      (col(idCol) +: keep.map(col)) :+
       when(l2 === 0.0d, expr(s"transform(cast($vecCol as array<double>), x -> 0L)"))
         .otherwise(transform(v, x =>
           floor(x / l2 * lit(127.0d) + lit(0.5d)).cast("long")))
-        .as("qv"))
+        .as("qv"): _*)
   }
 
   /** SQ8 brute-force top-k: rank candidates by the integer dot product of
@@ -153,6 +154,26 @@ object Similarity {
     val c = scatter(sq8Quantize(corpus, idCol, vecCol)
       .select(col(idCol).as("vec_id"), col("qv").as("cq")))
     val scored = c.crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot_q",
+        aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+    twoPhaseTopK(scored, k, scoreCol = "dot_q")
+  }
+
+  /** SQ8 × IVF composition — the production ANN operating point: prune
+    * the scan to the query's coarse cell AND score int8 codes with exact
+    * BIGINT dots. Cell pruning cuts scanned rows to 1/cells, SQ8 cuts
+    * bytes-per-row 4× — the two levers multiply, and the ranking stays
+    * bitwise-deterministic (integer scores, id tie-break). */
+  def sq8IvfTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                 cellCol: String = "label", idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(sq8Quantize(queries, idCol, vecCol, keep = Seq(cellCol))
+      .select(col(cellCol), col(idCol).as("query_id"), col("qv").as("qq")))
+    val c = scatter(sq8Quantize(corpus, idCol, vecCol, keep = Seq(cellCol))
+      .select(col(cellCol), col(idCol).as("vec_id"), col("qv").as("cq")))
+    val scored = c.join(q, Seq(cellCol))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("dot_q",
         aggregate(zip_with(col("qq"), col("cq"), (a, b) => a * b),

@@ -190,30 +190,41 @@ object ExtensionQueries extends QueryGroup {
       .orderBy("query_id", "rank")
   }
 
+  private def simSq8Ivf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.sq8IvfTopK(e.filter(col("vec_id") < 10), e)
+      .orderBy("query_id", "rank")
+  }
+
   /** SQ8 oracle: the SAME normalize→round-half-up quantization in DuckDB
     * (IEEE-exact ops, identical fold order → bitwise-identical codes),
     * then an exact BIGINT dot-product ranking — no float tolerance
-    * anywhere. See Similarity.sq8Quantize for the determinism argument. */
-  private val sq8Oracle: String = eCte +
-    s""", n AS (SELECT vec_id, v,
-       |    sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS l2
-       |  FROM e),
-       |q8 AS (SELECT vec_id,
-       |    CASE WHEN l2 = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
-       |         ELSE list_transform(v,
-       |           x -> CAST(floor(x / l2 * 127.0 + 0.5) AS BIGINT)) END AS qv
-       |  FROM n),
-       |q AS (SELECT vec_id AS query_id, qv AS qq FROM q8 WHERE vec_id < 10),
-       |scored AS (SELECT q.query_id, c.vec_id,
-       |    CAST(list_aggregate(list_transform(list_zip(q.qq, c.qv),
-       |      z -> z[1] * z[2]), 'sum') AS BIGINT) AS dot_q
-       |  FROM q8 c JOIN q ON c.vec_id <> q.query_id),
-       |r AS (SELECT query_id, vec_id, dot_q,
-       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY dot_q DESC, vec_id ASC) AS INTEGER) AS rank
-       |  FROM scored)
-       |SELECT query_id, rank, vec_id, dot_q FROM r WHERE rank <= 5
-       |ORDER BY query_id, rank""".stripMargin
+    * anywhere. See Similarity.sq8Quantize for the determinism argument.
+    * `sameCell` adds the IVF cell restriction (the sq8IvfTopK twin). */
+  private def sq8Oracle(sameCell: Boolean): String = {
+    val cellPred = if (sameCell) " AND c.label = q.qlabel" else ""
+    eCte +
+      s""", n AS (SELECT vec_id, label, v,
+         |    sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS l2
+         |  FROM e),
+         |q8 AS (SELECT vec_id, label,
+         |    CASE WHEN l2 = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+         |         ELSE list_transform(v,
+         |           x -> CAST(floor(x / l2 * 127.0 + 0.5) AS BIGINT)) END AS qv
+         |  FROM n),
+         |q AS (SELECT vec_id AS query_id, label AS qlabel, qv AS qq
+         |      FROM q8 WHERE vec_id < 10),
+         |scored AS (SELECT q.query_id, c.vec_id,
+         |    CAST(list_aggregate(list_transform(list_zip(q.qq, c.qv),
+         |      z -> z[1] * z[2]), 'sum') AS BIGINT) AS dot_q
+         |  FROM q8 c JOIN q ON c.vec_id <> q.query_id$cellPred),
+         |r AS (SELECT query_id, vec_id, dot_q,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY dot_q DESC, vec_id ASC) AS INTEGER) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, vec_id, dot_q FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+  }
 
   private def topkOracle(sameCell: Boolean): String = {
     val cellPred = if (sameCell) " AND e.label = q.qlabel" else ""
@@ -1027,7 +1038,8 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("f_sql_cosine", sqlCosine, Some(sqlCosineOracle)),
     QueryDef("sim_bruteforce_topk", simBruteForce, Some(topkOracle(false))),
     QueryDef("sim_ivf_topk", simIvf, Some(topkOracle(true))),
-    QueryDef("sim_sq8_topk", simSq8, Some(sq8Oracle)),
+    QueryDef("sim_sq8_topk", simSq8, Some(sq8Oracle(false))),
+    QueryDef("sim_sq8_ivf_topk", simSq8Ivf, Some(sq8Oracle(true))),
     QueryDef("text_naive_bayes", textNaiveBayes, Some(naiveBayesOracle)),
     QueryDef("pipeline_er", pipelineEr, Some(pipelineErOracle)),
     QueryDef("a_cov_matrix", covMatrix, Some(covMatrixOracle)),
