@@ -469,6 +469,74 @@ object ExtensionQueries extends QueryGroup {
         |FROM b ORDER BY doc_id""".stripMargin)
       .replaceFirst("WITH d AS", "WITH RECURSIVE d AS")
 
+  /** Survivorship by QUALITY: near-dup clusters keep their best-scoring
+    * member (quality desc, id asc tie-break), not the lowest id — the
+    * policy real corpus dedup wants, since near-dups usually differ by
+    * truncation/boilerplate and "first crawled" is not "best copy".
+    * Same cluster machinery as `dedup_apply`; the quality signal is the
+    * exact-arithmetic `text_quality` score, so the argmax is
+    * engine-stable. */
+  private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val clusters = Dedup.connectedComponents(Dedup.minhashCandidates(d))
+    val q = TextAnalysis.qualityScore(d)
+      .select(col("doc_id"), col("quality_score"))
+    val labeled = d.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("entity_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(q, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("entity_id"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    labeled
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("entity_id"))))
+      .filter(col("rn") === 1)
+      .select(col("entity_id"), col("doc_id").as("keep_id"),
+        col("n_members"), round(col("quality_score"), 6).as("best_score"))
+      .orderBy("entity_id")
+  }
+
+  private val dedupKeepBestOracle: String =
+    (dCte + shCte + sigCte + ", cand AS (" + candSql + ")" +
+      s"""
+         |, sym AS (SELECT doc_a AS a, doc_b AS b FROM cand
+         |          UNION SELECT doc_b, doc_a FROM cand)
+         |, nodes AS (SELECT DISTINCT a AS n FROM sym)
+         |, reach(src, dst) AS (
+         |    SELECT n, n FROM nodes
+         |    UNION
+         |    SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+         |, comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+         |           FROM reach GROUP BY src)
+         |, q AS (SELECT doc_id, norm,
+         |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+         |    ${TextAnalysis.langScoreSql.find(_._1 == "en").get._2}
+         |      AS stop_hits
+         |  FROM d)
+         |, sc AS (SELECT doc_id,
+         |    least(n_tokens / 100.0, 1.0) * 0.5 +
+         |    least(stop_hits / n_tokens * 5.0, 1.0) * 0.5 AS quality_score
+         |  FROM q)
+         |, lab AS (SELECT d2.doc_id,
+         |            COALESCE(c.cluster_id, d2.doc_id) AS entity_id,
+         |            sc.quality_score
+         |          FROM documents d2
+         |          LEFT JOIN comp c ON d2.doc_id = c.doc_id
+         |          JOIN sc ON sc.doc_id = d2.doc_id)
+         |, r AS (SELECT entity_id, doc_id, quality_score,
+         |    row_number() OVER (PARTITION BY entity_id
+         |      ORDER BY quality_score DESC, doc_id ASC) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY entity_id) AS BIGINT)
+         |      AS n_members
+         |  FROM lab)
+         |SELECT entity_id, doc_id AS keep_id, n_members,
+         |       round(quality_score, 6) AS best_score
+         |FROM r WHERE rn = 1 ORDER BY entity_id""".stripMargin)
+      .replaceFirst("WITH d AS", "WITH RECURSIVE d AS")
+
   /** Feature hashing (the hashing trick): tokens fold into a fixed
     * 16-slot signed vector — slot = md5 bucket, sign = an independent
     * md5 nibble's parity, weight = Σ sign·count. Model-free
@@ -1047,6 +1115,7 @@ object ExtensionQueries extends QueryGroup {
       Some(splitLeakageOracle)),
     QueryDef("text_chunking", textChunking, Some(textChunkingOracle)),
     QueryDef("f_feature_hash", featureHash, Some(featureHashOracle)),
+    QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestOracle)),
     QueryDef("text_token_stats", textTokens, Some(dCte +
       """SELECT doc_id,
         |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
