@@ -195,7 +195,50 @@ object SqlQueries extends QueryGroup {
       |GROUP BY ALL
       |ORDER BY ALL""".stripMargin
 
+  /** NOT IN vs NOT EXISTS under NULLs — the three-valued-logic footgun
+    * pinned as data: ONE null in the subquery makes `NOT IN` return
+    * zero rows (every comparison is UNKNOWN), while `NOT EXISTS` and
+    * the null-filtered NOT IN behave as intended. Both engines
+    * implement the standard, so the oracle is the same query — the
+    * value is the regression pin: an "optimization" that rewrites
+    * NOT IN to an anti-join without the null guard fails here. */
+  private def notInNull(s: SparkSession, dir: String): DataFrame = {
+    val e = view(s, dir, "events")
+    s.sql(
+      s"""WITH sub AS (SELECT user_id FROM $e WHERE event_type = 'purchase'
+         |             UNION ALL SELECT CAST(NULL AS BIGINT))
+         |SELECT
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $e
+         |   WHERE user_id NOT IN (SELECT user_id FROM sub))
+         |    AS not_in_with_null,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $e e1
+         |   WHERE NOT EXISTS (SELECT 1 FROM sub
+         |                     WHERE sub.user_id = e1.user_id))
+         |    AS not_exists_with_null,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $e
+         |   WHERE user_id NOT IN (SELECT user_id FROM sub
+         |                         WHERE user_id IS NOT NULL))
+         |    AS not_in_null_filtered""".stripMargin)
+  }
+
+  private val notInNullOracle: String =
+    """WITH sub AS (SELECT user_id FROM events WHERE event_type = 'purchase'
+      |             UNION ALL SELECT CAST(NULL AS BIGINT))
+      |SELECT
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+      |   WHERE user_id NOT IN (SELECT user_id FROM sub))
+      |    AS not_in_with_null,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events e1
+      |   WHERE NOT EXISTS (SELECT 1 FROM sub
+      |                     WHERE sub.user_id = e1.user_id))
+      |    AS not_exists_with_null,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+      |   WHERE user_id NOT IN (SELECT user_id FROM sub
+      |                         WHERE user_id IS NOT NULL))
+      |    AS not_in_null_filtered""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_not_in_null", notInNull, Some(notInNullOracle)),
     QueryDef("q_group_by_all", groupByAll, Some(groupByAllOracle)),
     QueryDef("q_subqueries", subqueries, Some(subqueriesOracle)),
     QueryDef("j_lateral_top2", lateralTop2, Some(lateralOracle)),

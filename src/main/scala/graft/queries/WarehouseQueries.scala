@@ -255,7 +255,47 @@ object WarehouseQueries extends QueryGroup {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** 7-day rolling DISTINCT actives per event type — the window
+    * COUNT(DISTINCT) SQL forbids: composed as per-day distinct sets
+    * (one hash agg — the big shrink), then a days-window flatten →
+    * distinct → size over the tiny (type × day) grid. At fixture scale
+    * the exact set union is fine; at 100 TB of users/day the same query
+    * swaps collect_set for HLL sketches with identical shape
+    * (`a_hll_merge_daily` is that path, oracle-checked) — this query
+    * pins the EXACT twin. The oracle counts distinct via a day-range
+    * self-join, a totally different formulation. */
+  private def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val daily = Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).as("day"))
+      .agg(collect_set(col("user_id")).as("users"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-6, 0)
+    daily
+      .withColumn("win_users",
+        size(array_distinct(flatten(collect_list(col("users")).over(w))))
+          .cast("long"))
+      .select(col("event_type"), col("day").cast("long").as("day"),
+        col("win_users").as("actives_7d"))
+      .orderBy("event_type", "day")
+  }
+
+  private val rollingDistinctOracle: String =
+    """WITH d AS (SELECT DISTINCT event_type,
+      |    (CAST(ts AS DATE) - DATE '1970-01-01') AS day, user_id
+      |  FROM events WHERE user_id IS NOT NULL),
+      |days AS (SELECT DISTINCT event_type, day FROM d)
+      |SELECT days.event_type, CAST(days.day AS BIGINT) AS day,
+      |  CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS actives_7d
+      |FROM days JOIN d
+      |  ON d.event_type = days.event_type
+      | AND d.day BETWEEN days.day - 6 AND days.day
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("w_rolling_distinct", rollingDistinct,
+      Some(rollingDistinctOracle)),
     QueryDef("etl_scd2_build", scd2Build, Some(scd2Oracle)),
     QueryDef("j_scd2_temporal", scd2Temporal, Some(scd2TemporalOracle)),
     QueryDef("f_k_anonymity", kAnonymity, Some(kAnonymityOracle)),
