@@ -114,6 +114,50 @@ object SqlQueries extends QueryGroup {
       |       TRUE AS merged_within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Rolling 7-day actives from HLL sketches merged OVER A WINDOW — the
+    * at-scale twin of `w_rolling_distinct`: per-day sketch state is a
+    * few KB however many users a day has, and each rolling value merges
+    * 7 sketches instead of unioning 7 user sets. Bound-as-data: the
+    * estimate must sit within 5% of the exact window count (itself the
+    * oracle-verified `w_rolling_distinct` value); only engine-stable
+    * columns are emitted. */
+  private def hllRolling(s: SparkSession, dir: String): DataFrame = {
+    val ev = Sources.table(s, dir, "events")
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        datediff(col("ts").cast("date"), lit("1970-01-01")).as("day"),
+        col("user_id"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+        collect_set(col("user_id")).as("users"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("day")).rangeBetween(-6, 0)
+    daily
+      .withColumn("est",
+        hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+      .withColumn("exact_7d",
+        size(array_distinct(flatten(collect_list(col("users")).over(w))))
+          .cast("long"))
+      .select(col("event_type"), col("day").cast("long").as("day"),
+        col("exact_7d"),
+        (abs(col("est") - col("exact_7d")) <=
+          col("exact_7d").cast("double") * lit(0.05)).as("within_5pct"))
+      .orderBy("event_type", "day")
+  }
+
+  private val hllRollingOracle: String =
+    """WITH d AS (SELECT DISTINCT event_type,
+      |    (CAST(ts AS DATE) - DATE '1970-01-01') AS day, user_id
+      |  FROM events WHERE user_id IS NOT NULL),
+      |days AS (SELECT DISTINCT event_type, day FROM d)
+      |SELECT days.event_type, CAST(days.day AS BIGINT) AS day,
+      |  CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS exact_7d,
+      |  TRUE AS within_5pct
+      |FROM days JOIN d
+      |  ON d.event_type = days.event_type
+      | AND d.day BETWEEN days.day - 6 AND days.day
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Recursive CTE (Spark 4): ancestor closure of a decimal-decade key
     * hierarchy — the adjacency-walk shape warehouses run for org charts,
     * category trees, and BOM explosion. Spark's recursion is UNION ALL
@@ -243,6 +287,7 @@ object SqlQueries extends QueryGroup {
     QueryDef("q_subqueries", subqueries, Some(subqueriesOracle)),
     QueryDef("j_lateral_top2", lateralTop2, Some(lateralOracle)),
     QueryDef("a_hll_merge_daily", hllMergeDaily, Some(hllMergeOracle)),
+    QueryDef("a_hll_rolling", hllRolling, Some(hllRollingOracle)),
     QueryDef("q_recursive_hierarchy", recursiveHierarchy,
       Some(recursiveOracle)),
     QueryDef("q_pipe_syntax", pipeSyntax, Some(pipeOracle)),
