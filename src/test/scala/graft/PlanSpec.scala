@@ -135,16 +135,27 @@ class PlanSpec extends SparkSpec {
   test("sparse-cosine query plans without a driver-side data job") {
     // N rides as a lazy broadcast 1-row aggregate; building the full
     // inverted-index pipeline must add no jobs over a bare documents scan.
-    def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    val j0 = jobs
-    graft.io.Sources.table(spark, dir, "documents")
-    val scanJobs = jobs - j0
-    val j1 = jobs
-    val df = SparkEntry.queries("sim_sparse_cosine")(spark, dir)
-    val queryJobs = jobs - j1
-    assert(df != null)
+    // Jobs are counted in DEDICATED job groups: the default group's id
+    // list is evicted past spark.ui.retainedJobs, so global before/after
+    // deltas go negative once the shared test session has run enough.
+    val scanJobs = jobsInGroup("planspec-sparse-scan") {
+      graft.io.Sources.table(spark, dir, "documents")
+    }
+    val queryJobs = jobsInGroup("planspec-sparse-query") {
+      assert(SparkEntry.queries("sim_sparse_cosine")(spark, dir) != null)
+    }
     assert(queryJobs <= scanJobs,
       s"query construction ran $queryJobs job(s) vs $scanJobs for a bare scan")
+  }
+
+  /** Count Spark jobs triggered by `body`, isolated in a job group so the
+    * default group's retained-jobs eviction cannot skew the delta. */
+  private def jobsInGroup(tag: String)(body: => Unit): Int = {
+    spark.sparkContext.setJobGroup(tag, tag, interruptOnCancel = false)
+    try {
+      body
+      spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+    } finally spark.sparkContext.clearJobGroup()
   }
 
   test("co-purchase pairs: basket expansion, not a fact self-join") {
@@ -177,15 +188,15 @@ class PlanSpec extends SparkSpec {
     // sign-LSH previously probed dims via head() at plan-construction time.
     // spark.read.parquet itself runs a fixed footer/schema job, so measure
     // against that: building the full query must add NO jobs beyond the
-    // plain table read.
-    def jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
-    val j0 = jobs
-    graft.io.Sources.table(spark, dir, "embeddings")
-    val scanJobs = jobs - j0
-    val j1 = jobs
-    val df = SparkEntry.queries("sim_neardup_lsh")(spark, dir)
-    val queryJobs = jobs - j1
-    assert(df != null)
+    // plain table read. Group-scoped counting — see jobsInGroup.
+    val scanJobs = jobsInGroup("planspec-lsh-scan") {
+      graft.io.Sources.table(spark, dir, "embeddings")
+    }
+    var built: org.apache.spark.sql.DataFrame = null
+    val queryJobs = jobsInGroup("planspec-lsh-query") {
+      built = SparkEntry.queries("sim_neardup_lsh")(spark, dir)
+    }
+    assert(built != null)
     assert(queryJobs <= scanJobs,
       s"query construction ran $queryJobs job(s) vs $scanJobs for a bare scan" +
         " — a data-dependent probe (head()/count()) is back in the plan path")
