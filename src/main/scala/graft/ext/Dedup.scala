@@ -437,10 +437,14 @@ object Dedup {
       .select(col("doc_id"),
         conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
     val freq = tok.groupBy(col("h")).agg(count(lit(1)).as("f"))
-    val ranked = tok.join(freq, Seq("h"))
+    // The ranked token-array table feeds THREE consumers in one plan (the
+    // prefix explode, and both verify sides) — without a persist the
+    // tokenize→freq-join→sort-aggregate subtree runs three times. Scratch
+    // lifecycle: released by the runner after the query's action.
+    val ranked = persistScratch(tok.join(freq, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("fh"))
-      .select(col("doc_id"), expr("transform(fh, s -> s.h)").as("toks"))
+      .select(col("doc_id"), expr("transform(fh, s -> s.h)").as("toks")))
     // Lₓ = n − ⌈t·n⌉ + 1, in integer arithmetic (no float boundary):
     // ⌈t100·n/100⌉ = (t100·n + 99) div 100
     val n = size(col("toks"))

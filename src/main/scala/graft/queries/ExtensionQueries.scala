@@ -21,6 +21,21 @@ object ExtensionQueries extends QueryGroup {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "embeddings")
 
+  // Four queries (dedup_clusters, dedup_apply, f_split_leakage_safe,
+  // dedup_keep_best) consume the SAME minhash→connected-components cluster
+  // table. CacheManager can't dedupe it for us — each connectedComponents
+  // run builds fresh localCheckpoint plans — so memoize the RESULT per
+  // (session, dir), the j_bucketed_join precedent: one process pays the
+  // iterative pass once, every later consumer reads the materialized
+  // (tiny — O(near-dup docs)) labeling. Deterministic, so correctness is
+  // invocation-order-independent; a fresh JVM recomputes from scratch.
+  private val clustersMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def sharedClusters(s: SparkSession, dir: String): DataFrame =
+    clustersMemo.getOrElseUpdate((s, dir),
+      Dedup.connectedComponents(Dedup.minhashCandidates(docs(s, dir))))
+
   // ---- shared DuckDB fragments ----
 
   private val dCte: String =
@@ -126,8 +141,7 @@ object ExtensionQueries extends QueryGroup {
   }
 
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(Dedup.minhashCandidates(docs(s, dir)))
-      .orderBy("doc_id")
+    sharedClusters(s, dir).orderBy("doc_id")
 
   /** Recursive-CTE twin of the iterative min-label propagation: transitive
     * closure over symmetrized candidate edges, component = min reachable. */
@@ -145,12 +159,9 @@ object ExtensionQueries extends QueryGroup {
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
       .replaceFirst("WITH d AS", "WITH RECURSIVE d AS")
 
-  private def dedupApply(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    Dedup.applyClusters(d,
-        Dedup.connectedComponents(Dedup.minhashCandidates(d)))
+  private def dedupApply(s: SparkSession, dir: String): DataFrame =
+    Dedup.applyClusters(docs(s, dir), sharedClusters(s, dir))
       .select("doc_id").orderBy("doc_id")
-  }
 
   private val dedupApplyOracle: String =
     (dCte + shCte + sigCte + ", cand AS (" + candSql + ")" +
@@ -432,7 +443,7 @@ object ExtensionQueries extends QueryGroup {
     * anyway. */
   private def splitLeakageSafe(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val clusters = Dedup.connectedComponents(Dedup.minhashCandidates(d))
+    val clusters = sharedClusters(s, dir)
     val entity = d.select(col("doc_id"))
       .join(clusters, Seq("doc_id"), "left")
       .withColumn("entity_id", coalesce(col("cluster_id"), col("doc_id")))
@@ -478,7 +489,7 @@ object ExtensionQueries extends QueryGroup {
     * engine-stable. */
   private def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val clusters = Dedup.connectedComponents(Dedup.minhashCandidates(d))
+    val clusters = sharedClusters(s, dir)
     val q = TextAnalysis.qualityScore(d)
       .select(col("doc_id"), col("quality_score"))
     val labeled = d.select(col("doc_id"))

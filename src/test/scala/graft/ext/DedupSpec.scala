@@ -62,6 +62,8 @@ class DedupSpec extends SparkSpec {
     Dedup.releaseScratch()
     Dedup.simhashPairs(docs).count()
     Dedup.releaseScratch()
+    Dedup.setSimilarityPairs(docs).count()
+    Dedup.releaseScratch()
     val leaked = sc.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"persisted RDDs leaked: $leaked")
   }
