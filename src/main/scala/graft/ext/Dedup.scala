@@ -165,6 +165,29 @@ object Dedup {
                         k: Int = 8, stride: Int = 4): DataFrame =
     candidatesFromSignatures(minhashSignatures(docs, idCol, k, stride), idCol)
 
+  /** Incremental near-dup candidates: a NEW batch checked against an
+    * EXISTING corpus by joining the delta's MinHash band signatures
+    * against the base's — strictly delta×base, never delta×delta or
+    * base×base, and no re-clustering of the corpus. This is the daily-
+    * ingest shape at 100 TB: the base side is the signature STORE built
+    * once per corpus snapshot (two small rows per document — persist it
+    * bucketed by (band, sig) and the join needs no base-side shuffle at
+    * all), so admitting a day's crawl costs O(delta) signature hashing
+    * plus one band-keyed join against the store, independent of corpus
+    * size. Output (new_id, dup_of) feeds the same exact-verify operators
+    * as the batch path (ngramJaccard / editDistance on candidates). */
+  def incrementalCandidates(base: DataFrame, delta: DataFrame,
+                            idCol: String = "doc_id",
+                            k: Int = 8, stride: Int = 4): DataFrame = {
+    val bs = minhashSignatures(base, idCol, k, stride)
+      .select(col("band"), col("sig"), col(idCol).as("dup_of"))
+    val ds = minhashSignatures(delta, idCol, k, stride)
+      .select(col("band"), col("sig"), col(idCol).as("new_id"))
+    ds.join(bs, Seq("band", "sig"))
+      .select(col("new_id"), col("dup_of"))
+      .distinct()
+  }
+
   /** Candidate pairs over the O(n) rolling-hash signature family. */
   def minhashCandidatesRolling(docs: DataFrame, idCol: String = "doc_id",
                                k: Int = 8, stride: Int = 4): DataFrame =

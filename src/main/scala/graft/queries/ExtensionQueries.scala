@@ -140,6 +140,26 @@ object ExtensionQueries extends QueryGroup {
       s", sims AS (SELECT doc_id, $packed AS simhash FROM votes)\n"
   }
 
+  /** Incremental dedup ([[graft.ext.Dedup.incrementalCandidates]]): the
+    * "today's crawl vs the corpus" path — delta docs (doc_id ≡ 0 mod 3
+    * plays the new batch) band-joined against base signatures only, no
+    * delta×delta, no base×base, no re-clustering. The oracle computes
+    * the same banding over all docs and filters the join sides, which is
+    * equivalent because signatures are per-document. */
+  private def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ext.Dedup.incrementalCandidates(
+        d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 3 === 0))
+      .orderBy("new_id", "dup_of")
+  }
+
+  private val dedupIncrementalOracle: String =
+    dCte + shCte + sigCte +
+      """SELECT DISTINCT d.doc_id AS new_id, b.doc_id AS dup_of
+        |FROM sig d JOIN sig b ON d.band = b.band AND d.sig = b.sig
+        |WHERE d.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+        |ORDER BY new_id, dup_of""".stripMargin
+
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     sharedClusters(s, dir).orderBy("doc_id")
 
@@ -1111,6 +1131,8 @@ object ExtensionQueries extends QueryGroup {
            |    ${cosSql("a.v", "b.v")} AS cosine
            |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
            |WHERE cosine >= 0.45 ORDER BY doc_a, doc_b""".stripMargin)),
+    QueryDef("dedup_incremental", dedupIncremental,
+      Some(dedupIncrementalOracle)),
     QueryDef("dedup_clusters", dedupClusters, Some(clustersOracle)),
     QueryDef("dedup_apply", dedupApply, Some(dedupApplyOracle)),
     QueryDef("sim_neardup_lsh", simNearDupLsh, Some(nearDupLshOracle)),

@@ -32,6 +32,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated excluded
   }
 
+  test("incremental candidates: delta vs base only, no within-side pairs") {
+    val base = docs // ids 1,2 duplicate text; 4 unrelated
+    val delta = Seq(
+      (5L, "the quick brown fox jumps over the lazy dog again and again"),
+      (6L, "the quick brown fox jumps over the lazy dog again and again"),
+      (7L, "unmatched new text that resembles nothing in the corpus here"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalCandidates(base, delta)
+      .select("new_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(out.contains((5L, 1L)) && out.contains((5L, 2L)))
+    assert(out.contains((6L, 1L)))
+    assert(!out.exists(_._1 == 7L))                    // unmatched delta absent
+    assert(!out.exists(p => p._1 == 5L && p._2 == 6L)) // no delta×delta
+    assert(!out.exists(p => p._1 == 1L || p._1 == 2L)) // no base on the left
+  }
+
   test("ngram jaccard: identical docs = 1.0, near-dups high, ordered pairs") {
     val j = Dedup.ngramJaccard(docs, Dedup.minhashCandidates(docs))
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
