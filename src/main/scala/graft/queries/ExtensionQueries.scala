@@ -160,6 +160,64 @@ object ExtensionQueries extends QueryGroup {
         |WHERE d.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
         |ORDER BY new_id, dup_of""".stripMargin
 
+  /** End-to-end incremental ingest: every delta doc gets an admit verdict
+    * — rejected iff some corpus doc passes the EXACT word-3-gram Jaccard
+    * bar (≥ 0.5) among its delta×base signature candidates. The three
+    * stages are the production shape: candidates from the signature-store
+    * join (no self-pairs), exact verify on candidates only, verdict by
+    * left join against the verified-duplicate set. `dup_of` (min
+    * duplicate id) and `best_jaccard` (max score) are independent summary
+    * stats — both deterministic aggregates, no argmax tie ambiguity. */
+  private def pipelineIncrementalIngest(s: SparkSession, dir: String)
+      : DataFrame = {
+    val d = docs(s, dir)
+    val delta = d.filter(col("doc_id") % 3 === 0)
+    val base = d.filter(col("doc_id") % 3 =!= 0)
+    val cand = graft.ext.Dedup.incrementalCandidates(base, delta)
+      .select(col("new_id").as("doc_a"), col("dup_of").as("doc_b"))
+    val dups = graft.ext.Dedup.ngramJaccard(d, cand)
+      .filter(col("jaccard") >= 0.5)
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(min(col("doc_b")).as("dup_of"),
+        max(col("jaccard")).as("best_jaccard"))
+    delta.select(col("doc_id"))
+      .join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNull.as("admitted"),
+        col("dup_of"), col("best_jaccard"))
+      .orderBy("doc_id")
+  }
+
+  private val pipelineIncrementalIngestOracle: String =
+    dCte + shCte + sigCte +
+      """, cand AS (SELECT DISTINCT d.doc_id AS doc_a, b.doc_id AS doc_b
+        |    FROM sig d JOIN sig b ON d.band = b.band AND d.sig = b.sig
+        |    WHERE d.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)
+        |, g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+        |        FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM d)
+        |        WHERE len(toks) >= 3))
+        |, gs AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
+        |, inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+        |  FROM cand p
+        |  JOIN g ga ON ga.doc_id = p.doc_a
+        |  JOIN g gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+        |  GROUP BY p.doc_a, p.doc_b)
+        |, jac AS (SELECT i.doc_a, i.doc_b,
+        |    CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter)
+        |      AS jaccard
+        |  FROM inter i
+        |  JOIN gs sa ON sa.doc_id = i.doc_a
+        |  JOIN gs sb ON sb.doc_id = i.doc_b)
+        |, dups AS (SELECT doc_a AS doc_id, MIN(doc_b) AS dup_of,
+        |    MAX(jaccard) AS best_jaccard
+        |  FROM jac WHERE jaccard >= 0.5 GROUP BY doc_a)
+        |SELECT dd.doc_id, (p.dup_of IS NULL) AS admitted,
+        |  p.dup_of, p.best_jaccard
+        |FROM documents dd LEFT JOIN dups p USING (doc_id)
+        |WHERE dd.doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin
+
   private def dedupClusters(s: SparkSession, dir: String): DataFrame =
     sharedClusters(s, dir).orderBy("doc_id")
 
@@ -1133,6 +1191,8 @@ object ExtensionQueries extends QueryGroup {
            |WHERE cosine >= 0.45 ORDER BY doc_a, doc_b""".stripMargin)),
     QueryDef("dedup_incremental", dedupIncremental,
       Some(dedupIncrementalOracle)),
+    QueryDef("pipeline_incremental_ingest", pipelineIncrementalIngest,
+      Some(pipelineIncrementalIngestOracle)),
     QueryDef("dedup_clusters", dedupClusters, Some(clustersOracle)),
     QueryDef("dedup_apply", dedupApply, Some(dedupApplyOracle)),
     QueryDef("sim_neardup_lsh", simNearDupLsh, Some(nearDupLshOracle)),
