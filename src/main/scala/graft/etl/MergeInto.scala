@@ -37,4 +37,31 @@ object MergeInto {
       .filter(col("op").isNull || col("op") =!= "D")
       .select(col(key) +: payloadCols.map(pick): _*)
   }
+
+  /** The inverse of [[applyChanges]]: DERIVE the (I/U/D) changeset
+    * between two snapshots of a keyed table. One full-outer join on the
+    * key; rows equal on every payload column (null-safe `<=>`) are
+    * suppressed as no-ops. Deletes carry null payload (there is no new
+    * value to carry). Scale shape is identical to the apply side: one
+    * keyed exchange per snapshot — zero for snapshots stored as bucketed
+    * tables — no window, no per-column sub-joins; this is the changeset
+    * generator that feeds applyChanges-style consumers downstream. */
+  def diffSnapshots(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val o = oldSnap.select(
+      col(key).as("o_key") +: payloadCols.map(n => col(n).as(s"o_$n")): _*)
+    val n = newSnap.select(
+      col(key).as("n_key") +: payloadCols.map(n => col(n).as(s"n_$n")): _*)
+    val unchanged = payloadCols
+      .map(c => col(s"o_$c") <=> col(s"n_$c"))
+      .reduce(_ && _)
+    o.join(n, col("o_key") === col("n_key"), "full_outer")
+      .select(
+        coalesce(col("n_key"), col("o_key")).as(key) +:
+        when(col("o_key").isNull, lit("I"))
+          .when(col("n_key").isNull, lit("D"))
+          .when(unchanged, lit(null)).otherwise(lit("U")).as("op") +:
+        payloadCols.map(c => col(s"n_$c").as(c)): _*)
+      .filter(col("op").isNotNull)
+  }
 }

@@ -36,6 +36,15 @@ object ExtensionQueries extends QueryGroup {
     clustersMemo.getOrElseUpdate((s, dir),
       Dedup.connectedComponents(Dedup.minhashCandidates(docs(s, dir))))
 
+  /** Drop memoized cluster labelings for `s` (all sessions if null) — the
+    * coolShared twin for long-lived sessions; the checkpoint blocks are
+    * reclaimed by the ContextCleaner once the frames are unreferenced.
+    * One-shot Verify/Bench JVMs may skip this (process exit releases
+    * everything). */
+  def coolClusters(s: SparkSession): Unit =
+    clustersMemo.keys.filter(k => s == null || k._1 == s)
+      .foreach(clustersMemo.remove)
+
   // ---- shared DuckDB fragments ----
 
   private val dCte: String =

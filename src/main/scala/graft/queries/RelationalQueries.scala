@@ -109,6 +109,41 @@ object RelationalQueries extends QueryGroup {
       |GROUP BY 1, 2, 3
       |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
 
+  /** Snapshot diff ([[MergeInto.diffSnapshots]]): derive the I/U/D
+    * changeset between two deterministic views of `events` — the old
+    * snapshot drops every event_id ≡ 6 (mod 7) (those become inserts),
+    * the new snapshot drops every event_id ≡ 4 (mod 5) (deletes) and
+    * bumps value by 1 for event_id ≡ 0 (mod 11) (updates); unchanged
+    * rows are suppressed by the null-safe payload comparison. */
+  private def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val e = Sources.table(s, dir, "events")
+    val oldSnap = e.filter(col("event_id") % 7 =!= 6)
+      .select(col("event_id"), col("value"))
+    val newSnap = e.filter(col("event_id") % 5 =!= 4)
+      .select(col("event_id"),
+        when(col("event_id") % 11 === 0, col("value") + lit(1.0))
+          .otherwise(col("value")).as("value"))
+    graft.etl.MergeInto.diffSnapshots(oldSnap, newSnap, "event_id",
+        Seq("value"))
+      .orderBy("event_id")
+  }
+
+  private val snapshotDiffOracle: String =
+    """WITH o AS (SELECT event_id, value FROM events WHERE event_id % 7 <> 6),
+      |n AS (SELECT event_id,
+      |        CASE WHEN event_id % 11 = 0 THEN value + 1.0 ELSE value END
+      |          AS value
+      |      FROM events WHERE event_id % 5 <> 4),
+      |j AS (SELECT COALESCE(n.event_id, o.event_id) AS event_id,
+      |        CASE WHEN o.event_id IS NULL THEN 'I'
+      |             WHEN n.event_id IS NULL THEN 'D'
+      |             WHEN o.value IS NOT DISTINCT FROM n.value THEN NULL
+      |             ELSE 'U' END AS op,
+      |        n.value AS value
+      |      FROM o FULL OUTER JOIN n ON o.event_id = n.event_id)
+      |SELECT event_id, op, value FROM j WHERE op IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
   /** CDC merge-apply over the customer dimension: the day's change set
     * (derived deterministically from orders — latest order per customer
     * sets the new balance; every 7th key is a delete; every 11th key
@@ -404,6 +439,7 @@ object RelationalQueries extends QueryGroup {
     QueryDef("q5_star_join", q5StarJoin, Some(q5Oracle)),
     QueryDef("q10_returned_items", q10ReturnedItems, Some(q10Oracle)),
     QueryDef("q18_top_orders", q18TopOrders, Some(q18Oracle)),
+    QueryDef("etl_snapshot_diff", snapshotDiff, Some(snapshotDiffOracle)),
     QueryDef("etl_merge_apply", mergeApply, Some(mergeApplyOracle)),
     QueryDef("a_udaf_geomean", udafGeomean, Some(geomeanOracle)),
     QueryDef("f_weighted_sample", weightedSample, Some(weightedSampleOracle)),

@@ -50,6 +50,29 @@ class MergeIntoSpec extends SparkSpec {
     (kept ++ inserted).toSet
   }
 
+  test("diffSnapshots then applyChanges reproduces the new snapshot") {
+    // I/U/D/unchanged plus null payloads on both sides: null→null is
+    // unchanged (suppressed), null→value and value→null are updates.
+    val oldS = Seq[(Long, java.lang.Double)](
+      (1L, 1.0), (2L, 2.0), (3L, null), (4L, 4.0), (5L, null))
+      .toDF("id", "v")
+    val newS = Seq[(Long, java.lang.Double)](
+      (1L, 1.0),          // unchanged
+      (2L, 20.0),         // updated
+      (3L, 3.0),          // null → value update
+      (5L, null),         // null → null unchanged
+      (6L, 6.0))          // inserted; 4 deleted
+      .toDF("id", "v")
+    val diff = MergeInto.diffSnapshots(oldS, newS, "id", Seq("v"))
+    val ops = diff.as[(Long, String, java.lang.Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(ops === Map(2L -> "U", 3L -> "U", 4L -> "D", 6L -> "I"))
+    val applied = MergeInto.applyChanges(oldS, diff, "id", Seq("v"))
+      .as[(Long, java.lang.Double)].collect().toSet
+    val expected = newS.as[(Long, java.lang.Double)].collect().toSet
+    assert(applied === expected)
+  }
+
   test("one-join merge equals reference semantics on generated cases") {
     (1L to 6L).foreach { seedNo =>
       val (base, changes) =
