@@ -118,6 +118,13 @@ class PlanSpec extends SparkSpec {
     assert(joins == 1, s"expected a single join, got $joins:\n$p")
   }
 
+  test("snapshot-diff compiles to ONE full-outer join, like the apply side") {
+    val p = plan(SparkEntry.queries("etl_snapshot_diff")(spark, dir))
+    val joins = "Join".r.findAllIn(p).length
+    assert(p.contains("FullOuter"), p.take(800))
+    assert(joins == 1, s"expected a single join, got $joins:\n$p")
+  }
+
   test("correlated subqueries decorrelate into joins (no per-row re-execution)") {
     val p = plan(SparkEntry.queries("q_subqueries")(spark, dir))
     assert(!p.contains("Subquery"),
