@@ -160,6 +160,48 @@ object ProfilingQueries extends QueryGroup {
       |FROM events WHERE value IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Equi-DEPTH histogram (8 bins of ~equal row count) — the quantile
+    * cousin of [[valueHistogram]]'s fixed-width bins, and what range
+    * partition boundaries / skew diagnostics actually want. The global
+    * rank comes from [[graft.ops.GlobalIndex.withRowId]] (range exchange
+    * + per-partition offsets), NOT `row_number() OVER (ORDER BY …)` whose
+    * empty PARTITION BY funnels the corpus through one reducer; the
+    * DuckDB oracle CAN afford that single-node window, and the ids agree
+    * because (value, event_id) is a total order. Bin id is the same
+    * integer arithmetic ((rank−1)·8 div n) on both engines — not ntile,
+    * whose remainder distribution differs. */
+  private def equidepthBins(s: SparkSession, dir: String): DataFrame = {
+    val v = Sources.table(s, dir, "events")
+      .select(col("event_id"), col("value"))
+      .filter(col("value").isNotNull)
+    val idx = graft.ops.GlobalIndex.withRowId(v,
+      Seq(col("value"), col("event_id")))
+    val n = broadcast(idx.agg(count(lit(1)).as("_n")))
+    idx.crossJoin(n)
+      .select(expr("CAST(((row_id - 1) * 8) div _n AS INT)").as("bin"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).cast("double").as("lo"),
+        max(col("v")).cast("double").as("hi"),
+        sum(col("v")).cast("double").as("mass"))
+      .orderBy("bin")
+  }
+
+  private val equidepthOracle: String =
+    """WITH v AS (SELECT event_id, value FROM events
+      |           WHERE value IS NOT NULL),
+      |r AS (SELECT value,
+      |        row_number() OVER (ORDER BY value ASC, event_id ASC) AS rn,
+      |        COUNT(*) OVER () AS n
+      |      FROM v)
+      |SELECT CAST(((rn - 1) * 8) // n AS INTEGER) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+      |  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hi,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS mass
+      |FROM r GROUP BY 1 ORDER BY bin""".stripMargin
+
   /** 2-D z-order (Morton) key per line item over (partkey, suppkey) low
     * 16 bits — the clustering key Layout.clusterByZ2 range-partitions
     * by at write time. The oracle re-derives the interleave from the
@@ -235,6 +277,7 @@ object ProfilingQueries extends QueryGroup {
     QueryDef("f_profile_columns_approx", profileColumnsApprox,
       Some(profileApproxOracle)),
     QueryDef("a_value_histogram", valueHistogram, Some(histogramOracle)),
+    QueryDef("a_equidepth_bins", equidepthBins, Some(equidepthOracle)),
     QueryDef("o_zorder_key", zorderKey, Some(zorderOracle)),
     QueryDef("a_zscore_outliers", zscoreOutliers, Some(zscoreOracle)),
   )
