@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional substring filter for fast local iteration on a few queries;
+    // the driver passes no pattern and always dumps the full surface
+    val pattern = if (args.length > 2) args(2) else ""
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,7 +27,9 @@ object Verify {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] warmShared failed: ${e.getMessage}")
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => pattern.isEmpty || name.contains(pattern) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -49,6 +54,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     queries.CoreQueries.coolShared(spark)
+    queries.ExtensionQueries.coolClusters(spark)
     spark.stop()
   }
 }

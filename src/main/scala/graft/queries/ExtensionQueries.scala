@@ -673,7 +673,7 @@ object ExtensionQueries extends QueryGroup {
       |    (('0x' || substr(md5(tok), 9, 1))::BIGINT % 2) * 2 - 1 AS sign,
       |    cnt
       |  FROM tc)
-      |SELECT doc_id, slot, SUM(sign * cnt) AS weight
+      |SELECT doc_id, slot, CAST(SUM(sign * cnt) AS BIGINT) AS weight
       |FROM h GROUP BY 1, 2
       |HAVING SUM(sign * cnt) <> 0
       |ORDER BY doc_id, slot""".stripMargin
@@ -1109,16 +1109,19 @@ object ExtensionQueries extends QueryGroup {
       |tr AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
       |te AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tok_cnt
       |       FROM tok WHERE doc_id % 5 = 0 GROUP BY 1, 2),
-      |ntok AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok
-      |         FROM tok WHERE doc_id % 5 = 0 GROUP BY 1),
+      |ntok AS (SELECT doc_id,
+      |         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tok
+      |         FROM d WHERE doc_id % 5 = 0 AND norm IS NOT NULL),
       |wc AS (SELECT lang AS l, word, CAST(COUNT(*) AS BIGINT) AS cnt
       |       FROM tr GROUP BY 1, 2),
-      |tot AS (SELECT l, SUM(cnt) AS total FROM wc GROUP BY 1),
+      |tot AS (SELECT l, CAST(SUM(cnt) AS BIGINT) AS total FROM wc
+      |        GROUP BY 1),
       |v AS (SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS v FROM wc),
-      |ld AS (SELECT lang AS l, CAST(COUNT(DISTINCT doc_id) AS BIGINT)
-      |         AS docs_l FROM tr GROUP BY 1),
-      |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs_total
-      |       FROM tr),
+      |ld AS (SELECT lang AS l, CAST(COUNT(*) AS BIGINT) AS docs_l
+      |       FROM d WHERE doc_id % 5 <> 0 AND norm IS NOT NULL
+      |       GROUP BY 1),
+      |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS docs_total
+      |       FROM d WHERE doc_id % 5 <> 0 AND norm IS NOT NULL),
       |lc AS (SELECT ld.l,
       |    CAST(round(ln(CAST(docs_l AS DOUBLE)) * 1e6) AS BIGINT)
       |      - CAST(round(ln(CAST(docs_total AS DOUBLE)) * 1e6) AS BIGINT)
@@ -1128,13 +1131,13 @@ object ExtensionQueries extends QueryGroup {
       |  FROM ld CROSS JOIN nd CROSS JOIN v
       |  JOIN tot ON ld.l = tot.l),
       |seen AS (SELECT te.doc_id, wc.l,
-      |    SUM(te.tok_cnt *
+      |    CAST(SUM(te.tok_cnt *
       |      CAST(round(ln(CAST(cnt + 1 AS DOUBLE)) * 1e6) AS BIGINT))
-      |      AS seen_m
+      |      AS BIGINT) AS seen_m
       |  FROM te JOIN wc ON te.word = wc.word GROUP BY 1, 2),
       |sc AS (SELECT n.doc_id, lc.l,
-      |    lc.prior_m + COALESCE(seen.seen_m, 0)
-      |      - n.n_tok * lc.denom_m AS score_m
+      |    CAST(lc.prior_m + COALESCE(seen.seen_m, 0)
+      |      - n.n_tok * lc.denom_m AS BIGINT) AS score_m
       |  FROM ntok n CROSS JOIN lc
       |  LEFT JOIN seen ON seen.doc_id = n.doc_id AND seen.l = lc.l),
       |r AS (SELECT doc_id, l, score_m,

@@ -19,5 +19,6 @@ done
 java $ADD_OPENS -Xmx8g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
-  graft.Verify "$SF_DIR" "$OUT" 1>&2
+  graft.Verify "$SF_DIR" "$OUT" "$PATTERN" 1>&2
+python3 tools/oracle_types.py "$SF_DIR" "$OUT/oracle_sql.json"
 python3 tools/compare.py "$SF_DIR" "$OUT" "$PATTERN"
