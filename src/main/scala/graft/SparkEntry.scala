@@ -44,7 +44,10 @@ object SparkEntry {
     all.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    * Evaluate AFTER running queries: oracleAfter thunks render literals
+    * stashed by their query (see [[graft.queries.QueryDef]]). */
   def oracleSql: Map[String, String] =
-    all.collect { case QueryDef(n, _, Some(sql)) => n -> sql }.toMap
+    all.flatMap(q => q.oracle.orElse(q.oracleAfter.flatMap(_.apply()))
+      .map(q.name -> _)).toMap
 }

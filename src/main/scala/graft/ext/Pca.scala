@@ -180,8 +180,12 @@ object Pca {
     * PcaSpec asserts on the fixture. */
   def mahalanobis(emb: DataFrame, model: Model,
                   idCol: String = "vec_id", vecCol: String = "embedding",
-                  eigenFloor: Double = 1e-9): DataFrame = {
-    val used = model.eigenvalues.takeWhile(_ > eigenFloor).length
+                  eigenFloor: Double = 1e-9,
+                  maxComponents: Int = Int.MaxValue): DataFrame = {
+    // maxComponents < d gives the truncated Mahalanobis in the top-k PCA
+    // subspace — the standard trade when trailing eigenvalues are noise
+    val used = math.min(maxComponents,
+      model.eigenvalues.takeWhile(_ > eigenFloor).length)
     val proj = project(emb, model, used, idCol, vecCol)
     val invL = model.eigenvalues.take(used).map(1.0 / _)
     proj.select(col(idCol),

@@ -30,6 +30,11 @@ object PrefixSum {
       else spark.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(n, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+    // the per-partition passes read the value with getLong; fail loud at
+    // plan time rather than ClassCastException inside a task
+    require(df.schema(valueCol).dataType == LongType,
+      s"runningSum needs a LongType value column; '$valueCol' is " +
+        s"${df.schema(valueCol).dataType.simpleString} - cast it first")
     val valueIdx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd
     val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>

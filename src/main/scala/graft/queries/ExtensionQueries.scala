@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, NaiveBayesText, Similarity, TextAnalysis}
+import graft.ext.{Dedup, NaiveBayesText, Pca, Similarity, TextAnalysis}
 import graft.io.Sources
 
 /** North-star extension queries (BASELINE.json): dedup, similarity search,
@@ -1093,6 +1093,83 @@ object ExtensionQueries extends QueryGroup {
       |        / CAST(n * (n - 1) AS DOUBLE) / 1e10, 10) AS cov
       |FROM a ORDER BY i, j""".stripMargin
 
+  // ---- PCA projection / Mahalanobis, oracle-checked ----
+  // The eigenbasis is data-dependent, so no static SQL can carry it; but
+  // the fit IS deterministic (integer-quantized moments, fixed Jacobi
+  // sweep order, canonical signs — PcaSpec pins bit-identity), so the
+  // query stashes its fitted model and the oracle is RENDERED after the
+  // run with the basis as double literals (QueryDef.oracleAfter — the
+  // same idea as sim_neardup_lsh's literal hyperplanes, shifted to
+  // post-run because these literals come from data). Double.toString is
+  // shortest-round-trip, so DuckDB re-parses the exact same IEEE value,
+  // and both engines then run the identical left-to-right product sums.
+  private val pcaMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Pca.Model]
+  @volatile private var pcaFitted: Option[Pca.Model] = None
+
+  private def pcaModel(s: SparkSession, dir: String): Pca.Model = {
+    val m = pcaMemo.getOrElseUpdate((s, dir),
+      Pca.fit(emb(s, dir), "embedding", dims = 64))
+    pcaFitted = Some(m)
+    m
+  }
+
+  private val PcaK = 4       // projected components in pca_project
+  private val PcaMahaK = 8   // top-k subspace for truncated Mahalanobis
+
+  private def pcaProject(s: SparkSession, dir: String): DataFrame = {
+    val m = pcaModel(s, dir)
+    Pca.project(emb(s, dir), m, PcaK)
+      .select(col("vec_id") +: (0 until PcaK).map(c =>
+        round(element_at(col("projected"), c + 1), 6).as(s"pc$c")): _*)
+      .orderBy("vec_id")
+  }
+
+  private def pcaMahalanobis(s: SparkSession, dir: String): DataFrame = {
+    val m = pcaModel(s, dir)
+    Pca.mahalanobis(emb(s, dir), m, maxComponents = PcaMahaK)
+      .select(col("vec_id"), round(col("md2"), 6).as("md2"))
+      .orderBy("vec_id")
+  }
+
+  /** `e[i+1] * w(i)` chain in the exact order [[Pca.project]] folds. */
+  private def pcaDotSql(w: Array[Double]): String =
+    w.zipWithIndex.map { case (x, i) => s"e[${i + 1}] * ($x)" }
+      .mkString("(", " + ", ")")
+
+  /** meanDot mirrors Pca.project's driver-side scalar, same fold order. */
+  private def pcaCompSql(m: Pca.Model, c: Int): String = {
+    val w = m.components(c)
+    val meanDot = (0 until m.dims).map(i => m.mean(i) * w(i)).sum
+    s"${pcaDotSql(w)} - ($meanDot)"
+  }
+
+  private def pcaProjectOracle(): Option[String] = pcaFitted.map { m =>
+    val comps = (0 until PcaK)
+      .map(c => s"  round(${pcaCompSql(m, c)}, 6) AS pc$c")
+      .mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+       |SELECT vec_id,
+       |$comps
+       |FROM v ORDER BY vec_id""".stripMargin
+  }
+
+  private def pcaMahalanobisOracle(): Option[String] = pcaFitted.map { m =>
+    val used = math.min(PcaMahaK,
+      m.eigenvalues.takeWhile(_ > 1e-9).length)
+    val ps = (0 until used)
+      .map(c => s"  ${pcaCompSql(m, c)} AS p$c").mkString(",\n")
+    // md2 folds left-to-right like aggregate(zip_with(...)): 0.0 + t0 + t1…
+    val md2 = (0 until used)
+      .map(c => s"p$c * p$c * (${1.0 / m.eigenvalues(c)})")
+      .mkString("0.0 + ", " + ", "")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |p AS (SELECT vec_id,
+       |$ps
+       |FROM v)
+       |SELECT vec_id, round($md2, 6) AS md2 FROM p ORDER BY vec_id""".stripMargin
+  }
+
   /** Naive Bayes language ID: hold out fold 0 by doc_id mod 5, train on
     * the rest, predict the held-out fold. The LEARNED twin of the
     * stopword-heuristic `text_langid`; scores in exact micro-nats (see
@@ -1216,6 +1293,10 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("text_naive_bayes", textNaiveBayes, Some(naiveBayesOracle)),
     QueryDef("pipeline_er", pipelineEr, Some(pipelineErOracle)),
     QueryDef("a_cov_matrix", covMatrix, Some(covMatrixOracle)),
+    QueryDef("pca_project", pcaProject, None,
+      oracleAfter = Some(() => pcaProjectOracle())),
+    QueryDef("pca_mahalanobis", pcaMahalanobis, None,
+      oracleAfter = Some(() => pcaMahalanobisOracle())),
     QueryDef("f_split_leakage_safe", splitLeakageSafe,
       Some(splitLeakageOracle)),
     QueryDef("text_chunking", textChunking, Some(textChunkingOracle)),

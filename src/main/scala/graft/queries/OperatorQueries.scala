@@ -415,7 +415,26 @@ object OperatorQueries extends QueryGroup {
       Seq(col("o_orderkey")))
       .orderBy("o_orderkey")
 
+  /** Global running sum WITHOUT the single-reducer global window —
+    * two-phase [[graft.ops.PrefixSum]] over range partitions. Like
+    * o_global_rowid, the oracle is exactly the `SUM() OVER (ORDER BY)`
+    * this operator replaces: identical values, distributed plan. Cents
+    * via DECIMAL so the running value is exact BIGINT on both engines. */
+  private def prefixSumRunning(s: SparkSession, dir: String): DataFrame =
+    graft.ops.PrefixSum.runningSum(
+      Sources.table(s, dir, "orders").select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents")),
+      Seq(col("o_orderkey")), "cents", "running_cents")
+      .select(col("o_orderkey"), col("running_cents"))
+      .orderBy("o_orderkey")
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("o_prefix_sum", prefixSumRunning, Some(
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    OVER (ORDER BY o_orderkey) AS BIGINT) AS running_cents
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
     QueryDef("w_range_frame", rangeFrame, Some(
       """SELECT user_id, event_id,
         |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)

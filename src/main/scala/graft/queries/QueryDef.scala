@@ -17,10 +17,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - genuinely irrational doubles (cosine similarity) are rounded identically
   *     on both sides AFTER ranking on the rounded value.
   */
+/** @param oracle  static oracle SQL, known at authoring time (the norm)
+  * @param oracleAfter rendered AFTER the run's queries executed — for
+  *   oracles that must carry run-computed (but deterministic) literals,
+  *   e.g. a fitted PCA eigenbasis. Verify dumps oracle_sql.json last, so
+  *   the thunk sees whatever the query stashed; returns None when the
+  *   query didn't run in this JVM (the entry is then omitted and the
+  *   driver records a weaker rows-only check). */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    oracleAfter: Option[() => Option[String]] = None)
 
 trait QueryGroup {
   def defs: Seq[QueryDef]
