@@ -56,7 +56,21 @@ object Bench {
     // speed).
     val mean = if (results.nonEmpty) total / results.size else 0.0
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"queries":${js(results)},"queries_warm":${js(warm)},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"queries":${js(results)},"queries_warm":${js(warm)},"sf":"$sfDir"}"""
+    println(line)
+    // The driver's artifact retains only a stdout tail, which loses most
+    // per-query timings; also write the complete line to a committed file
+    // so every query has a recorded cold+warm history round-over-round
+    // (tools/bench_diff.py reports regressions against the last commit).
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    if (outFile.nonEmpty)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(outFile), line + "\n")
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+      }
+    queries.CoreQueries.coolShared(spark)
+    queries.ExtensionQueries.coolClusters(spark)
     spark.stop()
   }
 }

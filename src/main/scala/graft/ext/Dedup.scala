@@ -37,8 +37,12 @@ object Dedup {
   private val scratch = scala.collection.concurrent.TrieMap
     .empty[DataFrame, Unit]
 
+  // MEMORY_AND_DISK (the Dataset.persist default, made explicit): under
+  // full-suite memory pressure an evicted scratch partition is re-read
+  // from local disk, never recomputed through the tokenize→join→sort
+  // subtree it exists to avoid — the warm-slower-than-cold failure mode.
   private def persistScratch(df: DataFrame): DataFrame = {
-    val p = df.persist()
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scratch.put(p, ()); p
   }
 

@@ -59,9 +59,12 @@ object Ivf {
     // rank cells per query by centroid similarity; keep nprobe
     val cellRank = Window.partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("cell").asc)
+    // probe ranking on cosine ROUNDED to 6 dp (+ cell tie-break): the
+    // probe CHOICE is then engine-stable, so an external oracle carrying
+    // the centroids as literals reproduces the same searched cells
     val probed = q.crossJoin(broadcast(index.centroids))
       .withColumn("c_sim",
-        VectorFunctions.cosine(col("qv"), col("centroid")))
+        VectorFunctions.cosineRounded(col("qv"), col("centroid"), 6))
       .withColumn("crn", row_number().over(cellRank))
       .filter(col("crn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))

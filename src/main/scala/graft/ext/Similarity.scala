@@ -226,6 +226,30 @@ object Similarity {
       .select(col(idCol), col("table"), col("sig"))
   }
 
+  /** Incremental embedding admission candidates: a NEW batch of vectors
+    * checked against an EXISTING corpus by joining the delta's banded
+    * sign-LSH bucket keys against the base's — strictly delta×base,
+    * never delta×delta or base×base. The embedding-modality twin of
+    * [[Dedup.incrementalCandidates]]: at 100 TB the base side is the
+    * (id, table, sig) signature STORE persisted once per corpus snapshot
+    * (bucketed by (table, sig) it contributes no shuffle to the join),
+    * so admitting a day's embeddings costs O(delta) hashing plus one
+    * bucket-keyed join, independent of corpus size. Output
+    * (new_id, dup_of) feeds the exact rounded-cosine verify. */
+  def incrementalCandidates(base: DataFrame, delta: DataFrame,
+                            tables: Int = 4, planesPerTable: Int = 8,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            dims: Int = -1): DataFrame = {
+    val bs = signLshBanded(base, tables, planesPerTable, idCol, vecCol, dims)
+      .select(col("table"), col("sig"), col(idCol).as("dup_of"))
+    val ds = signLshBanded(delta, tables, planesPerTable, idCol, vecCol, dims)
+      .select(col("table"), col("sig"), col(idCol).as("new_id"))
+    ds.join(bs, Seq("table", "sig"))
+      .select(col("new_id"), col("dup_of"))
+      .distinct()
+  }
+
   /** Embedding near-duplicates via banded sign-LSH: candidate pairs share
     * at least one table's bucket, then the exact (rounded) cosine filter
     * keeps true near-dups. The hash-bucketed alternative to the IVF-cell

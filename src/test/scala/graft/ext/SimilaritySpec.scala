@@ -117,4 +117,22 @@ class SimilaritySpec extends SparkSpec {
       (sq8(q) & ids).size.toDouble / ids.size }.sum / exact.size
     assert(recall >= 0.8, s"SQ8 recall@5 too low: $recall")
   }
+
+  test("incremental candidates (embedding): delta vs base only") {
+    // 999 duplicates base vector 7; 998 duplicates fellow-delta 999 —
+    // the delta×delta pair must NOT surface (DedupSpec's property,
+    // mirrored on the embedding modality)
+    val base = corpus // ids 0..49
+    val delta = Seq(
+      (999L, 0, randVec(7)),
+      (998L, 0, randVec(7)),
+      (997L, 0, randVec(123456)),
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.incrementalCandidates(base, delta, dims = 16)
+      .select("new_id", "dup_of").as[(Long, Long)].collect().toSet
+    assert(out.contains((999L, 7L)))   // identical vector → every bucket
+    assert(out.contains((998L, 7L)))
+    assert(!out.exists(p => p._1 > 900L && p._2 > 900L)) // no delta×delta
+    assert(!out.exists(_._1 <= 49L))                     // no base on the left
+  }
 }

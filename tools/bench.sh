@@ -1,0 +1,22 @@
+#!/usr/bin/env bash
+# Full bench run -> BENCH_full.json + regression report vs the committed
+# previous run. Usage: tools/bench.sh [sfDir] [cpus]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+SF_DIR="${1:-/root/testdata/sf0.1}"
+CPUS="${2:-32}"
+sbt -batch compile 1>&2
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
+java $ADD_OPENS -Xmx8g \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
+  graft.Bench 2> >(tail -5 >&2) | tail -1 > /dev/null
+python3 tools/bench_diff.py BENCH_full.json HEAD

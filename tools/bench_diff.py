@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Round-over-round bench regression report.
+
+Compares a fresh BENCH_full.json against a previous one (default: the
+version committed at HEAD) and flags per-query regressions past BOTH a
+ratio and an absolute floor — small queries jitter by milliseconds, so a
+pure ratio would cry wolf.
+
+Usage: tools/bench_diff.py [new.json] [old.json|HEAD]
+Exit 0 always (the report is informational; the correctness gate is
+tools/check.sh) — pass --strict to exit 1 on regressions.
+"""
+import json
+import subprocess
+import sys
+
+RATIO = 1.5      # flag only if >= 1.5x slower...
+ABS_FLOOR = 0.5  # ...and >= 0.5s absolute growth
+
+
+def load(src: str) -> dict:
+    if src == "HEAD":
+        try:
+            text = subprocess.run(
+                ["git", "show", "HEAD:BENCH_full.json"],
+                capture_output=True, text=True, check=True).stdout
+        except subprocess.CalledProcessError:
+            return {}
+        return json.loads(text)
+    with open(src) as f:
+        return json.load(f)
+
+
+def main() -> int:
+    argv = [a for a in sys.argv[1:] if a != "--strict"]
+    strict = "--strict" in sys.argv
+    new = load(argv[0] if argv else "BENCH_full.json")
+    old = load(argv[1] if len(argv) > 1 else "HEAD")
+    if not old:
+        print("bench_diff: no previous BENCH_full.json at HEAD; baseline run")
+        return 0
+    regress = []
+    for phase in ("queries", "queries_warm"):
+        for q, t_new in new.get(phase, {}).items():
+            t_old = old.get(phase, {}).get(q)
+            if t_old is None:
+                continue
+            if t_new >= t_old * RATIO and t_new - t_old >= ABS_FLOOR:
+                regress.append((phase, q, t_old, t_new))
+    for phase, q, t_old, t_new in sorted(regress, key=lambda r: r[3] - r[2],
+                                         reverse=True):
+        print(f"REGRESS {phase[8:] or 'cold'} {q}: "
+              f"{t_old:.2f}s -> {t_new:.2f}s ({t_new / t_old:.1f}x)")
+    gone = set(old.get("queries", {})) - set(new.get("queries", {}))
+    for q in sorted(gone):
+        print(f"MISSING {q}: present at HEAD, absent now")
+    nw, ow = new.get("warm_total", 0), old.get("warm_total", 0)
+    print(f"totals: cold {old.get('value', 0):.1f}s -> "
+          f"{new.get('value', 0):.1f}s, warm {ow:.1f}s -> {nw:.1f}s, "
+          f"queries {len(old.get('queries', {}))} -> "
+          f"{len(new.get('queries', {}))}; "
+          f"{len(regress)} regressions, {len(gone)} missing")
+    return 1 if strict and (regress or gone) else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
