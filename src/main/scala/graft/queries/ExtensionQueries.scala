@@ -47,20 +47,20 @@ object ExtensionQueries extends QueryGroup {
 
   // ---- shared DuckDB fragments ----
 
-  private val dCte: String =
+  private[queries] val dCte: String =
     """WITH d AS (SELECT doc_id, lang,
       |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
       |  FROM documents)
       |""".stripMargin
 
-  private val shCte: String =
+  private[queries] val shCte: String =
     """, sh AS (SELECT doc_id, substr(norm, i, 8) AS shingle FROM
       |   (SELECT doc_id, norm,
       |      unnest(range(1, greatest(length(norm)-7, 0)+1, 4)) AS i
       |    FROM d WHERE length(norm) >= 8))
       |""".stripMargin
 
-  private val sigCte: String =
+  private[queries] val sigCte: String =
     """, mins AS (SELECT doc_id,
       |    min(('0x' || substr(md5(shingle),  1, 8))::BIGINT) AS m0,
       |    min(('0x' || substr(md5(shingle),  9, 8))::BIGINT) AS m1,

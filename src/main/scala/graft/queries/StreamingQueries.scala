@@ -53,7 +53,26 @@ object StreamingQueries extends QueryGroup {
         col("n_events"))
       .orderBy("user_id", "session_start_ms")
 
+  private def admission(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamAdmission.runAvailableNow(s, dir)
+
+  /** Batch twin of the streaming admission: the same (b=2, r=2) MinHash
+    * signature family (ExtensionQueries.sigCte), delta×base collision →
+    * min dup id, LEFT JOIN so unmatched (and unshingleable) delta docs
+    * are admitted. */
+  private val admissionOracle: String =
+    ExtensionQueries.dCte + ExtensionQueries.shCte + ExtensionQueries.sigCte +
+      """, m AS (SELECT d.doc_id, MIN(b.doc_id) AS dup_of
+        |    FROM sig d JOIN sig b ON d.band = b.band AND d.sig = b.sig
+        |    WHERE d.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+        |    GROUP BY d.doc_id)
+        |SELECT dd.doc_id, (m.dup_of IS NULL) AS admitted, m.dup_of
+        |FROM documents dd LEFT JOIN m USING (doc_id)
+        |WHERE dd.doc_id % 3 = 0
+        |ORDER BY doc_id""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("streaming_admission", admission, Some(admissionOracle)),
     QueryDef("streaming_hourly_counts", hourly, Some(
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS date,
         |       CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
