@@ -111,6 +111,26 @@ object TextAnalysis {
           col("n_tokens") >= minTokens)
         .select(col(idCol)), Seq(idCol))
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2, the
+    * curly-brace / lorem-ipsum / javascript / terminal-punctuation /
+    * short-line subset): a line survives iff it ends in terminal
+    * punctuation, has ≥ 5 words, and contains none of `{`,
+    * `lorem ipsum`, `javascript` (case-insensitive). Pure narrow array
+    * ops per document — no explode, no shuffle; at 100 TB this is a
+    * map-only pass over the scan, and the document-level gate (≥ 3
+    * surviving lines, [[c4DocKept]]) composes in the same projection. */
+  def c4KeptLines(lines: Column): Column =
+    filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?") &&
+        size(split(l, " ")) >= 5 &&
+        !l.contains("{") &&
+        !lower(l).contains("lorem ipsum") &&
+        !lower(l).contains("javascript"))
+
+  /** C4's document gate over the surviving lines: ≥ 3 kept lines (the
+    * paper's ≥ 3 sentences). */
+  def c4DocKept(keptLines: Column): Column = size(keptLines) >= 3
+
   /** Language ID over the marker heuristic. */
   def languageId(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val scored = langScoreSql.foldLeft(

@@ -1224,6 +1224,83 @@ object ExtensionQueries extends QueryGroup {
       |        / CAST(n * (n - 1) AS DOUBLE) / 1e10, 10) AS cov
       |FROM a ORDER BY i, j""".stripMargin
 
+  /** C4-style cleaning over documents seeded with deterministic structure
+    * (the fixture is punctuation-free token soup, so the rules would
+    * otherwise be vacuous — the textPiiScrub precedent): tokens regroup
+    * into 10-token pseudo-lines, line j of doc d ends with '.' unless
+    * (d + j) ≡ 0 mod 3, and known-bad lines (code braces / lorem ipsum /
+    * javascript boilerplate) are appended on doc_id residues so every
+    * rule faces real matches. Both engines build the identical seeded
+    * lines, then apply [[TextAnalysis.c4KeptLines]]; kept_hash pins the
+    * exact surviving text, not just counts. */
+  private def textC4Filters(s: SparkSession, dir: String): DataFrame = {
+    val none = typedLit(Seq.empty[String])
+    val seeded = docs(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.tokens(TextAnalysis.normalize(col("text"))).as("toks"))
+      .withColumn("lines0", expr(
+        "transform(sequence(1, size(toks), 10)," +
+          " i -> array_join(slice(toks, i, 10), ' '))"))
+      .withColumn("lines1", expr(
+        "transform(sequence(0, size(lines0) - 1)," +
+          " j -> concat(element_at(lines0, j + 1)," +
+          " if((doc_id + j) % 3 != 0, '.', '')))"))
+      .withColumn("lines", concat(col("lines1"),
+        when(col("doc_id") % 17 === 0,
+          array(lit("function() { var x = 1; }."))).otherwise(none),
+        when(col("doc_id") % 23 === 0,
+          array(lit("lorem ipsum dolor sit amet and more filler words here.")))
+          .otherwise(none),
+        when(col("doc_id") % 29 === 0,
+          array(lit("please enable javascript to view this page.")))
+          .otherwise(none)))
+    seeded
+      .withColumn("kept", TextAnalysis.c4KeptLines(col("lines")))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("kept")).cast("double") / size(col("lines")))
+          .as("kept_ratio"),
+        TextAnalysis.c4DocKept(col("kept")).as("doc_kept"),
+        md5(array_join(col("kept"), "\n")).as("kept_hash"))
+      .orderBy("doc_id")
+  }
+
+  private val textC4Oracle: String = dCte +
+    """, t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d)
+      |, l0 AS (SELECT doc_id, list_transform(range(1, len(toks) + 1, 10),
+      |    i -> array_to_string(toks[i : i + 9], ' ')) AS lines0
+      |  FROM t)
+      |, l1 AS (SELECT doc_id, list_transform(range(0, len(lines0)),
+      |    j -> lines0[j + 1] ||
+      |      CASE WHEN (doc_id + j) % 3 <> 0 THEN '.' ELSE '' END) AS lines1
+      |  FROM l0)
+      |, sl AS (SELECT doc_id, lines1
+      |    || CASE WHEN doc_id % 17 = 0
+      |         THEN ['function() { var x = 1; }.'] ELSE []::VARCHAR[] END
+      |    || CASE WHEN doc_id % 23 = 0
+      |         THEN ['lorem ipsum dolor sit amet and more filler words here.']
+      |         ELSE []::VARCHAR[] END
+      |    || CASE WHEN doc_id % 29 = 0
+      |         THEN ['please enable javascript to view this page.']
+      |         ELSE []::VARCHAR[] END AS lines
+      |  FROM l1)
+      |, k AS (SELECT doc_id, lines, list_filter(lines, l ->
+      |    substr(l, -1, 1) IN ('.', '!', '?')
+      |    AND len(string_split(l, ' ')) >= 5
+      |    AND NOT contains(l, '{')
+      |    AND NOT contains(lower(l), 'lorem ipsum')
+      |    AND NOT contains(lower(l), 'javascript')) AS kept
+      |  FROM sl)
+      |SELECT doc_id,
+      |  CAST(len(lines) AS BIGINT) AS n_lines,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  CAST(len(kept) AS DOUBLE) / len(lines) AS kept_ratio,
+      |  (len(kept) >= 3) AS doc_kept,
+      |  -- array_to_string([]) is NULL in DuckDB, '' in Spark's array_join
+      |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_hash
+      |FROM k ORDER BY doc_id""".stripMargin
+
   // ---- PCA projection / Mahalanobis, oracle-checked ----
   // The eigenbasis is data-dependent, so no static SQL can carry it; but
   // the fit IS deterministic (integer-quantized moments, fixed Jacobi
@@ -1435,6 +1512,7 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("f_split_leakage_safe", splitLeakageSafe,
       Some(splitLeakageOracle)),
     QueryDef("text_chunking", textChunking, Some(textChunkingOracle)),
+    QueryDef("text_c4_filters", textC4Filters, Some(textC4Oracle)),
     QueryDef("f_feature_hash", featureHash, Some(featureHashOracle)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestOracle)),
     QueryDef("text_token_stats", textTokens, Some(dCte +
