@@ -321,6 +321,57 @@ object TrainingQueries extends QueryGroup {
       |SELECT doc_id, source, avg_surprisal FROM r
       |WHERE rn * 2 <= n + 1 ORDER BY doc_id""".stripMargin
 
+  /** CCNet's corpus partitioning (Wenzek et al. 2020): equal-count
+    * head/middle/tail buckets over the per-doc LM surprisal — head =
+    * most fluent third, tail = rare-construction third; pretraining
+    * recipes consume the buckets directly (e.g. head-only, or
+    * temperature-weighted by bucket). The global rank rides
+    * [[graft.ops.GlobalIndex]] (range-partitioned sort + zipWithIndex),
+    * NOT `row_number() OVER ()` whose empty PARTITION BY funnels the
+    * corpus through one reducer; bucket id is the a_equidepth_bins
+    * integer arithmetic ((rank−1)·3 div n) — not ntile, whose remainder
+    * distribution differs across engines. */
+  private def ccnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scored = docSurprisal(s, dir)
+      .select(col("doc_id"), col("avg_surprisal"))
+    val idx = graft.ops.GlobalIndex.withRowId(scored,
+      Seq(col("avg_surprisal"), col("doc_id")))
+    val n = broadcast(idx.agg(count(lit(1)).as("_n")))
+    idx.crossJoin(n)
+      .select(col("doc_id"), col("avg_surprisal"),
+        expr("CASE CAST(((row_id - 1) * 3) div _n AS INT) " +
+          "WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END")
+          .as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val ccnetBucketsOracle: String =
+    """WITH d AS (SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |, t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d
+      |        WHERE len(string_split(norm, ' ')) >= 2)
+      |, p AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+      |          FROM t))
+      |, m AS (SELECT w1, w2, COUNT(*) AS c12 FROM p GROUP BY w1, w2)
+      |, ms AS (SELECT w1, w2,
+      |    CAST(round(ln(CAST(SUM(c12) OVER (PARTITION BY w1) AS DOUBLE)
+      |                  / c12) * 1000000) AS BIGINT) AS sps
+      |  FROM m)
+      |, sc AS (SELECT doc_id,
+      |    round(CAST(SUM(sps) AS DOUBLE) / COUNT(*) / 1000000, 6)
+      |      AS avg_surprisal
+      |  FROM p JOIN ms USING (w1, w2) GROUP BY doc_id)
+      |, r AS (SELECT doc_id, avg_surprisal,
+      |    row_number() OVER (ORDER BY avg_surprisal ASC, doc_id ASC) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM sc)
+      |SELECT doc_id, avg_surprisal,
+      |  CASE CAST(((rn - 1) * 3) // n AS INTEGER)
+      |    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+      |FROM r ORDER BY doc_id""".stripMargin
+
   private val bigramSurprisalOracle: String =
     """WITH d AS (SELECT doc_id,
       |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
@@ -391,6 +442,7 @@ object TrainingQueries extends QueryGroup {
       Some(bigramSurprisalOracle)),
     QueryDef("text_surprisal_gate", surprisalGate,
       Some(surprisalGateOracle)),
+    QueryDef("text_ccnet_buckets", ccnetBuckets, Some(ccnetBucketsOracle)),
     QueryDef("f_mix_weights", mixWeights, Some(mixWeightsOracle)),
     QueryDef("pack_sequences", packSequences, Some(packSequencesOracle)),
     QueryDef("f_stratified_sample", stratifiedSample,
