@@ -63,6 +63,38 @@ object IncrementalQueries extends QueryGroup {
       |  TRUE AS merged_within_5pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Incremental JOIN maintenance (insert-only IVM): with A' = A ∪ ΔA
+    * and B' = B ∪ ΔB, the view delta is Δ(A⋈B) = (ΔA ⋈ B') ∪ (A ⋈ ΔB)
+    * — two joins DRIVEN by the deltas (ΔA×ΔB rides the first term, the
+    * A-sides keep the union disjoint), so maintaining the view costs
+    * |Δ|-proportional probe work instead of recomputing A'⋈B'. At 100 TB
+    * this is why nightly loads don't rebuild join views: each delta
+    * broadcast-probes (or bucket-joins) the big side once. The oracle is
+    * the DEFINITIONAL form — every A'⋈B' row where either member is new
+    * (¬(old ∧ old) = Δ∨Δ) — so the hash match proves the propagation
+    * identity, not just the plumbing. Deletes are the complement path and
+    * flow through the CDC changeset (`etl_snapshot_diff`) + MERGE
+    * (`etl_merge_apply`). */
+  private def incrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Sources.table(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val c = Sources.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val deltaA = o.filter(col("o_orderkey") % 10 === 0)
+    val aOld = o.filter(col("o_orderkey") % 10 =!= 0)
+    val deltaB = c.filter(col("c_custkey") % 7 === 0)
+    deltaA.join(c, col("o_custkey") === col("c_custkey"))
+      .unionByName(aOld.join(deltaB, col("o_custkey") === col("c_custkey")))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
+      .orderBy("o_orderkey", "c_custkey")
+  }
+
+  private val incrementalJoinOracle: String =
+    """SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderkey % 10 = 0 OR c.c_custkey % 7 = 0
+      |ORDER BY o_orderkey, c_custkey""".stripMargin
+
   /** Deterministic pseudonymization: user ids become salted SHA-256
     * tokens — stable across runs and engines (re-joinable on the token),
     * irreversible without the salt, and a pure codegen'd map stage. The
@@ -85,6 +117,8 @@ object IncrementalQueries extends QueryGroup {
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("etl_incremental_kpis", incrementalKpis, Some(incrementalOracle)),
+    QueryDef("etl_incremental_join", incrementalJoin,
+      Some(incrementalJoinOracle)),
     QueryDef("f_pseudonymize", pseudonymize, Some(pseudonymizeOracle)),
   )
 }
