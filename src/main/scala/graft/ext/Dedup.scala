@@ -237,6 +237,34 @@ object Dedup {
           (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
   }
 
+  /** Exact n-gram CONTAINMENT for candidate pairs: |A∩B|/|A| and
+    * |A∩B|/|B| — the one-sided measures that catch SUBSET duplication
+    * (a document quoted whole inside a larger one), which resemblance
+    * (Jaccard) dilutes toward 0 as the container grows. Same set-per-doc
+    * shape and cost as [[ngramJaccard]]; `minContainment` filters on the
+    * larger side, so either direction of nesting qualifies a pair. */
+  def containmentPairs(docs: DataFrame, pairs: DataFrame,
+                       idCol: String = "doc_id", n: Int = 3,
+                       minContainment: Double = 0.5): DataFrame = {
+    val sets = wordNgrams(docs, idCol, n)
+      .groupBy(col(idCol))
+      .agg(collect_set(col("gram")).as("grams"))
+      .select(col(idCol), col("grams"), size(col("grams")).as("n_grams"))
+      .transform(persistScratch) // consumed twice; runner releases
+    pairs
+      .join(sets.select(col(idCol).as("doc_a"), col("grams").as("ga"),
+        col("n_grams").as("na")), Seq("doc_a"))
+      .join(sets.select(col(idCol).as("doc_b"), col("grams").as("gb"),
+        col("n_grams").as("nb")), Seq("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
+      .filter(col("n_inter") > 0)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") / col("na")).as("containment_a"),
+        (col("n_inter").cast("double") / col("nb")).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >=
+        minContainment)
+  }
+
   /** 32-bit SimHash per document: each token votes ±1 on every bit of its
     * 32-bit hash (first 8 hex chars of md5); sign of the per-bit sum sets the
     * signature bit. One groupBy with 32 conditional sums — a single shuffle

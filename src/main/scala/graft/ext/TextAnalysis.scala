@@ -174,6 +174,53 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("tok"), col("tfidf"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Lucene idf variant): for query
+    * terms t, score(d) = Σ_t ln((N−df+0.5)/(df+0.5)+1) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·|d|/avgdl)). The IR scoring function every corpus
+    * search/eval harness needs next to the ANN path.
+    *
+    * Scale shape: one token aggregate builds tf; df and |d| ride as
+    * window aggregates over the SAME pass (no re-scan); queries
+    * broadcast; only (doc, term) rows matching a query term survive the
+    * join, so scoring work is bounded by the posting lists of the query
+    * vocabulary — never the corpus. Determinism: each per-term
+    * contribution is quantized to integer micro-units BEFORE the
+    * per-(query, doc) sum, so scores are exact BIGINT — accumulation-
+    * order-free and engine-identical (the sim_sparse_cosine discipline);
+    * ranking ties break on doc id. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = broadcast(
+      scatter(docs.select(col(idCol), normalize(col("text")).as("norm")))
+        .select(col(idCol), size(tokens(col("norm"))).cast("long").as("l"))
+        .agg(count(lit(1)).cast("double").as("_n"),
+          (sum(col("l")).cast("double") / count(lit(1))).as("_avgdl")))
+    val tf = scatter(docs.select(col(idCol), normalize(col("text"))
+        .as("norm")))
+      .select(col(idCol), explode(tokens(col("norm"))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .withColumn("len", sum(col("tf")).over(Window.partitionBy(col(idCol))))
+    val contrib = tf.join(broadcast(queries), Seq("term")).crossJoin(stats)
+      .withColumn("contrib_m",
+        round((log((col("_n") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5)) + lit(1.0)) *
+          (col("tf").cast("double") * lit(k1 + 1)) /
+          (col("tf").cast("double") + lit(k1) * (lit(1.0 - b) +
+            lit(b) * col("len").cast("double") / col("_avgdl")))) * lit(1e6))
+          .cast("long"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score_m").desc, col(idCol).asc)
+    contrib.groupBy(col("qid"), col(idCol))
+      .agg(sum(col("contrib_m")).as("score_m"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col(idCol), col("score_m"))
+  }
+
   /** Sparse TF-IDF cosine document similarity via an INVERTED-INDEX
     * expansion — the classic IR sparse-vector shape, complementary to the
     * dense-embedding LSH path in [[Similarity]]: candidate pairs come from

@@ -111,6 +111,12 @@ object ExtensionQueries extends QueryGroup {
       .orderBy("doc_a", "doc_b")
   }
 
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.containmentPairs(d, Dedup.minhashCandidates(d))
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir)).orderBy("doc_id")
 
@@ -1224,6 +1230,53 @@ object ExtensionQueries extends QueryGroup {
       |        / CAST(n * (n - 1) AS DOUBLE) / 1e10, 10) AS cov
       |FROM a ORDER BY i, j""".stripMargin
 
+  /** BM25 ranked retrieval over fixed literal query term sets drawn from
+    * the corpus vocabulary — both engines embed the same queries, scores
+    * are integer micro-nat sums (see TextAnalysis.bm25TopK), top 10 per
+    * query, doc-id tie-break. */
+  private def textBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val queries = Seq((1L, "spark"), (1L, "join"), (2L, "table"),
+      (2L, "scan"), (3L, "stream"), (3L, "batch"), (3L, "window"))
+      .toDF("qid", "term")
+    TextAnalysis.bm25TopK(docs(s, dir), queries).orderBy("qid", "rank")
+  }
+
+  private val textBm25Oracle: String = dCte +
+    """, tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf
+      |    FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS tok
+      |          FROM d)
+      |    WHERE length(tok) > 0 GROUP BY 1, 2)
+      |, st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(len(string_split(norm, ' '))) AS DOUBLE) / COUNT(*)
+      |      AS avgdl
+      |  FROM d)
+      |, dfl AS (SELECT doc_id, term, tf,
+      |    CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+      |    CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS len
+      |  FROM tf)
+      |, q(qid, term) AS (SELECT * FROM (VALUES
+      |    (1, 'spark'), (1, 'join'), (2, 'table'), (2, 'scan'),
+      |    (3, 'stream'), (3, 'batch'), (3, 'window')))
+      |, c AS (SELECT q.qid, f.doc_id,
+      |    CAST(round(
+      |      ln((st.n - CAST(f.df AS DOUBLE) + 0.5)
+      |         / (CAST(f.df AS DOUBLE) + 0.5) + 1.0)
+      |      * (CAST(f.tf AS DOUBLE) * 2.2)
+      |      / (CAST(f.tf AS DOUBLE)
+      |         + 1.2 * (0.25 + 0.75 * CAST(f.len AS DOUBLE) / st.avgdl))
+      |      * 1000000) AS BIGINT) AS contrib_m
+      |  FROM dfl f JOIN q ON f.term = q.term CROSS JOIN st)
+      |, sc AS (SELECT qid, doc_id, CAST(SUM(contrib_m) AS BIGINT)
+      |           AS score_m
+      |         FROM c GROUP BY 1, 2)
+      |, r AS (SELECT qid, doc_id, score_m,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY score_m DESC, doc_id ASC) AS INTEGER) AS rank
+      |  FROM sc)
+      |SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, score_m
+      |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   /** C4-style cleaning over documents seeded with deterministic structure
     * (the fixture is punctuation-free token soup, so the rules would
     * otherwise be vacuous — the textPiiScrub precedent): tokens regroup
@@ -1465,6 +1518,29 @@ object ExtensionQueries extends QueryGroup {
           |JOIN gs sa ON sa.doc_id = i.doc_a
           |JOIN gs sb ON sb.doc_id = i.doc_b
           |ORDER BY doc_a, doc_b""".stripMargin)),
+    QueryDef("dedup_containment_pairs", dedupContainment, Some(
+      dCte + shCte + sigCte +
+        """, cand AS (""".stripMargin + candSql + ")" +
+        """
+          |, g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+          |  FROM (SELECT doc_id, toks,
+          |          unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+          |        FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM d)
+          |        WHERE len(toks) >= 3))
+          |, gs AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
+          |, inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+          |  FROM cand p
+          |  JOIN g ga ON ga.doc_id = p.doc_a
+          |  JOIN g gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+          |  GROUP BY p.doc_a, p.doc_b)
+          |SELECT * FROM (SELECT i.doc_a, i.doc_b,
+          |  CAST(n_inter AS DOUBLE) / sa.n_grams AS containment_a,
+          |  CAST(n_inter AS DOUBLE) / sb.n_grams AS containment_b
+          |FROM inter i
+          |JOIN gs sa ON sa.doc_id = i.doc_a
+          |JOIN gs sb ON sb.doc_id = i.doc_b)
+          |WHERE greatest(containment_a, containment_b) >= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin)),
     QueryDef("dedup_simhash", dedupSimhash, Some(
       simhashCtes + "SELECT doc_id, simhash FROM sims ORDER BY doc_id")),
     QueryDef("dedup_simhash_pairs", dedupSimhashPairs, Some(
@@ -1513,6 +1589,7 @@ object ExtensionQueries extends QueryGroup {
       Some(splitLeakageOracle)),
     QueryDef("text_chunking", textChunking, Some(textChunkingOracle)),
     QueryDef("text_c4_filters", textC4Filters, Some(textC4Oracle)),
+    QueryDef("text_bm25_topk", textBm25, Some(textBm25Oracle)),
     QueryDef("f_feature_hash", featureHash, Some(featureHashOracle)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestOracle)),
     QueryDef("text_token_stats", textTokens, Some(dCte +

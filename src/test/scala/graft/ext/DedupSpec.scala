@@ -57,6 +57,21 @@ class DedupSpec extends SparkSpec {
     m.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 
+  test("containment catches subset duplication that Jaccard dilutes") {
+    // doc 11 is quoted whole inside the much larger doc 10: containment
+    // from the small side is 1.0 while Jaccard shrinks with the container
+    val sub = "the quick brown fox jumps over the lazy dog"
+    val container = sub + " and then a very long continuation follows " +
+      "with many additional unrelated words stretching the document out " +
+      "far beyond the quoted passage to dilute resemblance badly"
+    val d = Seq((10L, container), (11L, sub)).toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L)).toDF("doc_a", "doc_b")
+    val row = Dedup.containmentPairs(d, pairs).head()
+    val jac = Dedup.ngramJaccard(d, pairs).head().getAs[Double]("jaccard")
+    assert(row.getAs[Double]("containment_b") == 1.0) // fully contained
+    assert(jac < 0.5)                                 // resemblance dilutes
+  }
+
   test("simhash: identical docs share signatures; hamming(near-dup) small") {
     val sig = Dedup.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
