@@ -39,6 +39,19 @@ object Layout {
     spreadBits16(x.cast("long"))
       .bitwiseOR(shiftleft(spreadBits16(y.cast("long")), 1))
 
+  /** 2-D Hilbert key over the low 16 bits of two integer columns — the
+    * locality-preserving alternative to [[zvalue2]]: consecutive keys are
+    * always Manhattan-adjacent cells (LayoutSpec proves the walk), so
+    * range-clustered files get strictly tighter bounding boxes than the
+    * Morton order's Z-jumps allow. Codegen'd 16-round loop
+    * ([[graft.functions.Hilbert2Expr]]). */
+  def hvalue2(x: Column, y: Column, bits: Int = 16): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(graft.functions.Hilbert2Expr(
+      GraftShims.expression(x.cast("long")),
+      GraftShims.expression(y.cast("long")), bits))
+  }
+
   /** Spread the low 16 bits of `c` every THIRD bit position (for 3-D
     * interleaving): bit i lands at bit 3i. Same magic-number technique,
     * different masks. */

@@ -226,6 +226,44 @@ object ProfilingQueries extends QueryGroup {
       |SELECT l_orderkey, l_linenumber, CAST(xd | (yd << 1) AS BIGINT) AS zkey
       |FROM b4 ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** Hilbert key per line item over the same (partkey, suppkey) low-16
+    * dims as o_zorder_key. The oracle UNROLLS the 16 dependent rounds of
+    * the xy2d walk as a CTE chain generated from the same bit constants
+    * the codegen'd expression uses — every quadrant contribution and
+    * rotation is pinned cross-engine. */
+  private def hilbertKey(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        Layout.hvalue2(col("l_partkey"), col("l_suppkey")).as("hkey"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val hilbertOracle: String = {
+    val bits = 16
+    val n = 1L << bits
+    val rounds = (bits - 1 to 0 by -1).zipWithIndex.map { case (bit, idx) =>
+      val s = 1L << bit
+      s"""h${idx + 1} AS (SELECT l_orderkey, l_linenumber,
+         |  d + ${s * s} * xor(3 * rx, ry) AS d,
+         |  CASE WHEN ry = 0 THEN
+         |    (CASE WHEN rx = 1 THEN ${n - 1} - y ELSE y END)
+         |  ELSE x END AS x,
+         |  CASE WHEN ry = 0 THEN
+         |    (CASE WHEN rx = 1 THEN ${n - 1} - x ELSE x END)
+         |  ELSE y END AS y
+         |FROM (SELECT *,
+         |    CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |    CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+         |  FROM h$idx))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (SELECT l_orderkey, l_linenumber, CAST(0 AS BIGINT) AS d,
+       |    CAST(l_partkey & ${n - 1} AS BIGINT) AS x,
+       |    CAST(l_suppkey & ${n - 1} AS BIGINT) AS y
+       |  FROM lineitem),
+       |$rounds
+       |SELECT l_orderkey, l_linenumber, CAST(d AS BIGINT) AS hkey
+       |FROM h$bits ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   /** Exact outlier flagging per event_type: count values more than two
     * sample standard deviations from the group mean — computed ENTIRELY
     * in integer arithmetic on cent-scaled values, so there is no float
@@ -279,6 +317,7 @@ object ProfilingQueries extends QueryGroup {
     QueryDef("a_value_histogram", valueHistogram, Some(histogramOracle)),
     QueryDef("a_equidepth_bins", equidepthBins, Some(equidepthOracle)),
     QueryDef("o_zorder_key", zorderKey, Some(zorderOracle)),
+    QueryDef("o_hilbert_key", hilbertKey, Some(hilbertOracle)),
     QueryDef("a_zscore_outliers", zscoreOutliers, Some(zscoreOracle)),
   )
 }

@@ -102,4 +102,32 @@ class LayoutSpec extends SparkSpec {
     // but bounded)
     assert(hitsX(z, 57) <= files / 2, s"zXHits=${hitsX(z, 57)}")
   }
+
+  test("hilbert walk: a bijection whose consecutive cells are adjacent") {
+    import spark.implicits._
+    // full 16x16 grid at bits=4: d must visit every cell exactly once
+    // (bijection) and each step must move to a Manhattan-adjacent cell —
+    // the continuity property Morton order lacks (Z-jumps)
+    val grid = (for (x <- 0 until 16; y <- 0 until 16)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val walk = grid
+      .select(col("x"), col("y"),
+        Layout.hvalue2(col("x"), col("y"), bits = 4).as("d"))
+      .orderBy("d")
+      .as[(Long, Long, Long)].collect()
+    assert(walk.map(_._3).toSeq == (0L until 256L))   // bijection
+    walk.sliding(2).foreach { case Array((x1, y1, _), (x2, y2, _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"non-adjacent step ($x1,$y1)->($x2,$y2)")
+    }
+    // Morton, by contrast, jumps: count non-adjacent steps in z-order
+    val zWalk = grid.select(col("x"), col("y"),
+        Layout.zvalue2(col("x"), col("y")).as("z"))
+      .orderBy("z").as[(Long, Long, Long)].collect()
+    val zJumps = zWalk.sliding(2).count {
+      case Array((x1, y1, _), (x2, y2, _)) =>
+        math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(zJumps > 0)
+  }
 }
