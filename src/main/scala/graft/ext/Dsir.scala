@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * arXiv:2302.03169): score every raw document by how much more likely
+  * its hashed n-gram features are under a TARGET corpus distribution
+  * than under the raw corpus distribution, then keep the top slice by
+  * that importance weight. The production recipe for "give me the
+  * slice of the crawl that looks like my curated set" at corpus scale.
+  *
+  * Features are hashed BIGRAMS folded into a fixed `buckets`-slot
+  * table (the paper's hashed n-gram generative model): no vocabulary,
+  * no fitting — both the target and raw models are ONE hash-aggregate
+  * each over the token stream, `buckets` rows total, broadcast to the
+  * scoring join. log w(d) = Σ_b cnt_db·(ln p_b − ln q_b) under
+  * Laplace-smoothed multinomials p (target) and q (raw).
+  *
+  * Determinism: every log is `ln` of an INTEGER (smoothed slot counts,
+  * totals) quantized to micro-nats (`round(ln·1e6)` as BIGINT — the
+  * NaiveBayesText recipe), so weights are exact integer sums:
+  * associative, order-free, engine-identical. Selection is a rank over
+  * (weight, doc_id) — the paper's Gumbel resampling replaced by the
+  * seedless deterministic equivalent.
+  *
+  * Scale: two scans of the corpus (model pass + scoring pass — fuse to
+  * one with a cached token table if the corpus is hot), one broadcast
+  * of 2·`buckets` rows, zero driver state. The final rank runs at doc
+  * grain through [[graft.ops.GlobalIndex]] (range exchange +
+  * per-partition offsets) — NOT an empty-partition ROW_NUMBER window,
+  * which would funnel the whole doc grain through one reducer.
+  */
+object Dsir {
+
+  private def qln(c: Column): Column =
+    round(log(c.cast("double")) * lit(1e6)).cast("long")
+
+  /** Per-document importance weights and top-`keepFraction` selection.
+    *
+    * @param docs      corpus with `idCol` and `textCol`
+    * @param targetPred defines the target (curated) subset, e.g.
+    *                   `col("lang") === "en"`
+    * @return (id, n_bigrams, weight_m, selected) for EVERY input doc —
+    *         docs with fewer than 2 tokens carry weight 0 (no features)
+    */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+                        buckets: Int = 64, keepFraction: Double = 0.25,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val b = lit(buckets.toLong)
+    val toks = docs
+      .select(col(idCol), targetPred.as("is_target"),
+        TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
+          .as("toks"))
+      .filter(col("toks").isNotNull && size(col("toks")) >= 2)
+      .select(col(idCol), col("is_target"),
+        explode(expr(
+          "transform(sequence(1, size(toks) - 1), " +
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .as("bigram"))
+      .withColumn("slot",
+        pmod(conv(substring(md5(col("bigram")), 1, 8), 16, 10).cast("long"),
+          b))
+
+    // per-doc slot counts — the scoring-side features
+    val docSlot = toks.groupBy(col(idCol), col("slot"))
+      .agg(count(lit(1)).as("cnt"))
+
+    // the two multinomials: `buckets` rows each, one aggregate apiece
+    val tgt = toks.filter(col("is_target"))
+      .groupBy(col("slot")).agg(count(lit(1)).as("t_cnt"))
+    val raw = toks.groupBy(col("slot")).agg(count(lit(1)).as("r_cnt"))
+    val model = raw.join(tgt, Seq("slot"), "left")
+      .select(col("slot"), coalesce(col("t_cnt"), lit(0L)).as("t_cnt"),
+        col("r_cnt"))
+    // corpus constants ride as a broadcast 1-row aggregate, never a
+    // driver-side collect
+    val totals = model.agg(sum(col("t_cnt")).as("t_tot"),
+      sum(col("r_cnt")).as("r_tot"))
+
+    val scored = docSlot
+      .join(broadcast(model), Seq("slot"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(col("cnt") * (qln(col("t_cnt") + 1) - qln(col("r_cnt") + 1)))
+          .as("num_m"))
+      .crossJoin(broadcast(totals))
+      .select(col(idCol), col("n_bigrams"),
+        (col("num_m") - col("n_bigrams") * (qln(col("t_tot") + b)
+          - qln(col("r_tot") + b))).as("weight_m"))
+
+    // every doc in, zero-feature docs at weight 0; deterministic
+    // top-fraction selection on (weight desc, id asc) — the rank is a
+    // GlobalIndex (distributed total sort), the cutoff a broadcast
+    // 1-row count
+    val all = docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("weight_m"), lit(0L)).as("weight_m"))
+    val nDocs = all.agg(count(lit(1)).as("n_docs"))
+    graft.ops.GlobalIndex
+      .withRowId(all, Seq(col("weight_m").desc, col(idCol).asc), "rn")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("selected",
+        col("rn") <= ceil(col("n_docs") * lit(keepFraction)))
+      .drop("rn", "n_docs")
+  }
+}

@@ -270,4 +270,35 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus with a trained k-means
+    * quantizer, compare embeddings ONLY within their cell, and drop every
+    * vector that has a τ-cosine neighbor with a smaller id in the same
+    * cell — so exactly one exemplar (the minimum id) survives out of each
+    * within-cell duplicate chain, deterministically (the paper keeps a
+    * random exemplar; min-id is the seedless equivalent).
+    *
+    * Scale: the pair stage is a self-join ON CELL — Σ|cell|² work, never
+    * corpus², and at 100 TB you raise `cells` to hold |cell| constant
+    * (the paper runs 50k clusters); a hot cell is an AQE skew-join split,
+    * and the final keep/drop is one left-anti-shaped join at id grain.
+    * Output: (vec_id, cell, kept) for every input vector. */
+  def semanticDedup(index: Ivf.Index, tau: Double,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val a = index.assignments
+      .select(col("cell"), col(idCol).as("a_id"), col(vecCol).as("av"))
+    val b = index.assignments
+      .select(col("cell"), col(idCol).as("b_id"), col(vecCol).as("bv"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosineRounded(col("av"), col("bv")) >= tau)
+      .select(col("b_id").as(idCol)).distinct()
+      .withColumn("dropped", lit(true))
+    index.assignments.select(col(idCol), col("cell"))
+      .join(dropped, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        col("dropped").isNull.as("kept"))
+  }
 }

@@ -382,14 +382,30 @@ object ExtensionQueries extends QueryGroup {
       .orderBy("query_id", "rank")
   }
 
-  private def simIvfTrainedOracle(): Option[String] = ivfCents.map { cents =>
+  /** Shared oracle prefix for every trained-quantizer query: embeddings,
+    * centroid literals, and the argmin-Euclidean cell assignment (first
+    * cell wins ties — KMeansModel.predict's rule). */
+  private def centsAsgSql(cents: Seq[(Int, Array[Double])]): String = {
     val values = cents.map { case (cell, c) =>
       s"($cell, ${c.mkString("[", ",", "]")}::DOUBLE[])"
     }.mkString(",\n    ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
        |, cents AS (SELECT * FROM (VALUES
        |    $values) t(cell, c))
-       |, q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
+       |, da AS (SELECT e.vec_id, e.v, cents.cell,
+       |    list_aggregate(list_transform(list_zip(e.v, cents.c),
+       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS d2
+       |  FROM e CROSS JOIN cents)
+       |, asg AS (SELECT vec_id, v, cell FROM (
+       |    SELECT da.*, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY d2 ASC, cell ASC) AS arn FROM da)
+       |  WHERE arn = 1)
+       |""".stripMargin
+  }
+
+  private def simIvfTrainedOracle(): Option[String] = ivfCents.map { cents =>
+    centsAsgSql(cents) +
+    s""", q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
        |, pr AS (SELECT query_id, qv, cell,
        |    ${cosSql("qv", "c")} AS c_sim
        |  FROM q CROSS JOIN cents)
@@ -399,14 +415,6 @@ object ExtensionQueries extends QueryGroup {
        |    SELECT pr6.*, ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY c_sim6 DESC, cell ASC) AS crn FROM pr6)
        |  WHERE crn <= 2)
-       |, da AS (SELECT e.vec_id, e.v, cents.cell,
-       |    list_aggregate(list_transform(list_zip(e.v, cents.c),
-       |      z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS d2
-       |  FROM e CROSS JOIN cents)
-       |, asg AS (SELECT vec_id, v, cell FROM (
-       |    SELECT da.*, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |      ORDER BY d2 ASC, cell ASC) AS arn FROM da)
-       |  WHERE arn = 1)
        |, scored AS (SELECT p.query_id, a.vec_id,
        |    ${cosSql("p.qv", "a.v")} AS cosine
        |  FROM probe p JOIN asg a
@@ -417,6 +425,29 @@ object ExtensionQueries extends QueryGroup {
        |  FROM scored)
        |SELECT query_id, rank, vec_id, cosine FROM r WHERE rank <= 5
        |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // SemDeDup over the SAME memoized trained quantizer as
+  // sim_ivf_trained_topk — one fit serves every trained-index consumer,
+  // exactly as a production corpus snapshot carries one index. τ sits
+  // below the fixture's within-cell cosine ceiling so the drop set is
+  // non-trivial; the operator contract (min-id exemplar per τ-chain) is
+  // threshold-independent.
+  private val semDedupTau = 0.35
+
+  private def dedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(ivfIndex(s, dir), semDedupTau)
+      .orderBy("vec_id")
+
+  private def dedupSemanticOracle(): Option[String] = ivfCents.map { cents =>
+    centsAsgSql(cents) +
+    s""", pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    ${cosSql("a.v", "b.v")} AS cosine
+       |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+       |, dropped AS (SELECT DISTINCT b_id FROM pr WHERE cosine >= $semDedupTau)
+       |SELECT asg.vec_id, asg.cell, (d.b_id IS NULL) AS kept
+       |FROM asg LEFT JOIN dropped d ON d.b_id = asg.vec_id
+       |ORDER BY asg.vec_id""".stripMargin
   }
 
   private def simSq8(s: SparkSession, dir: String): DataFrame = {
@@ -1576,6 +1607,8 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("sim_ivf_topk", simIvf, Some(topkOracle(true))),
     QueryDef("sim_ivf_trained_topk", simIvfTrained, None,
       oracleAfter = Some(() => simIvfTrainedOracle())),
+    QueryDef("dedup_semantic", dedupSemantic, None,
+      oracleAfter = Some(() => dedupSemanticOracle())),
     QueryDef("sim_sq8_topk", simSq8, Some(sq8Oracle(false))),
     QueryDef("sim_sq8_ivf_topk", simSq8Ivf, Some(sq8Oracle(true))),
     QueryDef("text_naive_bayes", textNaiveBayes, Some(naiveBayesOracle)),

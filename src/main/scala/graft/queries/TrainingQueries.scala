@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Bpe, Packing, Pretrain, Splits, TextAnalysis}
+import graft.ext.{Bpe, Dsir, Packing, Pretrain, Splits, TextAnalysis}
 import graft.io.Sources
 
 /** Training-data pipeline operators beyond the round-2 surface: sequence
@@ -433,7 +433,177 @@ object TrainingQueries extends QueryGroup {
       |      / CAST(COUNT(*) OVER () * n_tokens AS DOUBLE), 6) AS mix_weight
       |FROM s ORDER BY source""".stripMargin
 
+  /** Exact-token-budget subsample: "give me N tokens sampled uniformly"
+    * — docs ordered by a salted hash (uniform, deterministic, unseeded-
+    * rand-free like every split here), cumulative token count via the
+    * distributed [[graft.ops.PrefixSum]], keep while the RUNNING total
+    * (inclusive) stays within budget plus the first overflowing doc's
+    * tokens are excluded — so the kept set is the unique prefix of the
+    * hash order whose total is ≤ budget. The oracle is the single-
+    * reducer window SUM over the same order. */
+  private def tokenBudgetSample(s: SparkSession, dir: String): DataFrame = {
+    val budget = 15000L
+    val scored = Sources.scatter(Sources.table(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(TextAnalysis.normalize(col("text"))))
+            .cast("long").as("n_toks")))
+      .withColumn("h", md5(concat(lit("budget-v1:"),
+        col("doc_id").cast("string"))))
+    graft.ops.PrefixSum.runningSum(scored, Seq(col("h")), "n_toks",
+        "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("n_toks"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private val tokenBudgetOracle: String =
+    """WITH t AS (SELECT doc_id,
+      |    CAST(len(string_split(trim(regexp_replace(lower(text), '\s+',
+      |        ' ', 'g')), ' ')) AS BIGINT) AS n_toks,
+      |    md5('budget-v1:' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents)
+      |, r AS (SELECT doc_id, n_toks,
+      |    CAST(SUM(n_toks) OVER (ORDER BY h ASC) AS BIGINT) AS cum_tokens
+      |  FROM t)
+      |SELECT doc_id, n_toks, cum_tokens FROM r
+      |WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin
+
+  /** Temperature-scaled language resampling (mC4/XLM-R α-sampling):
+    * q_l ∝ p_l^α flattens the language distribution (α < 1 upweights
+    * low-resource languages); sample_weight is the per-DOC multiplier
+    * q_l/p_l a weighted sampler applies. #languages-cardinality table
+    * math after one corpus scan; the p^α power and the q normalization
+    * are the only floats, computed identically from exact BIGINTs. */
+  private def langTemperature(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val alpha = 0.3
+    val perLang = Sources.scatter(Sources.table(s, dir, "documents")
+        .select(col("lang"),
+          size(TextAnalysis.tokens(TextAnalysis.normalize(col("text"))))
+            .cast("long").as("n_toks")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+    val w = Window.partitionBy()
+    perLang
+      .withColumn("p", col("n_tokens").cast("double") /
+        sum(col("n_tokens")).over(w).cast("double"))
+      .withColumn("pa", pow(col("p"), lit(alpha)))
+      .withColumn("q", col("pa") / sum(col("pa")).over(w))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("p"), 6).as("token_share"),
+        round(col("q"), 6).as("target_share"),
+        round(col("q") / col("p"), 6).as("sample_weight"))
+      .orderBy("lang")
+  }
+
+  private val langTemperatureOracle: String =
+    """WITH t AS (SELECT lang,
+      |    CAST(len(string_split(trim(regexp_replace(lower(text), '\s+',
+      |        ' ', 'g')), ' ')) AS BIGINT) AS n_toks
+      |  FROM documents)
+      |, s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM t GROUP BY lang)
+      |, p AS (SELECT *, CAST(n_tokens AS DOUBLE)
+      |      / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS p FROM s)
+      |, q AS (SELECT *, pow(p, 0.3) AS pa FROM p)
+      |SELECT lang, n_docs, n_tokens,
+      |  round(p, 6) AS token_share,
+      |  round(pa / SUM(pa) OVER (), 6) AS target_share,
+      |  round(pa / SUM(pa) OVER () / p, 6) AS sample_weight
+      |FROM q ORDER BY lang""".stripMargin
+
+  /** DSIR importance weights: target = the English-labeled docs, raw =
+    * the whole corpus. On this fixture the languages share one token
+    * pool (the NaiveBayesText honesty note), so the weight SPREAD is
+    * modest by construction — the query pins the hashed-bigram model
+    * and micro-nat scoring arithmetic cross-engine, not selection
+    * skill. */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    Dsir.importanceWeights(
+        Sources.scatter(Sources.table(s, dir, "documents")),
+        col("lang") === "en")
+      .orderBy("doc_id")
+
+  private val dsirOracle: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |  FROM documents)
+      |, t AS (SELECT doc_id, (lang = 'en') AS is_target,
+      |    string_split(norm, ' ') AS toks FROM d)
+      |, bg AS (SELECT doc_id, is_target, toks[i] || ' ' || toks[i+1] AS bigram
+      |  FROM (SELECT doc_id, is_target, toks,
+      |          unnest(range(1, len(toks))) AS i
+      |        FROM t WHERE len(toks) >= 2))
+      |, sl AS (SELECT doc_id, is_target,
+      |    ('0x' || substr(md5(bigram), 1, 8))::BIGINT % 64 AS slot FROM bg)
+      |, ds AS (SELECT doc_id, slot, CAST(COUNT(*) AS BIGINT) AS cnt
+      |         FROM sl GROUP BY 1, 2)
+      |, model AS (SELECT slot,
+      |    CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt,
+      |    CAST(COUNT(*) AS BIGINT) AS r_cnt
+      |  FROM sl GROUP BY slot)
+      |, tot AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS t_tot,
+      |    CAST(SUM(r_cnt) AS BIGINT) AS r_tot FROM model)
+      |, sc AS (SELECT ds.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(cnt * (CAST(round(ln(t_cnt + 1) * 1e6) AS BIGINT)
+      |        - CAST(round(ln(r_cnt + 1) * 1e6) AS BIGINT))) AS BIGINT)
+      |      AS num_m
+      |  FROM ds JOIN model USING (slot) GROUP BY ds.doc_id)
+      |, wt AS (SELECT d2.doc_id,
+      |    COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+      |    COALESCE(sc.num_m - sc.n_bigrams
+      |        * (CAST(round(ln(tot.t_tot + 64) * 1e6) AS BIGINT)
+      |         - CAST(round(ln(tot.r_tot + 64) * 1e6) AS BIGINT)), 0)
+      |      AS weight_m
+      |  FROM (SELECT doc_id FROM documents) d2
+      |  LEFT JOIN sc ON sc.doc_id = d2.doc_id CROSS JOIN tot)
+      |SELECT doc_id, n_bigrams, weight_m,
+      |  (ROW_NUMBER() OVER (ORDER BY weight_m DESC, doc_id ASC)
+      |     <= CEIL(COUNT(*) OVER () * 0.25)) AS selected
+      |FROM wt ORDER BY doc_id""".stripMargin
+
+  /** Reproducible per-epoch global shuffle — the training-loader contract
+    * "every epoch is a different, deterministic permutation of the
+    * corpus": position = global rank of md5(epoch ':' doc_id). ONE
+    * GlobalIndex pass over the (epoch × corpus) explosion covers all
+    * epochs — per-epoch position falls out as rank − epoch·N (every
+    * epoch holds exactly N docs), so there is no per-epoch job, no
+    * empty-partition window, and no rand() anywhere. */
+  private def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val epochs = 3
+    val d = Sources.scatter(Sources.table(s, dir, "documents")
+        .select(col("doc_id")))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("h", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
+    val n = d.filter(col("epoch") === 0).agg(count(lit(1)).as("n_docs"))
+    graft.ops.GlobalIndex
+      .withRowId(d, Seq(col("epoch").asc, col("h").asc), "gpos")
+      .crossJoin(broadcast(n))
+      .select(col("epoch"), col("doc_id"),
+        (col("gpos") - col("epoch") * col("n_docs")).as("pos"))
+      .orderBy("epoch", "pos")
+  }
+
+  private val epochShuffleOracle: String =
+    """WITH e AS (SELECT doc_id, epoch
+      |  FROM documents, (SELECT unnest([0, 1, 2]) AS epoch))
+      |, h AS (SELECT epoch, doc_id,
+      |    md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS h
+      |  FROM e)
+      |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h ASC)
+      |    AS BIGINT) AS pos
+      |FROM h ORDER BY epoch, pos""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("f_dsir_weights", dsirWeights, Some(dsirOracle)),
+    QueryDef("f_epoch_shuffle", epochShuffle, Some(epochShuffleOracle)),
+    QueryDef("f_token_budget_sample", tokenBudgetSample,
+      Some(tokenBudgetOracle)),
+    QueryDef("f_lang_temperature", langTemperature,
+      Some(langTemperatureOracle)),
     QueryDef("pipeline_pretrain", pipelinePretrain,
       Some(pipelinePretrainOracle)),
     QueryDef("text_bpe_pairs", bpePairs, Some(bpePairsOracle)),
