@@ -432,7 +432,62 @@ object RelationalQueries extends QueryGroup {
       |GROUP BY p_type, p_size
       |ORDER BY supplier_cnt DESC, p_type ASC, p_size ASC""".stripMargin
 
+  /** TPC-H Q21 shape (suppliers who kept orders waiting — here: the
+    * ONLY supplier with a returned line on a multi-supplier order,
+    * this fixture's stand-in for "only late supplier"). The reference
+    * formulation is EXISTS + NOT EXISTS — two correlated probes into
+    * the fact table per fact row, i.e. a triple self-join of lineitem.
+    * Re-expressed aggregation-first: ONE groupBy(orderkey) computes
+    * (distinct suppliers, distinct returned-suppliers) per order, the
+    * qualifying predicate (n_supp > 1 AND n_rsupp = 1) replaces both
+    * correlated subqueries, and the fact table is touched exactly
+    * twice (agg + probe), both times shuffled on the same orderkey —
+    * AQE coalesces, supplier broadcasts. The DuckDB oracle runs the
+    * textbook double-EXISTS text, so the hash match proves the
+    * rewrite's equivalence, not just its plausibility. */
+  private def q21SuppWait(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+    val qualOrders = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
+          .as("n_rsupp"))
+      .filter(col("n_supp") > 1 && col("n_rsupp") === 1)
+      .select("l_orderkey")
+    val fOrders = Sources.table(s, dir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    li.filter(col("l_returnflag") === "R")
+      .join(qualOrders, "l_orderkey")
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Sources.table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  private val q21Oracle: String =
+    """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |WHERE l1.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |              WHERE l3.l_orderkey = l1.l_orderkey
+      |                AND l3.l_suppkey <> l1.l_suppkey
+      |                AND l3.l_returnflag = 'R')
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name ASC
+      |LIMIT 20""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q21_supp_wait", q21SuppWait, Some(q21Oracle)),
     QueryDef("q4_priority_exists", q4PriorityExists, Some(q4Oracle)),
     QueryDef("q13_custdist", q13CustDist, Some(q13Oracle)),
     QueryDef("q16_supplier_cnt", q16SupplierCnt, Some(q16Oracle)),
