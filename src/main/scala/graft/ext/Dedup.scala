@@ -541,4 +541,48 @@ object Dedup {
     // range boundaries — half the query's cost for presentation order the
     // differential compare doesn't need
   }
+
+  /** Cross-document paragraph-level exact dedup with reassembly — the
+    * C4/RefinedWeb "drop every repeated paragraph, keep the first
+    * occurrence" pass, where "paragraph" is a fixed `paraTokens`-token
+    * block (this corpus has no newline structure; swap the splitter for
+    * real paragraphs). First occurrence = global min (doc, idx) per
+    * exact block — ONE hash-aggregate at paragraph grain (map-side
+    * combinable; the shuffle carries block hashes and two ints, never
+    * re-shuffles document bodies), then a keyed join back and a per-doc
+    * ordered reassembly. No window over the corpus, no broadcast of
+    * anything unbounded; at 100 TB the paragraph table is the only
+    * wide exchange and it shrinks with Heaps-law repetition.
+    *
+    * Output: (id, n_paras, n_kept, clean_text) for every input doc —
+    * a doc whose every block appeared earlier elsewhere keeps ''. */
+  def paragraphDedup(docs: DataFrame, paraTokens: Int = 10,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val paras = docs
+      .select(col(idCol),
+        TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
+          .as("toks"))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(1, size(toks), $paraTokens), " +
+          s"i -> array_join(slice(toks, i, $paraTokens), ' '))")))
+      .select(col(idCol), col("pos").as("idx"), col("col").as("para"))
+      .transform(persistScratch) // three consumers (firsts, kept join,
+      // per-doc totals) — stage the tokenization once; runner releases
+    val firsts = paras.groupBy(col("para"))
+      .agg(min(struct(col(idCol), col("idx"))).as("keep"))
+    val kept = paras.join(firsts, "para")
+      .filter(struct(col(idCol), col("idx")) === col("keep"))
+    val perDoc = paras.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"))
+    val keptAgg = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(expr(
+          "transform(array_sort(collect_list(struct(idx, para))), " +
+            "s -> s.para)"), " ").as("clean_text"))
+    perDoc.join(keptAgg, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

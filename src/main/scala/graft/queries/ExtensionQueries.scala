@@ -1308,6 +1308,33 @@ object ExtensionQueries extends QueryGroup {
       |SELECT CAST(qid AS BIGINT) AS qid, rank, doc_id, score_m
       |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** Cross-doc paragraph dedup (10-token blocks; see
+    * Dedup.paragraphDedup): the oracle states first-occurrence with a
+    * para-keyed ROW_NUMBER — the Spark side uses min(struct) + join,
+    * so the hash match also pins the two formulations' equivalence. */
+  private def textParaDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.paragraphDedup(docs(s, dir)).orderBy("doc_id")
+
+  private val textParaDedupOracle: String = dCte +
+    """, t AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM d)
+      |, p0 AS (SELECT doc_id, toks,
+      |    unnest(range(1, len(toks) + 1, 10)) AS i FROM t)
+      |, p AS (SELECT doc_id, CAST((i - 1) // 10 AS INTEGER) AS idx,
+      |    array_to_string(toks[i : i + 9], ' ') AS para FROM p0)
+      |, r AS (SELECT doc_id, idx, para,
+      |    ROW_NUMBER() OVER (PARTITION BY para
+      |      ORDER BY doc_id ASC, idx ASC) AS rn FROM p)
+      |, tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras
+      |          FROM p GROUP BY 1)
+      |, k AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(para, ' ' ORDER BY idx ASC) AS clean_text
+      |  FROM r WHERE rn = 1 GROUP BY doc_id)
+      |SELECT tot.doc_id, tot.n_paras,
+      |  COALESCE(k.n_kept, 0) AS n_kept,
+      |  COALESCE(k.clean_text, '') AS clean_text
+      |FROM tot LEFT JOIN k ON k.doc_id = tot.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
   /** C4-style cleaning over documents seeded with deterministic structure
     * (the fixture is punctuation-free token soup, so the rules would
     * otherwise be vacuous — the textPiiScrub precedent): tokens regroup
@@ -1622,6 +1649,7 @@ object ExtensionQueries extends QueryGroup {
       Some(splitLeakageOracle)),
     QueryDef("text_chunking", textChunking, Some(textChunkingOracle)),
     QueryDef("text_c4_filters", textC4Filters, Some(textC4Oracle)),
+    QueryDef("text_para_dedup", textParaDedup, Some(textParaDedupOracle)),
     QueryDef("text_bm25_topk", textBm25, Some(textBm25Oracle)),
     QueryDef("f_feature_hash", featureHash, Some(featureHashOracle)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestOracle)),

@@ -1,5 +1,6 @@
 package graft
 
+import graft.ext.Dedup
 import graft.queries.CoreQueries
 import org.apache.spark.sql.DataFrame
 
@@ -207,5 +208,43 @@ class PlanSpec extends SparkSpec {
     assert(queryJobs <= scanJobs,
       s"query construction ran $queryJobs job(s) vs $scanJobs for a bare scan" +
         " — a data-dependent probe (head()/count()) is back in the plan path")
+  }
+
+  test("SemDeDup pairs meet on the trained cell key, never all-pairs") {
+    val p = plan(SparkEntry.queries("dedup_semantic")(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"within-cell pairing must be a keyed join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no all-pairs nested loop anywhere in the dedup path:\n$p")
+  }
+
+  test("DSIR: model broadcasts; the doc-grain rank is not a window") {
+    val p = plan(SparkEntry.queries("f_dsir_weights")(spark, dir))
+    assert(p.contains("BroadcastExchange"),
+      s"the buckets-row model must broadcast into the scoring join:\n$p")
+    assert(!p.contains("Window"),
+      s"selection rank must come from GlobalIndex, not an " +
+        s"empty-partition ROW_NUMBER window:\n$p")
+  }
+
+  test("q21: one aggregate replaces both correlated EXISTS probes") {
+    val p = plan(SparkEntry.queries("q21_supp_wait")(spark, dir))
+    // lineitem twice (qualifier agg + probe), orders once, supplier once
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 4,
+      s"expected 4 parquet scans (no triple fact self-join), got $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"supplier must broadcast:\n$p")
+  }
+
+  test("paragraph dedup: keyed joins only, staged tokenization reused") {
+    val p = plan(SparkEntry.queries("text_para_dedup")(spark, dir))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"paragraph matching must stay keyed on the block text:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the exploded paragraph table feeds three consumers and must be " +
+        s"staged once (persistScratch):\n$p")
+    Dedup.releaseScratch()
   }
 }
