@@ -95,6 +95,55 @@ object IncrementalQueries extends QueryGroup {
       |WHERE o.o_orderkey % 10 = 0 OR c.c_custkey % 7 = 0
       |ORDER BY o_orderkey, c_custkey""".stripMargin
 
+  /** Retractable aggregate maintenance — the deletes path the two
+    * queries above defer: a CDC batch carries inserts AND retractions,
+    * each row with a multiplicity m ∈ {+1, −1}, and the view merges
+    * Σm / Σm·v per group (counts and decimal sums retract exactly).
+    * DISTINCT cannot retract from a sketch (HLL unions only — the
+    * insert-only query's documented trade), so live-user distinct runs
+    * the two-level design every retracting engine uses (Flink retract
+    * streams, IVM papers): a per-(group, user) NET-multiplicity table —
+    * the maintained state, sharded by key, updated delta-
+    * proportionally — and users with net > 0 count as live.
+    *
+    * Fixture: base = events with id % 11 ≠ 0; the delta inserts the
+    * %11 rows and retracts base rows with id % 13 = 0. The oracle
+    * recomputes directly over the post-CDC set, so the hash match
+    * proves merge(base, +Δ, −Δ) = full(final) — including that a user
+    * whose every row retracts drops out of the distinct. */
+  private def incrementalRetract(s: SparkSession, dir: String): DataFrame = {
+    val e = Sources.table(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value").cast("decimal(18,6)").as("v"))
+    val base = e.filter(col("event_id") % 11 =!= 0).withColumn("m", lit(1L))
+    val ins = e.filter(col("event_id") % 11 === 0).withColumn("m", lit(1L))
+    val del = e.filter(col("event_id") % 11 =!= 0 &&
+        col("event_id") % 13 === 0)
+      .withColumn("m", lit(-1L))
+    val deltas = base.unionByName(ins).unionByName(del)
+    val scalars = deltas.groupBy(col("event_type"))
+      .agg(sum(col("m")).as("n"), sum(col("m") * col("v")).as("sv"))
+    val live = deltas.groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("m")).as("net"))
+      .filter(col("net") > 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("live_users"))
+    scalars.join(live, Seq("event_type"))
+      .select(col("event_type"), col("n"),
+        (col("sv").cast("double") / col("n")).as("avg_value"),
+        col("live_users"))
+      .orderBy("event_type")
+  }
+
+  private val incrementalRetractOracle: String =
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+      |    AS avg_value,
+      |  COUNT(DISTINCT user_id) AS live_users
+      |FROM events
+      |WHERE event_id % 11 = 0 OR event_id % 13 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Deterministic pseudonymization: user ids become salted SHA-256
     * tokens — stable across runs and engines (re-joinable on the token),
     * irreversible without the salt, and a pure codegen'd map stage. The
@@ -119,6 +168,8 @@ object IncrementalQueries extends QueryGroup {
     QueryDef("etl_incremental_kpis", incrementalKpis, Some(incrementalOracle)),
     QueryDef("etl_incremental_join", incrementalJoin,
       Some(incrementalJoinOracle)),
+    QueryDef("etl_incremental_retract", incrementalRetract,
+      Some(incrementalRetractOracle)),
     QueryDef("f_pseudonymize", pseudonymize, Some(pseudonymizeOracle)),
   )
 }
