@@ -448,10 +448,16 @@ object RelationalQueries extends QueryGroup {
   private def q21SuppWait(s: SparkSession, dir: String): DataFrame = {
     val li = Sources.table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-    val qualOrders = li.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey")))
-          .as("n_rsupp"))
+    // two distinct-counts over one key would plan as an Expand (row
+    // doubling through the first exchange); the two-level aggregate —
+    // (orderkey, suppkey) grain, then orderkey — computes both counts
+    // with map-side combine and no Expand
+    val qualOrders = li
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+        .as("has_r"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_r")).as("n_rsupp"))
       .filter(col("n_supp") > 1 && col("n_rsupp") === 1)
       .select("l_orderkey")
     val fOrders = Sources.table(s, dir, "orders")

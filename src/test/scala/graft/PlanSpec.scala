@@ -235,6 +235,9 @@ class PlanSpec extends SparkSpec {
       s"expected 4 parquet scans (no triple fact self-join), got $scans:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"supplier must broadcast:\n$p")
+    assert(!p.contains("Expand"),
+      s"qualifier must be the two-level aggregate, not multi-distinct " +
+        s"Expand (row doubling through the first exchange):\n$p")
   }
 
   test("paragraph dedup: keyed joins only, staged tokenization reused") {
