@@ -597,9 +597,53 @@ object TrainingQueries extends QueryGroup {
       |    AS BIGINT) AS pos
       |FROM h ORDER BY epoch, pos""".stripMargin
 
+  /** Deterministic negative sampling for contrastive training: each
+    * anchor's k negatives are its k successors on a HASH RING — docs
+    * ordered by md5(seed:id), successor at distance 1..k, wrapping at
+    * the end. Hash order is uncorrelated with any data attribute, so
+    * ring successors are as-if-random negatives, yet fully reproducible
+    * (resume-safe, engine-independent, no rand()). One GlobalIndex pass
+    * builds the ring; pairing is ONE join keyed on ring rank — no
+    * per-anchor sampling loop, no candidate broadcast, no self-pairs
+    * (distance ≥ 1). */
+  private def negativeSample(s: SparkSession, dir: String): DataFrame = {
+    val k = 3
+    val ranked = graft.ops.GlobalIndex.withRowId(
+      Sources.scatter(Sources.table(s, dir, "documents")
+          .select(col("doc_id")))
+        .withColumn("h", md5(concat(lit("negs-v1:"),
+          col("doc_id").cast("string")))),
+      Seq(col("h").asc), "rn")
+      .select(col("doc_id"), col("rn"))
+    val n = ranked.agg(count(lit(1)).as("n_docs"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("doc_id").as("anchor_id"), col("rn"), col("n_docs"))
+      .withColumn("off", explode(sequence(lit(1), lit(k))))
+      .withColumn("cand_rn",
+        (col("rn") - 1 + col("off")) % col("n_docs") + 1)
+      .join(ranked.select(col("doc_id").as("neg_id"),
+        col("rn").as("cand_rn")), "cand_rn")
+      .select(col("anchor_id"), col("off"), col("neg_id"))
+      .orderBy("anchor_id", "off")
+  }
+
+  private val negativeSampleOracle: String =
+    """WITH h AS (SELECT doc_id,
+      |    md5('negs-v1:' || CAST(doc_id AS VARCHAR)) AS h FROM documents)
+      |, r AS (SELECT doc_id,
+      |    ROW_NUMBER() OVER (ORDER BY h ASC) AS rn FROM h)
+      |, n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM r)
+      |, o AS (SELECT unnest([1, 2, 3]) AS off)
+      |SELECT a.doc_id AS anchor_id, o.off, c.doc_id AS neg_id
+      |FROM r a CROSS JOIN o CROSS JOIN n
+      |JOIN r c ON c.rn = (a.rn - 1 + o.off) % n.n_docs + 1
+      |ORDER BY anchor_id, off""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("f_dsir_weights", dsirWeights, Some(dsirOracle)),
     QueryDef("f_epoch_shuffle", epochShuffle, Some(epochShuffleOracle)),
+    QueryDef("f_negative_sample", negativeSample,
+      Some(negativeSampleOracle)),
     QueryDef("f_token_budget_sample", tokenBudgetSample,
       Some(tokenBudgetOracle)),
     QueryDef("f_lang_temperature", langTemperature,
