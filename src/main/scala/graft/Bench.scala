@@ -71,6 +71,7 @@ object Bench {
       }
     queries.CoreQueries.coolShared(spark)
     queries.ExtensionQueries.coolClusters(spark)
+    queries.ExtensionQueries.coolIvf(spark)
     spark.stop()
   }
 }

@@ -55,6 +55,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     queries.CoreQueries.coolShared(spark)
     queries.ExtensionQueries.coolClusters(spark)
+    queries.ExtensionQueries.coolIvf(spark)
     spark.stop()
   }
 }

@@ -41,7 +41,7 @@ object Dedup {
   // full-suite memory pressure an evicted scratch partition is re-read
   // from local disk, never recomputed through the tokenize→join→sort
   // subtree it exists to avoid — the warm-slower-than-cold failure mode.
-  private def persistScratch(df: DataFrame): DataFrame = {
+  private[ext] def persistScratch(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     scratch.put(p, ()); p
   }

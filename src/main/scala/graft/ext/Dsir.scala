@@ -12,10 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Features are hashed BIGRAMS folded into a fixed `buckets`-slot
   * table (the paper's hashed n-gram generative model): no vocabulary,
-  * no fitting — both the target and raw models are ONE hash-aggregate
-  * each over the token stream, `buckets` rows total, broadcast to the
-  * scoring join. log w(d) = Σ_b cnt_db·(ln p_b − ln q_b) under
-  * Laplace-smoothed multinomials p (target) and q (raw).
+  * no fitting — the bigram stream aggregates ONCE to (doc, slot)
+  * grain (staged via the scratch lifecycle for its two consumers),
+  * and both the target and raw multinomials are tiny rollups of that
+  * table, broadcast to the scoring join. log w(d) =
+  * Σ_b cnt_db·(ln p_b − ln q_b) under Laplace-smoothed multinomials
+  * p (target) and q (raw).
   *
   * Determinism: every log is `ln` of an INTEGER (smoothed slot counts,
   * totals) quantized to micro-nats (`round(ln·1e6)` as BIGINT — the
@@ -24,12 +26,12 @@ import org.apache.spark.sql.functions._
   * (weight, doc_id) — the paper's Gumbel resampling replaced by the
   * seedless deterministic equivalent.
   *
-  * Scale: two scans of the corpus (model pass + scoring pass — fuse to
-  * one with a cached token table if the corpus is hot), one broadcast
-  * of 2·`buckets` rows, zero driver state. The final rank runs at doc
-  * grain through [[graft.ops.GlobalIndex]] (range exchange +
-  * per-partition offsets) — NOT an empty-partition ROW_NUMBER window,
-  * which would funnel the whole doc grain through one reducer.
+  * Scale: ONE scan of the corpus (the staged (doc, slot) table serves
+  * model and scoring alike), one broadcast of `buckets` model rows,
+  * zero driver state. The final rank runs at doc grain through
+  * [[graft.ops.GlobalIndex]] (range exchange + per-partition offsets)
+  * — NOT an empty-partition ROW_NUMBER window, which would funnel the
+  * whole doc grain through one reducer.
   */
 object Dsir {
 
@@ -63,17 +65,20 @@ object Dsir {
         pmod(conv(substring(md5(col("bigram")), 1, 8), 16, 10).cast("long"),
           b))
 
-    // per-doc slot counts — the scoring-side features
-    val docSlot = toks.groupBy(col(idCol), col("slot"))
-      .agg(count(lit(1)).as("cnt"))
+    // per-doc slot counts — the scoring-side features. The bigram
+    // stream is scanned ONCE: both multinomials roll up from this
+    // (doc, slot) table (far smaller than the stream it aggregates),
+    // not from re-reading the explode. is_target rides the key — it is
+    // functionally dependent on the doc id, so the grain is unchanged.
+    val docSlot = Dedup.persistScratch(
+      toks.groupBy(col(idCol), col("is_target"), col("slot"))
+        .agg(count(lit(1)).as("cnt")))
 
-    // the two multinomials: `buckets` rows each, one aggregate apiece
-    val tgt = toks.filter(col("is_target"))
-      .groupBy(col("slot")).agg(count(lit(1)).as("t_cnt"))
-    val raw = toks.groupBy(col("slot")).agg(count(lit(1)).as("r_cnt"))
-    val model = raw.join(tgt, Seq("slot"), "left")
-      .select(col("slot"), coalesce(col("t_cnt"), lit(0L)).as("t_cnt"),
-        col("r_cnt"))
+    // the two multinomials: `buckets` rows each, rolled up from docSlot
+    val model = docSlot.groupBy(col("slot"))
+      .agg(sum(when(col("is_target"), col("cnt")).otherwise(0L))
+        .as("t_cnt"),
+        sum(col("cnt")).as("r_cnt"))
     // corpus constants ride as a broadcast 1-row aggregate, never a
     // driver-side collect
     val totals = model.agg(sum(col("t_cnt")).as("t_tot"),

@@ -27,13 +27,23 @@ import graft.io.Sources.scatter
 object Ivf {
 
   /** `assignments` carries (id, cell, vector) — the celled corpus itself. */
-  final case class Index(centroids: DataFrame, assignments: DataFrame)
+  /** `release()` unpersists the staged vectorized corpus the build
+    * cached for its fit/transform passes — call when the index owner
+    * (e.g. ExtensionQueries.ivfMemo) is dropped; consumers re-reading
+    * `assignments` afterwards recompute from the source scan. */
+  final case class Index(centroids: DataFrame, assignments: DataFrame,
+                         private val staged: DataFrame = null) {
+    def release(): Unit = if (staged != null) {
+      staged.unpersist(blocking = false); ()
+    }
+  }
 
   /** Train the quantizer and assign every vector to a cell. */
   def build(emb: DataFrame, cells: Int = 16, seed: Long = 42L,
             idCol: String = "vec_id", vecCol: String = "embedding"): Index = {
     // persist: fit() makes maxIter passes and transform() one more — the
     // scatter+cast+vectorize pipeline must not recompute each time.
+    // Released via Index.release() when the owning memo is dropped.
     val vecs = scatter(emb.select(col(idCol), col(vecCol)))
       .withColumn("features",
         array_to_vector(col(vecCol).cast("array<double>")))
@@ -48,7 +58,7 @@ object Ivf {
     val centroids = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray) }
       .toDF("cell", "centroid")
-    Index(centroids, assignments)
+    Index(centroids, assignments, staged = vecs)
   }
 
   /** Top-k search probing the `nprobe` nearest cells per query. */

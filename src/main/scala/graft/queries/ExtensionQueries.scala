@@ -45,6 +45,14 @@ object ExtensionQueries extends QueryGroup {
     clustersMemo.keys.filter(k => s == null || k._1 == s)
       .foreach(clustersMemo.remove)
 
+  /** Drop memoized trained-IVF indexes for `s` (all sessions if null),
+    * unpersisting each build's staged vectorized corpus — the
+    * coolClusters twin for the ANN/SemDeDup family. */
+  def coolIvf(s: SparkSession): Unit =
+    ivfMemo.keys.filter(k => s == null || k._1 == s).foreach { k =>
+      ivfMemo.remove(k).foreach(_.release())
+    }
+
   // ---- shared DuckDB fragments ----
 
   private[queries] val dCte: String =
