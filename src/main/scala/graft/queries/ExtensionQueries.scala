@@ -580,6 +580,58 @@ object ExtensionQueries extends QueryGroup {
   private def textTokens(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.tokenStats(docs(s, dir)).orderBy("doc_id")
 
+  /** GPT-2-style regex-class tokenization (alpha runs / digit runs /
+    * single punctuation) next to the whitespace count — the "how many
+    * tokens will the tokenizer REALLY see" pre-flight every training
+    * budget estimate needs (fertility = regex/ws ratio). The fixture is
+    * alpha-only soup, so a deterministic structured tail (id, version,
+    * price) is seeded per doc — the textC4Filters precedent — so every
+    * class faces real matches. Pure codegen map; both engines run the
+    * identical pattern (no lookarounds — portable across regex
+    * dialects). */
+  private def textRegexTokens(s: SparkSession, dir: String): DataFrame = {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+    docs(s, dir)
+      .select(col("doc_id"),
+        concat(TextAnalysis.normalize(col("text")),
+          lit(" id="), col("doc_id").cast("string"),
+          lit(" v2.1; cost=$"), (col("doc_id") % 997).cast("string"),
+          lit(".50!")).as("seeded"))
+      .select(col("doc_id"),
+        size(split(col("seeded"), " ")).cast("long").as("n_ws"),
+        regexp_extract_all(col("seeded"), lit(pat), lit(0)).as("toks"))
+      .select(col("doc_id"), col("n_ws"),
+        size(col("toks")).cast("long").as("n_regex"),
+        expr("cast(size(filter(toks, t -> t rlike '^[a-z]+$')) as bigint)")
+          .as("n_alpha"),
+        expr("cast(size(filter(toks, t -> t rlike '^[0-9]+$')) as bigint)")
+          .as("n_num"))
+      .withColumn("n_punct", col("n_regex") - col("n_alpha") - col("n_num"))
+      .withColumn("fertility",
+        round(col("n_regex").cast("double") / col("n_ws"), 6))
+      .orderBy("doc_id")
+  }
+
+  private val textRegexTokensOracle: String = dCte +
+    """, s AS (SELECT doc_id, norm || ' id=' || CAST(doc_id AS VARCHAR)
+      |    || ' v2.1; cost=$' || CAST(doc_id % 997 AS VARCHAR) || '.50!'
+      |    AS seeded FROM d)
+      |, t AS (SELECT doc_id,
+      |    CAST(len(string_split(seeded, ' ')) AS BIGINT) AS n_ws,
+      |    regexp_extract_all(seeded, '[a-z]+|[0-9]+|[^a-z0-9 ]') AS toks
+      |  FROM s)
+      |, c AS (SELECT doc_id, n_ws,
+      |    CAST(len(toks) AS BIGINT) AS n_regex,
+      |    CAST(len(list_filter(toks,
+      |      x -> regexp_matches(x, '^[a-z]+$'))) AS BIGINT) AS n_alpha,
+      |    CAST(len(list_filter(toks,
+      |      x -> regexp_matches(x, '^[0-9]+$'))) AS BIGINT) AS n_num
+      |  FROM t)
+      |SELECT doc_id, n_ws, n_regex, n_alpha, n_num,
+      |  n_regex - n_alpha - n_num AS n_punct,
+      |  round(CAST(n_regex AS DOUBLE) / n_ws, 6) AS fertility
+      |FROM c ORDER BY doc_id""".stripMargin
+
   private def textQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityScore(docs(s, dir)).orderBy("doc_id")
 
@@ -1658,6 +1710,8 @@ object ExtensionQueries extends QueryGroup {
     QueryDef("text_chunking", textChunking, Some(textChunkingOracle)),
     QueryDef("text_c4_filters", textC4Filters, Some(textC4Oracle)),
     QueryDef("text_para_dedup", textParaDedup, Some(textParaDedupOracle)),
+    QueryDef("text_regex_tokens", textRegexTokens,
+      Some(textRegexTokensOracle)),
     QueryDef("text_bm25_topk", textBm25, Some(textBm25Oracle)),
     QueryDef("f_feature_hash", featureHash, Some(featureHashOracle)),
     QueryDef("dedup_keep_best", dedupKeepBest, Some(dedupKeepBestOracle)),
