@@ -97,6 +97,33 @@ object Sinks {
     writeAndSwap(merged, path)
   }
 
+  /** Additive-state merge sink: fold a batch's keyed PARTIAL sums into
+    * the persisted state by summing every non-key column per key — the
+    * foreachBatch pattern for RETRACTABLE streaming aggregates (signed
+    * multiplicities arrive as negative partials and cancel exactly).
+    * State stays at key grain, updates cost one keyed merge of
+    * |state| + |batch partials|, and the commit is the same atomic
+    * two-rename swap as upsertParquet. Decimal sums widen to their
+    * precision cap on first merge and are stable thereafter. */
+  def mergeAdditive(partial: DataFrame, path: String,
+                    keys: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions._
+    val spark = partial.sparkSession
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(new Path(path))) partial
+      else {
+        val sums = partial.columns.filterNot(keys.contains)
+          .map(c => sum(col(c)).as(c))
+        spark.read.parquet(path).unionByName(partial)
+          .groupBy(keys.map(col): _*)
+          .agg(sums.head, sums.tail: _*)
+      }
+    writeAndSwap(merged, path)
+  }
+
   /** Write `df` to a temp location next to `path`, then atomically swap
     * it into place (two renames; the old data survives until the new
     * write commits — crash-safe, shared by upsert and compaction). */

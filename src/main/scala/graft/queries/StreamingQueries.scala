@@ -134,6 +134,19 @@ object StreamingQueries extends QueryGroup {
       """SELECT user_id, epoch_ms(max(ts)) AS last_ts_ms,
         |       CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    // streaming retraction: per-batch signed CDC partials fold into the
+    // persistent net-multiplicity state (StreamingKpis scaladoc); the
+    // oracle recomputes the post-CDC set directly — the streaming twin
+    // of etl_incremental_retract, same fixture rule
+    QueryDef("streaming_retract_totals",
+      (s, dir) => StreamingKpis.runRetractAvailableNow(s, dir), Some(
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+        |    AS avg_value,
+        |  COUNT(DISTINCT user_id) AS live_users
+        |FROM events
+        |WHERE event_id % 11 = 0 OR event_id % 13 <> 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)),
     QueryDef("sessionize_batch", sessions, Some(
       """WITH o AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
         |b AS (SELECT user_id, ts_ms,

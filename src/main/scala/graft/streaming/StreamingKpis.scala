@@ -137,6 +137,52 @@ object StreamingKpis {
       .orderBy("user_id")
   }
 
+  /** Retractable streaming aggregate: each micro-batch derives signed
+    * CDC rows (base inserts m=+1, correction retractions m=−1 — the
+    * `etl_incremental_retract` fixture rule, applied per batch) and
+    * folds its PARTIAL sums into a persistent (event_type, user_id)
+    * net-multiplicity state via [[graft.io.Sinks.mergeAdditive]]; the
+    * final read rolls state up to type grain. Counts and decimal sums
+    * retract exactly; live-user distinct = net > 0 — the state design
+    * sketches cannot give (they only union). State is key-grain and
+    * delta-proportionally updated; the commit is the atomic two-rename
+    * swap. */
+  def runRetractAvailableNow(spark: SparkSession, dir: String)
+      : DataFrame = StreamConf.sized(spark) {
+    val target = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_stream_retract").toString
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(target))
+    val q = eventStream(spark, dir).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val e = batch.select(col("event_id"), col("event_type"),
+          col("user_id"), col("value").cast("decimal(18,6)").as("v"))
+        val base = e.filter(col("event_id") % 11 =!= 0)
+          .withColumn("m", lit(1L))
+        val ins = e.filter(col("event_id") % 11 === 0)
+          .withColumn("m", lit(1L))
+        val del = e.filter(col("event_id") % 11 =!= 0 &&
+            col("event_id") % 13 === 0)
+          .withColumn("m", lit(-1L))
+        val partial = base.unionByName(ins).unionByName(del)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(col("m")).as("net"), sum(col("m") * col("v")).as("sv"))
+        graft.io.Sinks.mergeAdditive(partial, target,
+          keys = Seq("event_type", "user_id"))
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(target)
+      .groupBy(col("event_type"))
+      .agg(sum(col("net")).as("n"),
+        (sum(col("sv")).cast("double") / sum(col("net"))).as("avg_value"),
+        count(when(col("net") > 0, 1)).as("live_users"))
+      .orderBy("event_type")
+  }
+
   /** The events parquet directory as a file-source stream (nanos-ts
     * rebuild as in graft.io.Sources.table). */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
