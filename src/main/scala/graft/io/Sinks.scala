@@ -105,15 +105,30 @@ object Sinks {
     * |state| + |batch partials|, and the commit is the same atomic
     * two-rename swap as upsertParquet. Decimal sums widen to their
     * precision cap on first merge and are stable thereafter. */
-  def mergeAdditive(partial: DataFrame, path: String,
-                    keys: Seq[String]): Unit = {
+  /** An additive merge is NOT idempotent (applying a batch twice doubles
+    * it), so exactly-once needs the applied-batch set committed in the
+    * SAME atomic swap as the data: `batchId` markers are empty
+    * `_applied_batch_<id>` files written into the staging dir before the
+    * rename (Spark readers skip `_`-prefixed files), existing markers
+    * carried forward, and a batch whose marker is already present is
+    * skipped wholesale. Contrast upsertParquet, which tolerates replay by
+    * being idempotent instead. */
+  def mergeAdditive(partial: DataFrame, path: String, keys: Seq[String],
+                    batchId: Option[Long] = None): Unit = {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.functions._
     val spark = partial.sparkSession
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new Path(path))
+    val markers: Seq[String] =
+      if (!exists) Seq.empty
+      else fs.listStatus(new Path(path)).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_applied_batch_"))
+    if (batchId.exists(b => markers.contains(s"_applied_batch_$b")))
+      return // this batch already committed — replay is a no-op
     val merged =
-      if (!fs.exists(new Path(path))) partial
+      if (!exists) partial
       else {
         val sums = partial.columns.filterNot(keys.contains)
           .map(c => sum(col(c)).as(c))
@@ -121,13 +136,15 @@ object Sinks {
           .groupBy(keys.map(col): _*)
           .agg(sums.head, sums.tail: _*)
       }
-    writeAndSwap(merged, path)
+    writeAndSwap(merged, path,
+      markers ++ batchId.map(b => s"_applied_batch_$b"))
   }
 
   /** Write `df` to a temp location next to `path`, then atomically swap
     * it into place (two renames; the old data survives until the new
     * write commits — crash-safe, shared by upsert and compaction). */
-  private def writeAndSwap(df: DataFrame, path: String): Unit = {
+  private def writeAndSwap(df: DataFrame, path: String,
+                           markerFiles: Seq[String] = Seq.empty): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
@@ -135,6 +152,9 @@ object Sinks {
     val tmp = new Path(path + "._graft_tmp")
     fs.delete(tmp, true)
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // markers land in the staging dir BEFORE the rename, so data and
+    // applied-batch bookkeeping commit in one atomic move
+    markerFiles.foreach(m => fs.create(new Path(tmp, m), true).close())
     val old = new Path(path + "._graft_old")
     fs.delete(old, true)
     // Check every rename: Hadoop rename returns false on failure (and on

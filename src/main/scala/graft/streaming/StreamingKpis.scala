@@ -137,16 +137,19 @@ object StreamingKpis {
       .orderBy("user_id")
   }
 
-  /** Retractable streaming aggregate: each micro-batch derives signed
-    * CDC rows (base inserts m=+1, correction retractions m=−1 — the
+  /** Retractable streaming aggregate with EXACTLY-ONCE delivery to a
+    * non-idempotent sink: each micro-batch derives signed CDC rows
+    * (base inserts m=+1, correction retractions m=−1 — the
     * `etl_incremental_retract` fixture rule, applied per batch) and
     * folds its PARTIAL sums into a persistent (event_type, user_id)
-    * net-multiplicity state via [[graft.io.Sinks.mergeAdditive]]; the
-    * final read rolls state up to type grain. Counts and decimal sums
+    * net-multiplicity state via [[graft.io.Sinks.mergeAdditive]].
+    * Because an additive merge double-applies on replay (unlike the
+    * idempotent upsert in runUpsertReplayAvailableNow), delivery is
+    * fenced by applied-batch markers committed in the SAME atomic swap
+    * as the data — the whole stream is replayed a second time and the
+    * state must come out bit-identical. Counts and decimal sums
     * retract exactly; live-user distinct = net > 0 — the state design
-    * sketches cannot give (they only union). State is key-grain and
-    * delta-proportionally updated; the commit is the atomic two-rename
-    * swap. */
+    * sketches cannot give (they only union). */
   def runRetractAvailableNow(spark: SparkSession, dir: String)
       : DataFrame = StreamConf.sized(spark) {
     val target = new java.io.File(
@@ -155,26 +158,34 @@ object StreamingKpis {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
     rm(new java.io.File(target))
-    val q = eventStream(spark, dir).writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        val e = batch.select(col("event_id"), col("event_type"),
-          col("user_id"), col("value").cast("decimal(18,6)").as("v"))
-        val base = e.filter(col("event_id") % 11 =!= 0)
-          .withColumn("m", lit(1L))
-        val ins = e.filter(col("event_id") % 11 === 0)
-          .withColumn("m", lit(1L))
-        val del = e.filter(col("event_id") % 11 =!= 0 &&
-            col("event_id") % 13 === 0)
-          .withColumn("m", lit(-1L))
-        val partial = base.unionByName(ins).unionByName(del)
-          .groupBy(col("event_type"), col("user_id"))
-          .agg(sum(col("m")).as("net"), sum(col("m") * col("v")).as("sv"))
-        graft.io.Sinks.mergeAdditive(partial, target,
-          keys = Seq("event_type", "user_id"))
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    def runOnce(): Unit = {
+      val q = eventStream(spark, dir).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], batchId: Long) =>
+          val e = batch.select(col("event_id"), col("event_type"),
+            col("user_id"), col("value").cast("decimal(18,6)").as("v"))
+          val base = e.filter(col("event_id") % 11 =!= 0)
+            .withColumn("m", lit(1L))
+          val ins = e.filter(col("event_id") % 11 === 0)
+            .withColumn("m", lit(1L))
+          val del = e.filter(col("event_id") % 11 =!= 0 &&
+              col("event_id") % 13 === 0)
+            .withColumn("m", lit(-1L))
+          val partial = base.unionByName(ins).unionByName(del)
+            .groupBy(col("event_type"), col("user_id"))
+            .agg(sum(col("m")).as("net"), sum(col("m") * col("v")).as("sv"))
+          graft.io.Sinks.mergeAdditive(partial, target,
+            keys = Seq("event_type", "user_id"), batchId = Some(batchId))
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // replay: an additive merge is NOT idempotent, so re-delivery must
+    // be fenced by the atomically-committed batch markers — the second
+    // pass must leave the state bit-identical (the oracle would fail on
+    // any double-application)
+    runOnce()
     spark.read.parquet(target)
       .groupBy(col("event_type"))
       .agg(sum(col("net")).as("n"),
