@@ -492,8 +492,127 @@ object RelationalQueries extends QueryGroup {
       |ORDER BY numwait DESC, s_name ASC
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q17 shape (small-quantity revenue): lines whose quantity sits
+    * below 20% of their part's average. The textbook form is a
+    * correlated AVG subquery — one probe per fact row; here it
+    * decorrelates to ONE keyed aggregate over the (semi-joined) fact
+    * slice, probed back by partkey. The 20%-of-average threshold is
+    * compared in EXACT decimal arithmetic (qty·5·cnt < Σqty — no float
+    * average whose last-ulp could flip a boundary row between engines);
+    * the oracle states the same exact comparison inside the correlated
+    * subquery form, so the hash match proves the decorrelation. */
+  private def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val li = Sources.table(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val parts = Sources.table(s, dir, "part")
+      .filter(col("p_brand") === "Brand#13" && col("p_size") <= 15)
+      .select(col("p_partkey"))
+    val narrowed = li
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .drop("p_partkey")
+    val perPart = narrowed.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+    narrowed.join(perPart, "l_partkey")
+      .filter(col("l_quantity").cast("decimal(18,2)") * 5 * col("cnt") <
+        col("sum_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double") / 7.0).as("avg_yearly"))
+  }
+
+  private val q17Oracle: String =
+    """SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+      |    AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+      |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_brand = 'Brand#13' AND p.p_size <= 15
+      |  AND 5 * CAST(l.l_quantity AS DECIMAL(18,2))
+      |      * (SELECT COUNT(*) FROM lineitem l2
+      |         WHERE l2.l_partkey = l.l_partkey)
+      |    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+      |       FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)""".stripMargin
+
+  /** TPC-H Q15 shape (top supplier by view): quarterly revenue per
+    * supplier, keep every supplier tying the global maximum. The view's
+    * max rides as a broadcast 1-row aggregate joined back on EXACT
+    * decimal equality — never a driver-side collect, and ties survive
+    * (the reference query's correctness subtlety). */
+  private def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Sources.table(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast("date") >= lit("1998-01-01") &&
+        col("l_shipdate").cast("date") < lit("1998-04-01"))
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,6)").as("rev"))
+      .groupBy(col("l_suppkey")).agg(sum(col("rev")).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+      .join(broadcast(Sources.table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q15Oracle: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey, SUM(CAST(l_extendedprice * (1 - l_discount)
+      |      AS DECIMAL(28,6))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= DATE '1998-01-01'
+      |    AND l_shipdate < DATE '1998-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE)
+      |    AS total_revenue
+      |FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+      |WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q22 shape (lapsed big-balance customers): customers above the
+    * positive-balance average with no recent orders, rolled up by
+    * nation. The global average is a broadcast 1-row (count, Σ) pair
+    * compared in exact decimal (bal·cnt > Σ — same reasoning as Q17);
+    * the no-recent-orders predicate is a LEFT ANTI join keyed on
+    * custkey, which never fans out however many orders match. */
+  private def q22LapsedBig(s: SparkSession, dir: String): DataFrame = {
+    val cust = Sources.table(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val stats = cust.filter(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("pos_cnt"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).as("pos_sum"))
+    val recent = Sources.table(s, dir, "orders")
+      .filter(col("o_orderdate").cast("date") >= lit("2000-01-01"))
+      .select(col("o_custkey"))
+    cust.crossJoin(broadcast(stats))
+      .filter(col("c_acctbal").cast("decimal(18,2)") * col("pos_cnt") >
+        col("pos_sum"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+          .as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  private val q22Oracle: String =
+    """SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS totacctbal
+      |FROM customer c
+      |WHERE CAST(c.c_acctbal AS DECIMAL(18,2))
+      |      * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+      |    > (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+      |       FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |      WHERE o.o_custkey = c.c_custkey
+      |        AND o.o_orderdate >= DATE '2000-01-01')
+      |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_supp_wait", q21SuppWait, Some(q21Oracle)),
+    QueryDef("q17_small_qty", q17SmallQty, Some(q17Oracle)),
+    QueryDef("q15_top_supplier", q15TopSupplier, Some(q15Oracle)),
+    QueryDef("q22_lapsed_big", q22LapsedBig, Some(q22Oracle)),
     QueryDef("q4_priority_exists", q4PriorityExists, Some(q4Oracle)),
     QueryDef("q13_custdist", q13CustDist, Some(q13Oracle)),
     QueryDef("q16_supplier_cnt", q16SupplierCnt, Some(q16Oracle)),
