@@ -381,12 +381,25 @@ object Dedup {
   /** Apply clustering to the corpus: keep documents that are in no near-dup
     * cluster, plus each cluster's canonical member (the min-id label). The
     * final step of the dedup pipeline — candidates → clusters → cleaned
-    * corpus. Cluster table is tiny relative to the corpus → broadcast. */
+    * corpus.
+    *
+    * Join strategy: `clusters` holds one row per clustered document, so its
+    * size tracks the corpus's duplicate rate. For a low-dup corpus it is
+    * tiny; for web-scale crawls (30-50% near-dup membership) it is
+    * corpus-scale, and a mandatory broadcast would OOM the executors
+    * building the hash relation. So by default the join carries NO hint —
+    * AQE broadcasts exactly when the built side is actually under the
+    * threshold and falls back to a shuffled hash join otherwise. Callers
+    * that KNOW their dup rate is bounded (e.g. incremental admission where
+    * `clusters` covers only the delta) may pass `broadcastHint = true`. */
   def applyClusters(docs: DataFrame, clusters: DataFrame,
-                    idCol: String = "doc_id"): DataFrame =
-    docs.join(broadcast(clusters), Seq(idCol), "left")
+                    idCol: String = "doc_id",
+                    broadcastHint: Boolean = false): DataFrame = {
+    val right = if (broadcastHint) broadcast(clusters) else clusters
+    docs.join(right, Seq(idCol), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
       .drop("cluster_id")
+  }
 
   /** Embedding near-duplicates: cosine ≥ threshold among pairs sharing a
     * partition key (IVF cell / provided label) — never all-pairs. Threshold

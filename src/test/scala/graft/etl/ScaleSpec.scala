@@ -36,6 +36,36 @@ class ScaleSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("applyClusters carries no mandatory broadcast when the hint is off") {
+    // Web-scale corpora run 30-50% near-dup membership, so the cluster map
+    // can be corpus-scale: the join must let AQE decide. With the broadcast
+    // threshold disabled, a hint-free plan must NOT contain a
+    // BroadcastExchange (a forced hint would override the threshold).
+    val docs = (1L to 200L).map(i => (i, s"body$i")).toDF("doc_id", "body")
+    val clusters = (1L to 100L).map(i => (i, (i - 1) / 2 * 2 + 1))
+      .toDF("doc_id", "cluster_id")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val free = graft.ext.Dedup.applyClusters(docs, clusters)
+      val freePlan = free.queryExecution.executedPlan.toString
+      assert(!freePlan.contains("BroadcastExchange"),
+        s"hint-free applyClusters must leave the join strategy to AQE:\n$freePlan")
+      val hinted = graft.ext.Dedup.applyClusters(docs, clusters,
+        broadcastHint = true)
+      val hintedPlan = hinted.queryExecution.executedPlan.toString
+      assert(hintedPlan.contains("BroadcastExchange"),
+        s"broadcastHint=true must force the broadcast:\n$hintedPlan")
+      // Both strategies produce the same cleaned corpus: unclustered docs
+      // plus one canonical (min-id) member per cluster.
+      assert(free.count() == hinted.count())
+      assert(free.select("doc_id").as[Long].collect().toSet ==
+        hinted.select("doc_id").as[Long].collect().toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+
   test("same-bucketed tables join without an exchange") {
     // stale-location cleanup now lives inside Sinks.bucketedTable
     Sinks.bucketedTable((1L to 1000L).map(i => (i, i * 2)).toDF("id", "x"),
