@@ -608,8 +608,174 @@ object RelationalQueries extends QueryGroup {
       |        AND o.o_orderdate >= DATE '2000-01-01')
       |GROUP BY c.c_nationkey ORDER BY c.c_nationkey""".stripMargin
 
+  /** TPC-H Q20 shape (excess-stock suppliers), the hardest decorrelation
+    * in the suite: a correlated SCALAR threshold nested inside an IN
+    * nested inside another IN — three subquery levels. Without a
+    * partsupp table the supply relation lives at the (l_partkey,
+    * l_suppkey) pair grain of lineitem; "excess" means more than half of
+    * a tracked pair's all-time quantity shipped since 2000.
+    *
+    * Double decorrelation: the inner correlated SUM pair (recent, total
+    * — both correlated on the SAME pair key) collapses into ONE
+    * conditional aggregate at pair grain over the part-name-restricted
+    * fact slice (part filter pushed below the aggregate — it only
+    * removes whole pair groups, never rows within one); the middle IN
+    * becomes that aggregate's threshold filter; the outer IN becomes a
+    * LeftSemi probe from the nation-filtered supplier dim. The fact
+    * table is scanned ONCE (the textbook plan scans it three times),
+    * shuffles once on the pair key, and the threshold (2·recent > total)
+    * compares exact DECIMAL sums so no float average can flip a boundary
+    * pair between engines. The oracle keeps all three nested subqueries
+    * verbatim, so the hash match proves the flattening. */
+  private def q20ExcessSupp(s: SparkSession, dir: String): DataFrame = {
+    val redParts = Sources.table(s, dir, "part")
+      .filter(col("p_name").like("red%")).select(col("p_partkey"))
+    val qty = col("l_quantity").cast("decimal(18,2)")
+    val qualSupp = Sources.table(s, dir, "lineitem")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(qty).as("total_qty"),
+        sum(when(col("l_shipdate").cast("date") >= lit("2000-01-01"), qty)
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("recent_qty"))
+      .filter(col("recent_qty") * 2 > col("total_qty"))
+      .select(col("l_suppkey")).distinct()
+    Sources.table(s, dir, "supplier")
+      .join(broadcast(Sources.table(s, dir, "nation")
+        .filter(col("n_name") === "NATION_3").select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .join(qualSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  private val q20Oracle: String =
+    """SELECT s.s_suppkey, s.s_name
+      |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE n.n_name = 'NATION_3' AND s.s_suppkey IN (
+      |  SELECT l.l_suppkey
+      |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) l
+      |  WHERE l.l_partkey IN (SELECT p_partkey FROM part
+      |                        WHERE p_name LIKE 'red%')
+      |    AND 2 * (SELECT COALESCE(SUM(CAST(l2.l_quantity
+      |                 AS DECIMAL(18,2))), 0)
+      |             FROM lineitem l2
+      |             WHERE l2.l_partkey = l.l_partkey
+      |               AND l2.l_suppkey = l.l_suppkey
+      |               AND l2.l_shipdate >= DATE '2000-01-01')
+      |        > (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(18,2)))
+      |           FROM lineitem l3
+      |           WHERE l3.l_partkey = l.l_partkey
+      |             AND l3.l_suppkey = l.l_suppkey))
+      |ORDER BY s.s_suppkey""".stripMargin
+
+  /** TPC-H Q2 shape (min-cost supplier): for each small part, every
+    * EUROPE supplier whose pair cost ties the part's minimum across the
+    * whole EUROPE dimension subtree. The pair cost (partsupp stand-in)
+    * is MIN(extendedprice) at (part, supplier) grain, DECIMAL-exact so
+    * the min-equality join can't miss a tie by one ulp.
+    *
+    * The textbook correlated form re-evaluates a MIN over the
+    * supplier⋈nation⋈region subtree per outer row; decorrelated, the
+    * subtree is joined ONCE (region/nation broadcast into the supplier
+    * dim, the fact semi-joined against it), aggregated to pair costs,
+    * re-aggregated to per-part minima, and joined back on exact
+    * equality — ties produce one row per tying supplier in both
+    * engines. The part size filter pushes below both aggregates: it
+    * removes whole partkey groups only, so per-part minima are
+    * unchanged. */
+  private def q2MinCostSupp(s: SparkSession, dir: String): DataFrame = {
+    val europeSupp = Sources.table(s, dir, "supplier")
+      .join(broadcast(Sources.table(s, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Sources.table(s, dir, "region")
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val smallParts = Sources.table(s, dir, "part")
+      .filter(col("p_size") <= 3).select(col("p_partkey"), col("p_name"))
+    val cost = Sources.table(s, dir, "lineitem")
+      .join(broadcast(europeSupp.select(col("s_suppkey"))),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(broadcast(smallParts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice").cast("decimal(18,2)"))
+        .as("pair_cost"))
+    val minCost = cost.groupBy(col("l_partkey"))
+      .agg(min(col("pair_cost")).as("min_cost"))
+    cost.join(minCost, Seq("l_partkey"))
+      .filter(col("pair_cost") === col("min_cost"))
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(europeSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("pair_cost").cast("double").as("supply_cost"))
+      .orderBy("p_partkey", "s_name")
+  }
+
+  private val q2Oracle: String =
+    """WITH cost AS (
+      |  SELECT l.l_partkey, l.l_suppkey,
+      |         MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS pair_cost
+      |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |  JOIN region r ON r.r_regionkey = n.n_regionkey
+      |  WHERE r.r_name = 'EUROPE'
+      |  GROUP BY l.l_partkey, l.l_suppkey)
+      |SELECT p.p_partkey, p.p_name, s.s_name, n.n_name,
+      |       CAST(c.pair_cost AS DOUBLE) AS supply_cost
+      |FROM part p
+      |JOIN cost c ON c.l_partkey = p.p_partkey
+      |JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      |JOIN nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE p.p_size <= 3
+      |  AND c.pair_cost = (SELECT MIN(c2.pair_cost) FROM cost c2
+      |                     WHERE c2.l_partkey = p.p_partkey)
+      |ORDER BY p.p_partkey, s.s_name""".stripMargin
+
+  /** TPC-H Q11 shape (important stock): per-part value from one
+    * nation's suppliers, HAVING above a fixed fraction of the GLOBAL
+    * total — a grouped aggregate filtered by a scalar aggregate over
+    * its own input. Decorrelated, the global total is a second tiny
+    * aggregate OVER THE PER-PART FRAME (never a second fact scan — the
+    * textbook plan reads the fact twice), broadcast as a 1-row cross
+    * join; the threshold compares val·1000 > total in exact DECIMAL
+    * (same no-float-boundary reasoning as Q17/Q22). One fact scan, one
+    * shuffle on partkey, one 1-row broadcast. */
+  private def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val natSupp = Sources.table(s, dir, "supplier")
+      .filter(col("s_nationkey") === 7).select(col("s_suppkey"))
+    val v = Sources.table(s, dir, "lineitem")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,6)")).as("val"))
+    val tot = v.agg(sum(col("val")).as("tot"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("val") * 1000 > col("tot"))
+      .select(col("l_partkey"), col("val").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey").asc)
+  }
+
+  private val q11Oracle: String =
+    """WITH v AS (
+      |  SELECT l.l_partkey,
+      |         SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+      |             AS DECIMAL(28,6))) AS val
+      |  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  WHERE s.s_nationkey = 7
+      |  GROUP BY l.l_partkey)
+      |SELECT l_partkey, CAST(val AS DOUBLE) AS value
+      |FROM v
+      |WHERE val * 1000 > (SELECT SUM(val) FROM v)
+      |ORDER BY value DESC, l_partkey ASC""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q21_supp_wait", q21SuppWait, Some(q21Oracle)),
+    QueryDef("q20_excess_supp", q20ExcessSupp, Some(q20Oracle)),
+    QueryDef("q2_min_cost_supp", q2MinCostSupp, Some(q2Oracle)),
+    QueryDef("q11_important_parts", q11ImportantParts, Some(q11Oracle)),
     QueryDef("q17_small_qty", q17SmallQty, Some(q17Oracle)),
     QueryDef("q15_top_supplier", q15TopSupplier, Some(q15Oracle)),
     QueryDef("q22_lapsed_big", q22LapsedBig, Some(q22Oracle)),

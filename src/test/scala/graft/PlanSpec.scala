@@ -229,15 +229,55 @@ class PlanSpec extends SparkSpec {
 
   test("q21: one aggregate replaces both correlated EXISTS probes") {
     val p = plan(SparkEntry.queries("q21_supp_wait")(spark, dir))
-    // lineitem twice (qualifier agg + probe), orders once, supplier once
+    // lineitem twice (qualifier agg + probe), orders once, supplier once;
+    // upper bound (not exact) so scan reuse / formatting shifts across
+    // Spark versions can't fail the suite without a real regression
     val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans == 4,
-      s"expected 4 parquet scans (no triple fact self-join), got $scans:\n$p")
+    assert(scans <= 4,
+      s"expected <=4 parquet scans (no triple fact self-join), got $scans:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"supplier must broadcast:\n$p")
     assert(!p.contains("Expand"),
       s"qualifier must be the two-level aggregate, not multi-distinct " +
         s"Expand (row doubling through the first exchange):\n$p")
+  }
+
+  test("q20: triple-nested subqueries flatten to one fact scan") {
+    val p = plan(SparkEntry.queries("q20_excess_supp")(spark, dir))
+    // the textbook plan scans lineitem three times (IN + two correlated
+    // SUMs); the flattened plan touches it exactly once
+    val liScans = "Scan parquet[^\\n]*lineitem".r.findAllIn(p).length
+    assert(liScans == 1,
+      s"expected a single lineitem scan, got $liScans:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"no per-row subquery execution:\n$p")
+  }
+
+  test("q2: correlated MIN becomes aggregate + equality join, fact scanned once") {
+    val p = plan(SparkEntry.queries("q2_min_cost_supp")(spark, dir))
+    // the pair-cost subtree feeds both the per-part MIN and the
+    // join-back, so it appears twice pre-AQE (identical subtrees —
+    // runtime ReuseExchange dedupes them); the textbook correlated form
+    // would instead re-run the whole dim subtree per outer row
+    val liScans = "Scan parquet[^\\n]*lineitem".r.findAllIn(p).length
+    assert(liScans <= 2,
+      s"expected the shared pair-cost subtree (<=2 lineitem scans), got $liScans:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the min must meet its pairs through a keyed join:\n$p")
+  }
+
+  test("q11: global-scalar HAVING rides a 1-row broadcast, not a rescan") {
+    val p = plan(SparkEntry.queries("q11_important_parts")(spark, dir))
+    val liScans = "Scan parquet[^\\n]*lineitem".r.findAllIn(p).length
+    assert(liScans <= 2,
+      s"the global total must come from the per-part frame (an exchange " +
+        s"reuse or at worst one extra scan), not a full textbook " +
+        s"re-aggregation chain, got $liScans:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total must broadcast into the HAVING filter:\n$p")
   }
 
   test("paragraph dedup: keyed joins only, staged tokenization reused") {
