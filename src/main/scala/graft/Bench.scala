@@ -72,6 +72,7 @@ object Bench {
     queries.CoreQueries.coolShared(spark)
     queries.ExtensionQueries.coolClusters(spark)
     queries.ExtensionQueries.coolIvf(spark)
+    ext.TextAnalysis.coolTokens(spark)
     spark.stop()
   }
 }

@@ -56,6 +56,7 @@ object Verify {
     queries.CoreQueries.coolShared(spark)
     queries.ExtensionQueries.coolClusters(spark)
     queries.ExtensionQueries.coolIvf(spark)
+    ext.TextAnalysis.coolTokens(spark)
     spark.stop()
   }
 }

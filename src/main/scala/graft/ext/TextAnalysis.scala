@@ -26,6 +26,49 @@ object TextAnalysis {
   /** Whitespace tokens of the normalized text. */
   def tokens(norm: Column): Column = split(norm, " ")
 
+  /** Staged tokenization of a raw corpus: (idCol[, source], norm, toks).
+    * Every token consumer in this object accepts this frame in place of
+    * the raw (id, text) one — [[ensureTokens]] detects the `toks` column —
+    * so a runner can tokenize ONCE and fan the result into the whole text
+    * family. */
+  def tokenized(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val keep = col(idCol) +:
+      docs.columns.filter(_ == "source").toSeq.map(col)
+    scatter(docs.select(keep :+ normalize(col("text")).as("norm"): _*))
+      .withColumn("toks", tokens(col("norm")))
+  }
+
+  private def ensureTokens(docs: DataFrame, idCol: String): DataFrame =
+    if (docs.columns.contains("toks")) docs else tokenized(docs, idCol)
+
+  // Shared token scratch: five oracle queries (text_bm25_topk,
+  // text_tfidf_top_terms, text_bigram_surprisal, text_surprisal_gate,
+  // text_ccnet_buckets — plus sim_sparse_cosine and f_mix_weights) each
+  // re-derived the same normalize→split over `documents`, ~25% of the text
+  // family's wall time. Stage it once per (session, corpus) — the
+  // sharedClusters/ivfMemo lifecycle: first consumer pays the build, every
+  // later one reads the persisted frame, and the runner releases it at
+  // teardown via [[coolTokens]]. At 100 TB this scratch is the staged
+  // token table the first pipeline stage materializes to parquet;
+  // MEMORY_AND_DISK persist (evictions re-read from local disk, never
+  // recompute the tokenize subtree) is its single-JVM stand-in.
+  private val tokMemo = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  def sharedTokens(s: org.apache.spark.sql.SparkSession, dir: String)
+      : DataFrame =
+    tokMemo.getOrElseUpdate((s, dir),
+      tokenized(graft.io.Sources.table(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
+  /** Drop the memoized token scratch for `s` (all sessions if null). */
+  def coolTokens(s: org.apache.spark.sql.SparkSession): Unit =
+    tokMemo.keys.filter(k => s == null || k._1 == s).foreach { k =>
+      tokMemo.remove(k).foreach { df =>
+        try df.unpersist() catch { case _: Throwable => () }
+      }
+    }
+
   /** Character k-shingles at a stride, as (doc_id, shingle) rows.
     * Stride > 1 cuts shingle volume k-fold with modest recall loss — the
     * standard trade at corpus scale. Requires `norm` length ≥ k (guarded). */
@@ -155,12 +198,13 @@ object TextAnalysis {
   def tfIdfTopTerms(docs: DataFrame, idCol: String = "doc_id",
                     k: Int = TfIdfTopK): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val base = ensureTokens(docs, idCol)
     // N as a lazy broadcast scalar (one-row aggregate cross join), not a
     // driver-side count(): constructing the frame must not run a job, and
     // execution must not scan the source twice.
-    val n = broadcast(docs.agg(count(lit(1)).cast("double").as("_n")))
-    val tf = scatter(docs.select(col(idCol), normalize(col("text")).as("norm")))
-      .select(col(idCol), explode(tokens(col("norm"))).as("tok"))
+    val n = broadcast(base.agg(count(lit(1)).cast("double").as("_n")))
+    val tf = base
+      .select(col(idCol), explode(col("toks")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -192,14 +236,13 @@ object TextAnalysis {
                k1: Double = 1.2, b: Double = 0.75,
                idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val base = ensureTokens(docs, idCol)
     val stats = broadcast(
-      scatter(docs.select(col(idCol), normalize(col("text")).as("norm")))
-        .select(col(idCol), size(tokens(col("norm"))).cast("long").as("l"))
+      base.select(col(idCol), size(col("toks")).cast("long").as("l"))
         .agg(count(lit(1)).cast("double").as("_n"),
           (sum(col("l")).cast("double") / count(lit(1))).as("_avgdl")))
-    val tf = scatter(docs.select(col(idCol), normalize(col("text"))
-        .as("norm")))
-      .select(col(idCol), explode(tokens(col("norm"))).as("term"))
+    val tf = base
+      .select(col(idCol), explode(col("toks")).as("term"))
       .filter(length(col("term")) > 0)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
@@ -249,10 +292,10 @@ object TextAnalysis {
       maxDf: Int = 50, scale: Int = 10000, minCosine: Double = 0.30)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = broadcast(docs.agg(count(lit(1)).cast("double").as("_n")))
-    val tf = scatter(docs.select(col(idCol), normalize(col("text"))
-        .as("norm")))
-      .select(col(idCol), explode(tokens(col("norm"))).as("tok"))
+    val base = ensureTokens(docs, idCol)
+    val n = broadcast(base.agg(count(lit(1)).cast("double").as("_n")))
+    val tf = base
+      .select(col(idCol), explode(col("toks")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
     val wts = tf

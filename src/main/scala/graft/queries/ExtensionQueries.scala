@@ -642,7 +642,8 @@ object ExtensionQueries extends QueryGroup {
     TextAnalysis.fingerprint(docs(s, dir)).orderBy("doc_id")
 
   private def textTfIdf(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.tfIdfTopTerms(docs(s, dir)).orderBy("doc_id", "rank")
+    TextAnalysis.tfIdfTopTerms(TextAnalysis.sharedTokens(s, dir))
+      .orderBy("doc_id", "rank")
 
   private def textQualityFilter(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.filterByQuality(docs(s, dir), minScore = 0.5,
@@ -1330,7 +1331,8 @@ object ExtensionQueries extends QueryGroup {
     val queries = Seq((1L, "spark"), (1L, "join"), (2L, "table"),
       (2L, "scan"), (3L, "stream"), (3L, "batch"), (3L, "window"))
       .toDF("qid", "term")
-    TextAnalysis.bm25TopK(docs(s, dir), queries).orderBy("qid", "rank")
+    TextAnalysis.bm25TopK(TextAnalysis.sharedTokens(s, dir), queries)
+      .orderBy("qid", "rank")
   }
 
   private val textBm25Oracle: String = dCte +

@@ -188,7 +188,7 @@ object TrainingQueries extends QueryGroup {
   private val CosScale = 10000
   private val CosMin = 0.30
   private def sparseCosine(s: SparkSession, dir: String): DataFrame =
-    TextAnalysis.sparseCosinePairs(Sources.table(s, dir, "documents"),
+    TextAnalysis.sparseCosinePairs(TextAnalysis.sharedTokens(s, dir),
       maxDf = CosMaxDf, scale = CosScale, minCosine = CosMin)
 
   private val sparseCosineOracle: String =
@@ -248,10 +248,7 @@ object TrainingQueries extends QueryGroup {
     * and the percentile gate). */
   private def docSurprisal(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = Sources.scatter(Sources.table(s, dir, "documents")
-        .select(col("doc_id"),
-          TextAnalysis.tokens(TextAnalysis.normalize(col("text")))
-            .as("toks")))
+    val base = TextAnalysis.sharedTokens(s, dir)
       .filter(size(col("toks")) >= 2)
     val pairs = base
       .select(col("doc_id"), explode(Bpe.adjacentPairs(col("toks"))).as("p"))
@@ -402,10 +399,8 @@ object TrainingQueries extends QueryGroup {
     * divisions of exact BIGINTs (identical doubles in both engines). */
   private def mixWeights(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perSource = Sources.scatter(Sources.table(s, dir, "documents")
-        .select(col("source"),
-          size(TextAnalysis.tokens(TextAnalysis.normalize(col("text"))))
-            .cast("long").as("n_toks")))
+    val perSource = TextAnalysis.sharedTokens(s, dir)
+      .select(col("source"), size(col("toks")).cast("long").as("n_toks"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
     val w = Window.partitionBy()
