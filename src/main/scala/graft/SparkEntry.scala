@@ -50,4 +50,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.orElse(q.oracleAfter.flatMap(_.apply()))
       .map(q.name -> _)).toMap
+
+  /** Names carrying a static or post-run oracle — VerifyDumpSpec pins that
+    * every queries key is oracle-backed (no silent rows-only checks). */
+  def oracleBacked: Set[String] =
+    all.filter(q => q.oracle.isDefined || q.oracleAfter.isDefined)
+      .map(_.name).toSet
 }

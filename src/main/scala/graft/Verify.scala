@@ -1,9 +1,59 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * A query that THROWS leaves no parquet behind, and a compare that merely
+  * iterates the dumps would silently omit it — an "all green" report over a
+  * broken surface (exactly what masked the round-5 NTZ regression). So every
+  * failure is also PERSISTED to `$outDir/_failures.json` (name → error), and
+  * VerifyDumpSpec asserts that each queries key yields either a dump dir or
+  * a failure record — a broken query can be red, never invisible. */
 object Verify {
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL (or an exception message) would
+    * otherwise make the driver's json.load fail and silently zero the
+    * round's correctness. */
+  def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def writeJsonMap(path: String, m: Map[String, String]): Unit =
+    Files.writeString(Paths.get(path),
+      m.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
+        .mkString("{", ",", "}"))
+
+  /** Dump every query in `qs`; returns the failure map (also persisted as
+    * `$outDir/_failures.json` — written even when empty, so its absence
+    * means "dump didn't finish", never "no failures"). */
+  def dumpAll(spark: SparkSession, sfDir: String, outDir: String,
+              qs: Map[String, (SparkSession, String) => DataFrame])
+      : Map[String, String] = {
+    new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    qs.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failures(name) = msg
+      }
+      // per-query scratch caches (dedup self-join sides) die with the query
+      finally ext.Dedup.releaseScratch()
+    }
+    writeJsonMap(s"$outDir/_failures.json", failures.toMap)
+    failures.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional substring filter for fast local iteration on a few queries;
@@ -18,7 +68,6 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // one materialization of the shared enriched frame for the whole run;
     // never fatal — queries that don't touch it must still verify.
     // NonFatal only: an OOM/linkage error must abort the JVM, not cascade
@@ -27,36 +76,21 @@ object Verify {
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(s"[verify] warmShared failed: ${e.getMessage}")
     }
-    SparkEntry.queries
-      .filter { case (name, _) => pattern.isEmpty || name.contains(pattern) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // per-query scratch caches (dedup self-join sides) die with the query
-      finally ext.Dedup.releaseScratch()
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failures = dumpAll(spark, sfDir, outDir,
+      SparkEntry.queries.filter { case (name, _) =>
+        pattern.isEmpty || name.contains(pattern) })
+    writeJsonMap(s"$outDir/oracle_sql.json", SparkEntry.oracleSql)
     queries.CoreQueries.coolShared(spark)
     queries.ExtensionQueries.coolClusters(spark)
     queries.ExtensionQueries.coolIvf(spark)
     ext.TextAnalysis.coolTokens(spark)
     spark.stop()
+    // exit 0 even on failures: the driver's compare step must still run
+    // over the partial dump (a non-zero exit here could be read as "no
+    // results at all"). The failures are loud in _failures.json and in
+    // tools/compare.py, which DOES exit non-zero on any FAIL.
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries failed: " +
+        failures.keys.mkString(", "))
   }
 }

@@ -107,12 +107,23 @@ object Sinks {
     * precision cap on first merge and are stable thereafter. */
   /** An additive merge is NOT idempotent (applying a batch twice doubles
     * it), so exactly-once needs the applied-batch set committed in the
-    * SAME atomic swap as the data: `batchId` markers are empty
-    * `_applied_batch_<id>` files written into the staging dir before the
-    * rename (Spark readers skip `_`-prefixed files), existing markers
-    * carried forward, and a batch whose marker is already present is
-    * skipped wholesale. Contrast upsertParquet, which tolerates replay by
-    * being idempotent instead. */
+    * SAME atomic swap as the data. The fence is the pair
+    * (batchId, CONTENT hash): the hash is an order-independent BIGINT
+    * XOR of xxhash64 over the batch's partial rows, so
+    *  - a true replay (same id, same rows) is skipped wholesale;
+    *  - a replay whose COMPOSITION changed (same id, different rows —
+    *    a re-planned source after checkpoint loss) FAILS LOUDLY instead
+    *    of being silently dropped: the state cannot be reconciled
+    *    additively and must be rebuilt from scratch. Fencing on the bare
+    *    batchId would drop the changed data without a trace.
+    * The applied set lives in ONE `_applied_batches` file (a line per
+    * `id:hash`), rewritten into the staging dir before the rename — data
+    * and bookkeeping commit in one atomic move, and markers never
+    * accumulate as per-batch files (legacy `_applied_batch_<id>` marker
+    * files from older state dirs are folded in as hashless entries that
+    * match any replay of their id). Spark readers skip `_`-prefixed
+    * files. Contrast upsertParquet, which tolerates replay by being
+    * idempotent instead. */
   def mergeAdditive(partial: DataFrame, path: String, keys: Seq[String],
                     batchId: Option[Long] = None): Unit = {
     import org.apache.hadoop.fs.Path
@@ -121,30 +132,75 @@ object Sinks {
     val fs = new Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val exists = fs.exists(new Path(path))
-    val markers: Seq[String] =
-      if (!exists) Seq.empty
-      else fs.listStatus(new Path(path)).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("_applied_batch_"))
-    if (batchId.exists(b => markers.contains(s"_applied_batch_$b")))
-      return // this batch already committed — replay is a no-op
-    val merged =
-      if (!exists) partial
-      else {
-        val sums = partial.columns.filterNot(keys.contains)
-          .map(c => sum(col(c)).as(c))
-        spark.read.parquet(path).unionByName(partial)
-          .groupBy(keys.map(col): _*)
-          .agg(sums.head, sums.tail: _*)
+    // applied set: the compacted file plus any legacy per-batch markers
+    val appliedFile = new Path(path, "_applied_batches")
+    val applied: Map[Long, Option[Long]] = if (!exists) Map.empty else {
+      val fromFile =
+        if (!fs.exists(appliedFile)) Seq.empty
+        else {
+          val in = fs.open(appliedFile)
+          val text = try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+          text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+            val Array(id, h) = line.split(":", 2)
+            id.toLong -> (if (h == "?") None else Some(h.toLong))
+          }
+        }
+      val legacy = fs.listStatus(new Path(path)).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("_applied_batch_"))
+        .map(m => m.stripPrefix("_applied_batch_").toLong -> None)
+      (legacy ++ fromFile).toMap // file entries win over legacy hashless
+    }
+    val fenced = batchId.isDefined
+    // one extra tiny job per batch: partial is already aggregated to key
+    // grain, so the hash pass is O(|partials|), not O(|batch|)
+    if (fenced) partial.persist()
+    try {
+      // bit_xor, not sum: order-independent like sum but cannot overflow
+      // under ANSI mode; XOR self-cancellation of duplicate rows is moot
+      // because partials are unique per key group
+      val contentHash: Long = if (!fenced) 0L else {
+        val r = partial.select(bit_xor(xxhash64(
+          partial.columns.map(col): _*)).as("h")).collect()(0)
+        if (r.isNullAt(0)) 0L else r.getLong(0)
       }
-    writeAndSwap(merged, path,
-      markers ++ batchId.map(b => s"_applied_batch_$b"))
+      batchId.filter(applied.contains) match {
+        case Some(b) =>
+          applied(b) match {
+            case Some(h) if h != contentHash =>
+              throw new IllegalStateException(
+                s"mergeAdditive: batch $b replayed with DIFFERENT content " +
+                s"(applied hash $h, incoming $contentHash) — additive state " +
+                s"at $path cannot reconcile a re-planned batch; rebuild it")
+            case _ => return // true replay (or legacy hashless) — no-op
+          }
+        case None =>
+      }
+      val merged =
+        if (!exists) partial
+        else {
+          val sums = partial.columns.filterNot(keys.contains)
+            .map(c => sum(col(c)).as(c))
+          spark.read.parquet(path).unionByName(partial)
+            .groupBy(keys.map(col): _*)
+            .agg(sums.head, sums.tail: _*)
+        }
+      val appliedOut = applied ++ batchId.map(_ -> Some(contentHash))
+      val lines = appliedOut.toSeq.sortBy(_._1)
+        .map { case (id, h) => s"$id:${h.fold("?")(_.toString)}" }
+      writeAndSwap(merged, path,
+        if (lines.isEmpty) Map.empty
+        else Map("_applied_batches" -> lines.mkString("", "\n", "\n")))
+    } finally if (fenced) partial.unpersist()
   }
 
   /** Write `df` to a temp location next to `path`, then atomically swap
     * it into place (two renames; the old data survives until the new
     * write commits — crash-safe, shared by upsert and compaction). */
   private def writeAndSwap(df: DataFrame, path: String,
-                           markerFiles: Seq[String] = Seq.empty): Unit = {
+                           markerFiles: Map[String, String] = Map.empty)
+      : Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)
       .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
@@ -154,7 +210,10 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // markers land in the staging dir BEFORE the rename, so data and
     // applied-batch bookkeeping commit in one atomic move
-    markerFiles.foreach(m => fs.create(new Path(tmp, m), true).close())
+    markerFiles.foreach { case (m, content) =>
+      val out = fs.create(new Path(tmp, m), true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+    }
     val old = new Path(path + "._graft_old")
     fs.delete(old, true)
     // Check every rename: Hadoop rename returns false on failure (and on

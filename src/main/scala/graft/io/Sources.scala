@@ -57,24 +57,41 @@ object Sources {
 
   /** Parquet scan for the driver testdata tables.
     *
-    * `events.ts` is physically parquet TIMESTAMP(NANOS,false), which Spark
-    * rejects by default (PARQUET_TYPE_ILLEGAL). We read nanos as epoch-nano
-    * longs and rebuild a timestamp at microsecond precision (lossless here —
-    * the generator emits microsecond-resolution values; integer division, no
-    * float path). Session timezone is UTC so wall-clock fields match DuckDB's
-    * naive TIMESTAMP_NS reads. */
+    * `events.ts` has shipped in THREE physical shapes across fixture
+    * regenerations, and all must land as session-zoned `TimestampType`
+    * (the type `unix_millis`, `withWatermark`, and every event-time
+    * consumer requires):
+    *  - TIMESTAMP(NANOS,false): Spark rejects it by default
+    *    (PARQUET_TYPE_ILLEGAL), so nanos are read as epoch-nano longs and
+    *    rebuilt at microsecond precision (lossless — the generator emits
+    *    microsecond-resolution values; integer `div`, no float path);
+    *  - TIMESTAMP(MICROS,isAdjustedToUTC=false): Spark reads TIMESTAMP_NTZ,
+    *    which event-time analysis rejects. Session timezone is UTC, so a
+    *    cast to TimestampType preserves every wall-clock field and matches
+    *    DuckDB's naive reads bit-for-bit;
+    *  - TIMESTAMP(MICROS,isAdjustedToUTC=true): already TimestampType,
+    *    passes through.
+    * Normalization is by ACTUAL column type, not table name or fixture
+    * vintage; all three shapes are pinned in TimestampShapeSpec. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // Guarded by actual type, not just table name: a regenerated dataset
-    // with micro-precision timestamps must pass through untouched.
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+  }
+
+  /** Normalize a `ts` column (if present) to session-zoned TimestampType —
+    * see [[table]] for the three physical shapes this absorbs. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema.find(_.name == "ts").map(_.dataType) match {
       // integer `div`, not `/`: epoch-nanos exceed 2^53, double division
       // would corrupt the low microseconds.
-      df.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
-    else df
+      case Some(LongType) =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Redistribute a (narrow, already-projected) frame across the cluster's

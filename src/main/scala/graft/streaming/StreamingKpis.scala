@@ -194,15 +194,16 @@ object StreamingKpis {
       .orderBy("event_type")
   }
 
-  /** The events parquet directory as a file-source stream (nanos-ts
-    * rebuild as in graft.io.Sources.table). */
+  /** The events parquet directory as a file-source stream. `ts` is
+    * normalized to session-zoned TimestampType exactly as in
+    * [[graft.io.Sources.table]] — the fixture has shipped nanos-as-long,
+    * µs-NTZ, and µs-UTC vintages, and `withWatermark` requires
+    * TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(schema).parquet(s"$dir/events.*")
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else raw
+    graft.io.Sources.normalizeTs(
+      spark.readStream.schema(schema).parquet(s"$dir/events.*"))
   }
 
   /** SLIDING event-time windows (2 h size, 1 h slide): each event lands

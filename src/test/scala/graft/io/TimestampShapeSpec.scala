@@ -1,0 +1,89 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.SparkSpec
+
+/** The driver's `events.ts` fixture has regenerated into a DIFFERENT parquet
+  * physical type twice (INT64 nanos → µs TIMESTAMP_NTZ), each time breaking
+  * every event-time consumer. This spec writes one tiny fixture per physical
+  * shape — (a) INT64 TIMESTAMP(NANOS, not-UTC-adjusted) via parquet-mr
+  * (Spark cannot write NANOS), (b) µs NTZ, (c) µs UTC-adjusted — and pins
+  * that [[Sources.table]] normalizes ALL of them to the same session-zoned
+  * TimestampType wall-clock values, acceptable to `withWatermark`. The third
+  * regeneration should be free. */
+class TimestampShapeSpec extends SparkSpec {
+
+  // microsecond-precision instants (UTC wall clock); deliberately includes
+  // a sub-millisecond component so a lossy ms-grain path would be caught
+  private val micros = Seq(
+    1709296496789012L, // 2024-03-01 12:34:56.789012
+    1699142400000001L, // 2023-11-05 00:00:00.000001
+    1577836800000000L) // 2020-01-01 00:00:00
+
+  private def dir(): String =
+    Files.createTempDirectory("graft_tsshape").toString
+
+  private def writeNanos(path: String): Unit = {
+    val schema = Types.buildMessage()
+      .required(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(
+        /* isAdjustedToUTC = */ false, LogicalTypeAnnotation.TimeUnit.NANOS))
+      .named("ts")
+      .named("events")
+    val conf = new Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$path/events.parquet"))
+      .withConf(conf).build()
+    try micros.foreach { us =>
+      val g = new SimpleGroup(schema)
+      g.add("ts", us * 1000L)
+      w.write(g)
+    } finally w.close()
+  }
+
+  private def writeMicros(path: String, ntz: Boolean): Unit = {
+    import spark.implicits._
+    val cast = if (ntz) "timestamp_ntz" else "timestamp"
+    micros.toDF("us")
+      .select(expr(s"cast(timestamp_micros(us) as $cast)").as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/events.parquet")
+  }
+
+  test("all three ts physical shapes normalize to identical TimestampType") {
+    val (nanosDir, ntzDir, ltzDir) = (dir(), dir(), dir())
+    writeNanos(nanosDir)
+    writeMicros(ntzDir, ntz = true)
+    writeMicros(ltzDir, ntz = false)
+    val frames = Seq("nanos" -> nanosDir, "ntz" -> ntzDir, "ltz" -> ltzDir)
+      .map { case (label, d) =>
+        label -> Sources.table(spark, d, "events").select("ts")
+      }
+    frames.foreach { case (label, df) =>
+      assert(df.schema("ts").dataType == TimestampType,
+        s"$label: expected session-zoned TimestampType")
+      // event-time analysis must accept the normalized column — this is
+      // exactly what EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE broke in round 5
+      df.withWatermark("ts", "1 hour").queryExecution.analyzed
+      val got = df.select(unix_micros(col("ts")).as("us"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == micros.sorted,
+        s"$label: wall-clock microseconds drifted: $got")
+    }
+  }
+
+  test("frames without a ts column pass through normalizeTs untouched") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "name")
+    assert(Sources.normalizeTs(df).schema == df.schema)
+  }
+}

@@ -36,9 +36,21 @@ def main() -> int:
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
+    # Queries that threw during the dump leave no parquet; Verify persists
+    # them to _failures.json so they surface HERE as FAILs instead of being
+    # silently absent (covers rows-only queries with no oracle entry too).
+    fail_path = Path(out_dir) / "_failures.json"
+    failures = json.loads(fail_path.read_text()) if fail_path.exists() else {}
+    for name in sorted(failures):
+        if pattern and pattern not in name:
+            continue
+        print(f"FAIL {name}: threw during dump: {failures[name]}")
+        n_fail += 1
     for name in sorted(oracle):
         if pattern and pattern not in name:
             continue
+        if name in failures:
+            continue  # already reported as a dump-time FAIL above
         sql = oracle[name]
         res_dir = Path(out_dir) / name
         if not res_dir.exists():
