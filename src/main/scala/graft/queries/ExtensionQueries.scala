@@ -48,10 +48,16 @@ object ExtensionQueries extends QueryGroup {
   /** Drop memoized trained-IVF indexes for `s` (all sessions if null),
     * unpersisting each build's staged vectorized corpus — the
     * coolClusters twin for the ANN/SemDeDup family. */
-  def coolIvf(s: SparkSession): Unit =
+  def coolIvf(s: SparkSession): Unit = {
     ivfMemo.keys.filter(k => s == null || k._1 == s).foreach { k =>
       ivfMemo.remove(k).foreach(_.release())
+      ivfCentsMemo.remove(k)
     }
+    if (ivfLast.exists(k => s == null || k._1 == s)) ivfLast = None
+    // the PCA model memo is the same trained-artifact lifecycle
+    pcaMemo.keys.filter(k => s == null || k._1 == s).foreach(pcaMemo.remove)
+    if (pcaLast.exists(k => s == null || k._1 == s)) pcaLast = None
+  }
 
   // ---- shared DuckDB fragments ----
 
@@ -370,16 +376,26 @@ object ExtensionQueries extends QueryGroup {
   // trained index — production builds the index before queries arrive.
   private val ivfMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.ext.Ivf.Index]
-  @volatile private var ivfCents: Option[Seq[(Int, Array[Double])]] = None
+  // centroid literals are keyed exactly like the index memo, plus a
+  // last-run pointer the post-run oracles render from: a GLOBAL slot here
+  // could pair dir A's result with dir B's centroids after a second
+  // corpus is queried in the same JVM — a false oracle match
+  private val ivfCentsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, Array[Double])]]
+  @volatile private var ivfLast: Option[(SparkSession, String)] = None
+
+  private def ivfCents: Option[Seq[(Int, Array[Double])]] =
+    ivfLast.flatMap(ivfCentsMemo.get)
 
   private def ivfIndex(s: SparkSession, dir: String): graft.ext.Ivf.Index = {
-    val idx = ivfMemo.getOrElseUpdate((s, dir),
+    val key = (s, dir)
+    val idx = ivfMemo.getOrElseUpdate(key,
       graft.ext.Ivf.build(emb(s, dir)))
-    if (ivfCents.isEmpty)
-      // centroids is a LocalRelation (built from driver-side arrays) —
-      // this collect is a local materialization, not a cluster job
-      ivfCents = Some(idx.centroids.collect().toSeq
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)))
+    // centroids is a LocalRelation (built from driver-side arrays) —
+    // this collect is a local materialization, not a cluster job
+    ivfCentsMemo.getOrElseUpdate(key, idx.centroids.collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)))
+    ivfLast = Some(key)
     idx
   }
 
@@ -1484,14 +1500,20 @@ object ExtensionQueries extends QueryGroup {
   // post-run because these literals come from data). Double.toString is
   // shortest-round-trip, so DuckDB re-parses the exact same IEEE value,
   // and both engines then run the identical left-to-right product sums.
+  // keyed like ivfCentsMemo and for the same reason: the post-run oracle
+  // must render the basis of the LAST (session, dir) actually queried,
+  // never a stale fit from another corpus in the same JVM
   private val pcaMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Pca.Model]
-  @volatile private var pcaFitted: Option[Pca.Model] = None
+  @volatile private var pcaLast: Option[(SparkSession, String)] = None
+
+  private def pcaFitted: Option[Pca.Model] = pcaLast.flatMap(pcaMemo.get)
 
   private def pcaModel(s: SparkSession, dir: String): Pca.Model = {
-    val m = pcaMemo.getOrElseUpdate((s, dir),
+    val key = (s, dir)
+    val m = pcaMemo.getOrElseUpdate(key,
       Pca.fit(emb(s, dir), "embedding", dims = 64))
-    pcaFitted = Some(m)
+    pcaLast = Some(key)
     m
   }
 

@@ -152,12 +152,15 @@ object StreamingKpis {
     * sketches cannot give (they only union). */
   def runRetractAvailableNow(spark: SparkSession, dir: String)
       : DataFrame = StreamConf.sized(spark) {
-    val target = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_stream_retract").toString
+    // UNIQUE state dir per invocation: a fixed path would let a
+    // concurrently-running bench and verify (two JVMs, same tmpdir)
+    // interleave merges into one state and corrupt both results
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_retract").toFile
+    val target = new java.io.File(root, "state").toString
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
-    rm(new java.io.File(target))
     def runOnce(): Unit = {
       val q = eventStream(spark, dir).writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -186,12 +189,20 @@ object StreamingKpis {
     // pass must leave the state bit-identical (the oracle would fail on
     // any double-application)
     runOnce()
-    spark.read.parquet(target)
+    val out = spark.read.parquet(target)
       .groupBy(col("event_type"))
       .agg(sum(col("net")).as("n"),
         (sum(col("sv")).cast("double") / sum(col("net"))).as("avg_value"),
         count(when(col("net") > 0, 1)).as("live_users"))
       .orderBy("event_type")
+    // materialize the (event_type-grain, ≤ handful of rows) result so the
+    // per-invocation state dir can be deleted NOW — returning a lazy scan
+    // over it would leak one dir per run
+    val rows = out.collect().toSeq
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    rm(root)
+    local
   }
 
   /** The events parquet directory as a file-source stream. `ts` is
