@@ -38,6 +38,9 @@ class TimestampShapeSpec extends SparkSpec {
       .as(LogicalTypeAnnotation.timestampType(
         /* isAdjustedToUTC = */ false, LogicalTypeAnnotation.TimeUnit.NANOS))
       .named("ts")
+      .required(PrimitiveTypeName.BINARY)
+      .as(LogicalTypeAnnotation.stringType())
+      .named("event_type")
       .named("events")
     val conf = new Configuration()
     GroupWriteSupport.setSchema(schema, conf)
@@ -47,6 +50,7 @@ class TimestampShapeSpec extends SparkSpec {
     try micros.foreach { us =>
       val g = new SimpleGroup(schema)
       g.add("ts", us * 1000L)
+      g.add("event_type", "play")
       w.write(g)
     } finally w.close()
   }
@@ -55,7 +59,8 @@ class TimestampShapeSpec extends SparkSpec {
     import spark.implicits._
     val cast = if (ntz) "timestamp_ntz" else "timestamp"
     micros.toDF("us")
-      .select(expr(s"cast(timestamp_micros(us) as $cast)").as("ts"))
+      .select(expr(s"cast(timestamp_micros(us) as $cast)").as("ts"),
+        lit("play").as("event_type"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/events.parquet")
   }
 
@@ -78,6 +83,27 @@ class TimestampShapeSpec extends SparkSpec {
         .collect().map(_.getLong(0)).sorted.toSeq
       assert(got == micros.sorted,
         s"$label: wall-clock microseconds drifted: $got")
+    }
+  }
+
+  test("the STREAMING event-time path accepts all three shapes identically") {
+    // the round-5 break was in the stream reader (withWatermark analysis);
+    // run the real windowed streaming aggregation over each shape dir and
+    // pin identical (date, hour, event_type, plays) output
+    val results = Seq(dir(), dir(), dir()).zip(Seq("nanos", "ntz", "ltz"))
+      .map { case (d, label) =>
+        label match {
+          case "nanos" => writeNanos(d)
+          case "ntz"   => writeMicros(d, ntz = true)
+          case "ltz"   => writeMicros(d, ntz = false)
+        }
+        label -> graft.streaming.StreamingKpis.runAvailableNow(spark, d)
+          .collect().map(_.toSeq).toSeq
+      }
+    val expect = results.head._2
+    assert(expect.nonEmpty)
+    results.foreach { case (label, got) =>
+      assert(got == expect, s"$label diverged: $got vs $expect")
     }
   }
 
