@@ -27,33 +27,16 @@ import graft.io.Sources.scatter
   */
 object Dedup {
 
-  // Scratch-cache registry: frames persisted because one query plan consumes
-  // them twice (both sides of a self-join). The persist must outlive the
-  // query's ACTION — which happens after the builder returns — so the
-  // builder can't unpersist; instead each persist registers here and the
-  // runner (Verify/Bench loop, or any long-lived session) calls
-  // [[releaseScratch]] once the action completes. Same lifecycle shape as
-  // CoreQueries.warmShared/coolShared, scoped per-query instead of per-run.
-  private val scratch = scala.collection.concurrent.TrieMap
-    .empty[DataFrame, Unit]
+  // Per-query scratch persists (self-join sides etc.) live in the shared
+  // graft.ops.Scratch registry; this remains the runner-facing release
+  // entry point (Verify/Bench call it after every query action).
+  private[ext] def persistScratch(df: DataFrame): DataFrame =
+    graft.ops.Scratch.persist(df)
 
-  // MEMORY_AND_DISK (the Dataset.persist default, made explicit): under
-  // full-suite memory pressure an evicted scratch partition is re-read
-  // from local disk, never recomputed through the tokenize→join→sort
-  // subtree it exists to avoid — the warm-slower-than-cold failure mode.
-  private[ext] def persistScratch(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    scratch.put(p, ()); p
-  }
-
-  /** Unpersist every scratch frame registered by dedup builders. Safe to
+  /** Unpersist every registered scratch frame (all packages). Safe to
     * call between queries in a long-lived session; one-shot JVMs may skip
     * it (process exit releases everything). */
-  def releaseScratch(): Unit =
-    scratch.keys.foreach { df =>
-      scratch.remove(df)
-      try df.unpersist() catch { case _: Throwable => () }
-    }
+  def releaseScratch(): Unit = graft.ops.Scratch.releaseAll()
 
   /** Exact duplicate groups: content hash → copies + canonical keeper
     * (min id). `copies > 1` filters to actual dups; emitting all groups keeps

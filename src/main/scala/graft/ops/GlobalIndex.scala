@@ -26,8 +26,15 @@ object GlobalIndex {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = df.repartitionByRange(n, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
+    // The sorted frame is read TWICE — once by zipWithIndex's
+    // per-partition count job and once by the downstream scan — so it is
+    // persisted through the shared Scratch lifecycle: without the persist
+    // the entire upstream plan (explodes, aggregations, joins) executes
+    // twice, once per pass. The count job doubles as the materializer.
+    // (Released by the runner's releaseScratch after the query's action.)
+    val sorted = Scratch.persist(
+      df.repartitionByRange(n, orderCols: _*)
+        .sortWithinPartitions(orderCols: _*))
     val schema = sorted.schema.add(idCol, LongType, nullable = false)
     val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
