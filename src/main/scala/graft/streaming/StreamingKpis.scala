@@ -110,12 +110,14 @@ object StreamingKpis {
     * aggregates as updates. */
   def runUpsertReplayAvailableNow(spark: SparkSession, dir: String)
       : DataFrame = StreamConf.sized(spark) {
-    val target = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_upsert_replay").toString
+    // unique state dir per invocation, same reason as the retract runner:
+    // a fixed path lets concurrent bench+verify interleave upserts
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_upsert_replay").toFile
+    val target = new java.io.File(root, "state").toString
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
-    rm(new java.io.File(target))
     def runOnce(): Unit = {
       val q = eventStream(spark, dir).writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -131,10 +133,17 @@ object StreamingKpis {
     }
     runOnce()
     runOnce() // replay: identical delivery must leave the state unchanged
-    spark.read.parquet(target)
+    val out = spark.read.parquet(target)
       .select(col("user_id"), unix_millis(col("last_ts")).as("last_ts_ms"),
         col("n_events"))
       .orderBy("user_id")
+    // user-grain result (thousands of narrow rows at bench SF): collect it
+    // so the per-invocation state dir can be deleted now, not leaked
+    val rows = out.collect().toSeq
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
+    rm(root)
+    local
   }
 
   /** Retractable streaming aggregate with EXACTLY-ONCE delivery to a
