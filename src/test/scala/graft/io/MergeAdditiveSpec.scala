@@ -79,6 +79,17 @@ class MergeAdditiveSpec extends SparkSpec {
     assert(state(path) == Map("a" -> 1L))
   }
 
+  test("the content fence is partition-order-invariant") {
+    // a replay often arrives with different partitioning (recovered source,
+    // different parallelism); identical ROWS must still hash identically
+    val path = dir()
+    val b = Seq(("a", 1L), ("b", 2L), ("c", 3L), ("d", 4L)).toDF("k", "v")
+    Sinks.mergeAdditive(b.repartition(1), path, Seq("k"), batchId = Some(0L))
+    Sinks.mergeAdditive(b.repartition(7, $"k"), path, Seq("k"),
+      batchId = Some(0L)) // same rows, different layout — must no-op
+    assert(state(path) == Map("a" -> 1L, "b" -> 2L, "c" -> 3L, "d" -> 4L))
+  }
+
   test("unfenced merges (no batchId) always apply") {
     val path = dir()
     val b = Seq(("a", 1L)).toDF("k", "v")
