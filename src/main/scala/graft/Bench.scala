@@ -28,25 +28,52 @@ object Bench {
     try queries.CoreQueries.warmShared(spark, sfDir)
     catch { case scala.util.control.NonFatal(_) => () }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def runAll(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          // record the failure in the JSON too: a broken query must not
-          // masquerade as a fast pass in round-over-round comparisons
-          failed += name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // Degradation canary: the SAME fixed cheap query re-timed every
+    // `canaryEvery` queries. Its series distinguishes "a query got slower"
+    // (canary flat, query time up) from "the SESSION got slower" (canary
+    // climbs — resource accumulation degrading the whole JVM, the r6
+    // failure mode where state-store providers/maintenance threads from
+    // per-run streaming checkpoints piled up). Canary runs are OUTSIDE the
+    // per-query timings.
+    val canaryEvery = 25
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      try SparkEntry.queries("q1_agg")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case scala.util.control.NonFatal(_) => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def runAll(): (Seq[(String, Double)], Seq[Double]) = {
+      val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val timings = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
+        .map { case ((name, fn), i) =>
+          if (i % canaryEvery == 0) canaries += canaryOnce()
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case e: Throwable =>
+            // record the failure in the JSON too: a broken query must not
+            // masquerade as a fast pass in round-over-round comparisons
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          finally {
+            // per-query scratch caches (dedup self-join sides) die with
+            // the query — inside the timing, honestly charging release to
+            // its owner; ditto streaming state-store unload, which is the
+            // cost of the query having created per-run stores at all
+            ext.Dedup.releaseScratch()
+            if (name.startsWith("streaming_"))
+              streaming.StreamHygiene.release(spark)
+          }
+          name -> (System.nanoTime() - t0) / 1e9
         }
-        // per-query scratch caches (dedup self-join sides) die with the
-        // query — inside the timing, honestly charging release to its owner
-        finally ext.Dedup.releaseScratch()
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+      canaries += canaryOnce()
+      (timings, canaries.toSeq)
+    }
     // Pass 1 (cold) is the headline `value`; pass 2 (warm) strips one-time
     // JVM/codegen-compile costs — the stabler round-over-round signal.
-    val results = runAll()
-    val warm = runAll()
+    val (results, canaryCold) = runAll()
+    val (warm, canaryWarm) = runAll()
     def js(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -56,7 +83,8 @@ object Bench {
     // speed).
     val mean = if (results.nonEmpty) total / results.size else 0.0
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"queries":${js(results)},"queries_warm":${js(warm)},"sf":"$sfDir"}"""
+    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"canary_cold":${arr(canaryCold)},"canary_warm":${arr(canaryWarm)},"queries":${js(results)},"queries_warm":${js(warm)},"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact retains only a stdout tail, which loses most
     // per-query timings; also write the complete line to a committed file

@@ -47,8 +47,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: $msg")
         failures(name) = msg
       }
-      // per-query scratch caches (dedup self-join sides) die with the query
-      finally ext.Dedup.releaseScratch()
+      // per-query scratch caches (dedup self-join sides) die with the
+      // query; streaming queries also unload the state-store providers
+      // their per-run checkpoints registered (JVM-global — they outlive
+      // the query and degrade the whole session otherwise)
+      finally {
+        ext.Dedup.releaseScratch()
+        if (name.startsWith("streaming_"))
+          streaming.StreamHygiene.release(spark)
+      }
     }
     writeJsonMap(s"$outDir/_failures.json", failures.toMap)
     failures.toMap

@@ -104,7 +104,16 @@ object Sinks {
     * State stays at key grain, updates cost one keyed merge of
     * |state| + |batch partials|, and the commit is the same atomic
     * two-rename swap as upsertParquet. Decimal sums widen to their
-    * precision cap on first merge and are stable thereafter. */
+    * precision cap on first merge and are stable thereafter.
+    *
+    * FENCED partials must be BITWISE-deterministic under replay: the
+    * content fence hashes the raw bytes of every column, so the same
+    * batch must reproduce byte-identical rows. Long and decimal sums do
+    * (exact arithmetic, any partitioning); DOUBLE sums generally do NOT —
+    * fp summation order varies with partitioning/AQE, so a legitimate
+    * replay can hash differently and be rejected as a changed batch.
+    * Carry floating-point aggregates as decimals (cast before the
+    * partial agg, as the in-repo callers do) or merge them unfenced. */
   /** An additive merge is NOT idempotent (applying a batch twice doubles
     * it), so exactly-once needs the applied-batch set committed in the
     * SAME atomic swap as the data. The fence is the pair
@@ -173,7 +182,16 @@ object Sinks {
                 s"mergeAdditive: batch $b replayed with DIFFERENT content " +
                 s"(applied hash $h, incoming $contentHash) — additive state " +
                 s"at $path cannot reconcile a re-planned batch; rebuild it")
-            case _ => return // true replay (or legacy hashless) — no-op
+            case None =>
+              // legacy marker predates the content fence: it matches ANY
+              // replay of its id, so a changed-composition replay would be
+              // dropped here unverified — surface that the strong check
+              // could not run for this batch
+              System.err.println(s"[mergeAdditive] batch $b at $path " +
+                "skipped on a LEGACY hashless marker — replay content " +
+                "could not be verified against the applied batch")
+              return
+            case _ => return // true replay (hash matched) — no-op
           }
         case None =>
       }

@@ -75,24 +75,74 @@ object Sources {
     * vintage; all three shapes are pinned in TimestampShapeSpec. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
+    val path = s"$sfDir/$name.parquet"
+    normalizeTs(spark.read.parquet(path), tsIsNanosAnnotated(spark, path))
   }
 
   /** Normalize a `ts` column (if present) to session-zoned TimestampType —
-    * see [[table]] for the three physical shapes this absorbs. */
-  def normalizeTs(df: DataFrame): DataFrame = {
+    * see [[table]] for the three physical shapes this absorbs.
+    *
+    * The LongType branch fires only when `longTsIsNanos` proves the
+    * physical column really is TIMESTAMP(NANOS) read under
+    * `nanosAsLong` — Spark's Catalyst schema erases that annotation to a
+    * bare LongType, indistinguishable from a legitimate long `ts`
+    * (epoch-millis, a sequence number) that a nanos rebuild would silently
+    * corrupt. Callers reading parquet pass [[tsIsNanosAnnotated]] of the
+    * path; the parameter is by-name so the footer is only opened when a
+    * LongType `ts` is actually present. */
+  def normalizeTs(df: DataFrame, longTsIsNanos: => Boolean = true)
+      : DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema.find(_.name == "ts").map(_.dataType) match {
       // integer `div`, not `/`: epoch-nanos exceed 2^53, double division
       // would corrupt the low microseconds.
-      case Some(LongType) =>
+      case Some(LongType) if longTsIsNanos =>
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case Some(TimestampNTZType) =>
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
+
+  /** Does the parquet data at `path` (file or directory of part files)
+    * carry a `ts` column annotated TIMESTAMP(unit=NANOS)? This is the
+    * ground truth the Catalyst schema loses under `nanosAsLong` (both a
+    * nanos timestamp and a plain BIGINT surface as LongType) — one footer
+    * open per distinct path, memoized because fixture files don't change
+    * within a session. */
+  def tsIsNanosAnnotated(spark: SparkSession, path: String): Boolean =
+    nanosCache.computeIfAbsent(path, { p =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      try {
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val root = new org.apache.hadoop.fs.Path(p)
+        val fs = root.getFileSystem(hconf)
+        val file =
+          if (!fs.getFileStatus(root).isDirectory) Some(root)
+          else fs.listStatus(root).map(_.getPath)
+            .find(f => !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        file.exists { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(f, hconf))
+          val schema = try r.getFooter.getFileMetaData.getSchema
+          finally r.close()
+          schema.containsField("ts") && {
+            val t = schema.getType(schema.getFieldIndex("ts"))
+            t.isPrimitive && (t.getLogicalTypeAnnotation match {
+              case a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                a.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            })
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    })
+
+  private val nanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.lang.Boolean]()
 
   /** Redistribute a (narrow, already-projected) frame across the cluster's
     * default parallelism. Single-file / single-row-group inputs arrive as ONE

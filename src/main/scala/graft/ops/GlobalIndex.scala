@@ -21,6 +21,13 @@ import org.apache.spark.sql.types.LongType
   */
 object GlobalIndex {
 
+  /** LIFECYCLE: the sorted frame is persisted through the shared
+    * [[Scratch]] registry and stays pinned until the caller releases it —
+    * the Verify/Bench runners call `Dedup.releaseScratch()` (which drains
+    * `Scratch`) after every query's action. A library caller embedding
+    * this in a long-lived session or a `foreachBatch` loop must do the
+    * same (`graft.ops.Scratch.releaseAll()` after the action), or each
+    * invocation leaks one MEMORY_AND_DISK persist. */
   def withRowId(df: DataFrame, orderCols: Seq[Column],
                 idCol: String = "row_id", partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession

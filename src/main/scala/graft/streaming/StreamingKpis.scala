@@ -131,19 +131,23 @@ object StreamingKpis {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    runOnce()
-    runOnce() // replay: identical delivery must leave the state unchanged
-    val out = spark.read.parquet(target)
-      .select(col("user_id"), unix_millis(col("last_ts")).as("last_ts_ms"),
-        col("n_events"))
-      .orderBy("user_id")
-    // user-grain result (thousands of narrow rows at bench SF): collect it
-    // so the per-invocation state dir can be deleted now, not leaked
-    val rows = out.collect().toSeq
-    val local = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
-    rm(root)
-    local
+    // rm in finally: a throw from the stream, the scan, or the collect
+    // must still delete the per-invocation state dir (a fixed path would
+    // self-clean on the next run; a unique one only cleans here). The
+    // collect itself is a deliberate at-bench-SF materialization — user
+    // grain, thousands of narrow rows — NOT an at-scale pattern: a
+    // production caller keeps the state dir and reads it lazily instead.
+    try {
+      runOnce()
+      runOnce() // replay: identical delivery must leave the state unchanged
+      val out = spark.read.parquet(target)
+        .select(col("user_id"), unix_millis(col("last_ts")).as("last_ts_ms"),
+          col("n_events"))
+        .orderBy("user_id")
+      val rows = out.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        out.schema)
+    } finally rm(root)
   }
 
   /** Retractable streaming aggregate with EXACTLY-ONCE delivery to a
@@ -192,26 +196,27 @@ object StreamingKpis {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    runOnce()
-    // replay: an additive merge is NOT idempotent, so re-delivery must
-    // be fenced by the atomically-committed batch markers — the second
-    // pass must leave the state bit-identical (the oracle would fail on
-    // any double-application)
-    runOnce()
-    val out = spark.read.parquet(target)
-      .groupBy(col("event_type"))
-      .agg(sum(col("net")).as("n"),
-        (sum(col("sv")).cast("double") / sum(col("net"))).as("avg_value"),
-        count(when(col("net") > 0, 1)).as("live_users"))
-      .orderBy("event_type")
-    // materialize the (event_type-grain, ≤ handful of rows) result so the
-    // per-invocation state dir can be deleted NOW — returning a lazy scan
-    // over it would leak one dir per run
-    val rows = out.collect().toSeq
-    val local = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), out.schema)
-    rm(root)
-    local
+    // rm in finally, same contract as the upsert runner: the state dir is
+    // per-invocation, so an exception anywhere (stream, fence violation,
+    // collect) must not leak it. The collect is bounded by design —
+    // event_type grain, a handful of rows.
+    try {
+      runOnce()
+      // replay: an additive merge is NOT idempotent, so re-delivery must
+      // be fenced by the atomically-committed batch markers — the second
+      // pass must leave the state bit-identical (the oracle would fail on
+      // any double-application)
+      runOnce()
+      val out = spark.read.parquet(target)
+        .groupBy(col("event_type"))
+        .agg(sum(col("net")).as("n"),
+          (sum(col("sv")).cast("double") / sum(col("net"))).as("avg_value"),
+          count(when(col("net") > 0, 1)).as("live_users"))
+        .orderBy("event_type")
+      val rows = out.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        out.schema)
+    } finally rm(root)
   }
 
   /** The events parquet directory as a file-source stream. `ts` is
@@ -221,9 +226,11 @@ object StreamingKpis {
     * TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
     graft.io.Sources.normalizeTs(
-      spark.readStream.schema(schema).parquet(s"$dir/events.*"))
+      spark.readStream.schema(schema).parquet(s"$dir/events.*"),
+      graft.io.Sources.tsIsNanosAnnotated(spark, path))
   }
 
   /** SLIDING event-time windows (2 h size, 1 h slide): each event lands

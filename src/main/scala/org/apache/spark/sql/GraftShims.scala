@@ -21,4 +21,36 @@ object GraftShims {
     if (ss.catalog.tableExists(id)) ss.catalog.getTableMetadata(id).location
     else ss.catalog.defaultTablePath(id)
   }
+
+  /** Unload every loaded streaming state-store provider and stop the
+    * state-store maintenance machinery. Safe to call between queries: the
+    * next stateful stream lazily re-creates what it needs
+    * (`StateStore.get` restarts maintenance on demand).
+    *
+    * Why this exists: each stateful streaming query run against a FRESH
+    * checkpoint dir registers new `StateStoreProviderId`s (one per shuffle
+    * partition per stateful operator) in the executor-global provider map;
+    * unloading normally waits on the 60 s maintenance cycle noticing the
+    * coordinator deactivated the run. A harness that starts hundreds of
+    * short AvailableNow streams, each with its own temp checkpoint,
+    * accumulates providers (heap for HDFS-backed stores, NATIVE memory for
+    * RocksDB) faster than maintenance drains them — which progressively
+    * degrades the whole JVM. Must NOT be called while a streaming query is
+    * actively running (its executors would lose their stores mid-batch and
+    * pay a reload). */
+  def stopStateStores(): Unit =
+    execution.streaming.state.StateStore.stop()
+
+  /** Number of state-store providers currently loaded in this JVM —
+    * diagnostic twin of [[stopStateStores]] (the map itself is private, so
+    * this goes through reflection; returns -1 if the field moves in a
+    * future Spark). */
+  def loadedStateStoreProviders(): Int =
+    try {
+      val cls = execution.streaming.state.StateStore.getClass
+      val f = cls.getDeclaredField("loadedProviders")
+      f.setAccessible(true)
+      f.get(execution.streaming.state.StateStore)
+        .asInstanceOf[scala.collection.mutable.HashMap[_, _]].size
+    } catch { case scala.util.control.NonFatal(_) => -1 }
 }
