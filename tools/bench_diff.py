@@ -40,13 +40,26 @@ def main() -> int:
         print("bench_diff: no previous BENCH_full.json at HEAD; baseline run")
         return 0
     regress = []
+    restated = []
     for phase in ("queries", "queries_warm"):
         for q, t_new in new.get(phase, {}).items():
             t_old = old.get(phase, {}).get(q)
             if t_old is None:
                 continue
             if t_new >= t_old * RATIO and t_new - t_old >= ABS_FLOOR:
-                regress.append((phase, q, t_old, t_new))
+                # Known r5->r6 baseline break, not a regression: warm
+                # streaming times through r5 were checkpoint-resume no-ops
+                # (~0.07s, fixed state dirs); unique per-run dirs make the
+                # warm pass run the real stream. A sub-second old warm time
+                # on a streaming query identifies a pre-break record.
+                if phase == "queries_warm" and q.startswith("streaming_") \
+                        and t_old < 1.0:
+                    restated.append((phase, q, t_old, t_new))
+                else:
+                    regress.append((phase, q, t_old, t_new))
+    for phase, q, t_old, t_new in restated:
+        print(f"RESTATED warm {q}: {t_old:.2f}s -> {t_new:.2f}s "
+              f"(pre-r6 warm was a resume no-op; see BASELINE.md)")
     for phase, q, t_old, t_new in sorted(regress, key=lambda r: r[3] - r[2],
                                          reverse=True):
         print(f"REGRESS {phase[8:] or 'cold'} {q}: "
