@@ -21,33 +21,28 @@ import org.apache.spark.sql.types.LongType
   */
 object GlobalIndex {
 
-  /** LIFECYCLE: the sorted frame is persisted through the shared
-    * [[Scratch]] registry and stays pinned until the caller releases it —
-    * the Verify/Bench runners call `Dedup.releaseScratch()` (which drains
-    * `Scratch`) after every query's action. A library caller embedding
-    * this in a long-lived session or a `foreachBatch` loop must do the
-    * same (`graft.ops.Scratch.releaseAll()` after the action), or each
-    * invocation leaks one MEMORY_AND_DISK persist. */
   def withRowId(df: DataFrame, orderCols: Seq[Column],
                 idCol: String = "row_id", partitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val n = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
-    // The sorted frame is read TWICE — once by zipWithIndex's
-    // per-partition count job and once by the downstream scan — so it is
-    // persisted through the shared Scratch lifecycle. Without the persist,
-    // shuffle-file stage reuse still skips the upstream map stages on the
-    // second job, but the reduce-side sort re-runs and, under AQE, the
-    // df→RDD compilation can re-materialize whole query stages (measured:
-    // f_dsir_weights 19.5→14.5 s cold, 8.5→5.5 s warm at sf0.1 from this
-    // persist). The count job doubles as the materializer; at 100 TB the
-    // persist trades one extra dataset write (spilled to executor-local
-    // disk) for the re-sort — both O(data), the cache wins when the order
-    // keys are computed columns. (Released by the runner's releaseScratch
-    // after the query's action.)
-    val sorted = Scratch.persist(
+    // The sorted frame is read twice — by zipWithIndex's per-partition
+    // count job and by the downstream scan. Deliberately NOT persisted: a
+    // full-suite A/B at sf0.1 (both BENCH_full arms, healthy post-hygiene
+    // session) showed the Scratch persist is a wash-to-loss on every
+    // caller (o_global_rowid 0.78→0.52 s warm WITHOUT it, o_prefix_sum
+    // 0.80→0.71, f_dsir_weights 4.80→5.13 — the one small win), because
+    // shuffle-file stage reuse already skips the upstream map stages on
+    // the second job and only the reduce-side sort re-runs. The earlier
+    // claimed 19.5→14.5 s f_dsir_weights win was measured in a degrading
+    // session and does not reproduce. Persist-free also removes a
+    // lifecycle trap: a long-lived caller (foreachBatch loop) would have
+    // to release the Scratch registry after every action or accumulate
+    // MEMORY_AND_DISK persists. A 100 TB caller whose order keys are
+    // expensive computed columns can persist `df` itself before calling.
+    val sorted =
       df.repartitionByRange(n, orderCols: _*)
-        .sortWithinPartitions(orderCols: _*))
+        .sortWithinPartitions(orderCols: _*)
     val schema = sorted.schema.add(idCol, LongType, nullable = false)
     val indexed = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))

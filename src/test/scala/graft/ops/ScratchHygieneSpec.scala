@@ -40,18 +40,20 @@ class ScratchHygieneSpec extends SparkSpec {
       "no InMemoryRelation may survive releaseAll for an identical plan")
   }
 
-  test("GlobalIndex.withRowId's internal persist follows the lifecycle") {
+  test("GlobalIndex.withRowId is persist-free (no lifecycle obligation)") {
     import spark.implicits._
     graft.ext.Dedup.releaseScratch()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val df = Seq((3L, "c"), (1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "v")
     val indexed = GlobalIndex.withRowId(df, Seq(col("k")))
     indexed.write.format("noop").mode("overwrite").save()
-    // the sorted-frame persist outlives the action by design (the builder
-    // can't know when the action ran) …
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
-    // … and the runner's release is what reclaims it
-    graft.ext.Dedup.releaseScratch()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // pinned by the r7 A/B (see withRowId's comment): no internal persist,
+    // so ANY caller — including long-lived sessions that never touch the
+    // Scratch registry — accumulates nothing per invocation
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "withRowId must not leave persisted RDDs behind")
+    // and the ids are still the total-order row numbers
+    assert(indexed.orderBy("row_id").select("k").as[Long].collect().toSeq
+      == Seq(1L, 2L, 3L, 4L))
   }
 }
