@@ -112,4 +112,23 @@ class TimestampShapeSpec extends SparkSpec {
     val df = Seq((1L, "a")).toDF("id", "name")
     assert(Sources.normalizeTs(df).schema == df.schema)
   }
+
+  test("a legitimate BIGINT ts column is NOT rebuilt as epoch-nanos") {
+    // the fourth physical shape: INT64 with NO timestamp annotation (a
+    // sequence number, epoch-millis, etc.). Catalyst reads both this and
+    // TIMESTAMP(NANOS)-under-nanosAsLong as bare LongType, so only the
+    // parquet footer can tell them apart — Sources.table must leave this
+    // one untouched instead of corrupting it via the nanos rebuild
+    import spark.implicits._
+    val d = dir()
+    val vals = Seq(1L, 42L, 1709296496789L) // incl. a plausible epoch-ms
+    vals.toDF("ts").coalesce(1).write.mode("overwrite")
+      .parquet(s"$d/events.parquet")
+    assert(!Sources.tsIsNanosAnnotated(spark, s"$d/events.parquet"))
+    val got = Sources.table(spark, d, "events")
+    assert(got.schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "unannotated INT64 ts must stay LongType")
+    assert(got.select("ts").as[Long].collect().sorted.toSeq == vals.sorted)
+  }
 }
