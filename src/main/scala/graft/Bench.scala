@@ -83,7 +83,11 @@ object Bench {
     // speed).
     val mean = if (results.nonEmpty) total / results.size else 0.0
     val failedJs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+    // Locale.ROOT: a locale with comma decimal separators would make the
+    // canary arrays invalid JSON and silently zero the driver's parse
+    def arr(xs: Seq[Double]) = xs
+      .map(x => String.format(java.util.Locale.ROOT, "%.3f", x))
+      .mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"canary_cold":${arr(canaryCold)},"canary_warm":${arr(canaryWarm)},"queries":${js(results)},"queries_warm":${js(warm)},"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact retains only a stdout tail, which loses most
