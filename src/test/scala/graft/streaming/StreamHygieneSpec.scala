@@ -60,4 +60,24 @@ class StreamHygieneSpec extends SparkSpec {
       rm(in)
     }
   }
+
+  test("the Verify runner itself releases state stores after a streaming query") {
+    // pins the WIRING, not just the helper: dumpAll must apply the
+    // hygiene after each streaming_* query, or a full driver run
+    // accumulates providers exactly as r6 did
+    val out = java.nio.file.Files.createTempDirectory("graft_hyg_dump")
+    try {
+      val failures = graft.Verify.dumpAll(spark, "/root/testdata/sf0.001",
+        out.toString,
+        graft.SparkEntry.queries.filter(_._1 == "streaming_hourly_counts"))
+      assert(failures.isEmpty, s"query failed: $failures")
+      assert(org.apache.spark.sql.GraftShims.loadedStateStoreProviders() == 0,
+        "dumpAll must leave zero loaded providers after a streaming query")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(out.toFile)
+    }
+  }
 }
