@@ -31,7 +31,18 @@ object GraphQueries extends QueryGroup {
     * Shape: one shuffle builds edges, one small aggregate builds degrees
     * (broadcast back onto edges), the wedge join and the closing join
     * both shuffle on edge keys; the closing join's probe side is the
-    * (bounded) wedge set. */
+    * (bounded) wedge set.
+    *
+    * The edge set is lazily localCheckpoint'ed: its build (distinct →
+    * per-order collect_set → pair explode → ≥2-order filter, two full
+    * shuffles over the fact table) feeds FOUR consumers (degrees + both
+    * wedge sides + the closing probe), and Catalyst's ReuseExchange
+    * cannot unify them — the `transform` lambda subtrees canonicalize to
+    * different forms per instantiation (verified: the un-checkpointed
+    * executed plan scans lineitem 15× with zero ReusedExchange). One
+    * materialization of the small edge table replaces all rebuilds; the
+    * blocks are reference-tracked and reclaimed by the ContextCleaner
+    * (the multimodalNearDup precedent). */
   private def triangleCount(s: SparkSession, dir: String): DataFrame = {
     // Undirected edge set, canonical p1 < p2 — same as g_copurchase_pairs.
     val edges = Sources.table(s, dir, "lineitem")
@@ -47,6 +58,7 @@ object GraphQueries extends QueryGroup {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
       .select(col("p1"), col("p2"))
+      .localCheckpoint(false)
     val deg = edges.select(col("p1").as("node"))
       .unionAll(edges.select(col("p2").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -66,6 +78,10 @@ object GraphQueries extends QueryGroup {
           struct(col("p2").as("id"), col("d2").as("deg")))
           .otherwise(struct(col("p1").as("id"), col("d1").as("deg")))
           .as("dst"))
+      // consumed three times (both wedge sides + the closing probe);
+      // one materialization of the oriented edges replaces three
+      // re-joins against the degree table
+      .localCheckpoint(false)
     // Wedges at the minimum vertex: two out-edges a→b, a→c with b < c in
     // the same (deg, id) order; the triangle closes iff b→c is an edge.
     val e1 = e.select(col("src").as("a"), col("dst").as("b"))
@@ -116,7 +132,16 @@ object GraphQueries extends QueryGroup {
     * is contributions (narrow) → one shuffle on dst → join back to the
     * rank table on the same key — the same partitioning reused every
     * round, which is the property that makes iterated graph algorithms
-    * survive on a cluster. Symmetric edges mean no dangling mass. */
+    * survive on a cluster. Symmetric edges mean no dangling mass.
+    *
+    * Both the canonical edge set and the degree-annotated directed edges
+    * are lazily localCheckpoint'ed: the unrolled 3-iteration plan
+    * references them from every round, and ReuseExchange cannot unify
+    * the rebuilds (the pair-explode lambdas canonicalize differently per
+    * instantiation — the un-checkpointed plan scans lineitem 14× with
+    * zero ReusedExchange). Materializing the edge tables once is exactly
+    * what GraphX's Pregel loop does with its cached edge RDD; blocks are
+    * ContextCleaner-reclaimed when the frames go out of scope. */
   private def pagerankInt(s: SparkSession, dir: String): DataFrame = {
     val und = Sources.table(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
@@ -130,11 +155,12 @@ object GraphQueries extends QueryGroup {
       .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 2)
+      .localCheckpoint(false)
     // symmetric directed edges; out-degree = undirected degree
     val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
       .unionAll(und.select(col("p2").as("src"), col("p1").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val withDeg = edges.join(deg, Seq("src"))
+    val withDeg = edges.join(deg, Seq("src")).localCheckpoint(false)
     var rank = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to 3) {
       val contrib = withDeg
