@@ -280,6 +280,32 @@ class PlanSpec extends SparkSpec {
       s"the 1-row total must broadcast into the HAVING filter:\n$p")
   }
 
+  test("pagerank consumes one edge materialization, not per-round rebuilds") {
+    // ReuseExchange cannot unify the pair-explode subtrees (lambda
+    // canonicalization), so without the lazy localCheckpoint the unrolled
+    // 3-iteration plan rebuilds the edge pipeline from parquet 14 times
+    // (42 exchanges). The checkpointed shape reads the shared edge RDD.
+    val p = plan(SparkEntry.queries("g_pagerank_int")(spark, dir))
+    val liScans = "Scan parquet[^\\n]*lineitem".r.findAllIn(p).length
+    assert(liScans == 0,
+      s"iterations must consume the checkpointed edge table, got " +
+        s"$liScans lineitem rebuild(s):\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 12,
+      s"expected the collapsed plan (~8 exchanges), got $exchanges:\n$p")
+  }
+
+  test("triangle count consumes one edge materialization across all sides") {
+    val p = plan(SparkEntry.queries("g_triangle_count")(spark, dir))
+    val liScans = "Scan parquet[^\\n]*lineitem".r.findAllIn(p).length
+    assert(liScans == 0,
+      s"degree/wedge/closing sides must share the checkpointed edges, " +
+        s"got $liScans lineitem rebuild(s):\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 8,
+      s"expected the collapsed plan (~4 exchanges), got $exchanges:\n$p")
+  }
+
   test("paragraph dedup: keyed joins only, staged tokenization reused") {
     val p = plan(SparkEntry.queries("text_para_dedup")(spark, dir))
     assert(!p.contains("CartesianProduct") &&
