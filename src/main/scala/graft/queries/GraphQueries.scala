@@ -36,10 +36,13 @@ object GraphQueries extends QueryGroup {
     * The edge set is lazily localCheckpoint'ed: its build (distinct →
     * per-order collect_set → pair explode → ≥2-order filter, two full
     * shuffles over the fact table) feeds FOUR consumers (degrees + both
-    * wedge sides + the closing probe), and Catalyst's ReuseExchange
-    * cannot unify them — the `transform` lambda subtrees canonicalize to
-    * different forms per instantiation (verified: the un-checkpointed
-    * executed plan scans lineitem 15× with zero ReusedExchange). One
+    * wedge sides + the closing probe), and exchange reuse cannot unify
+    * the rebuilds — the `transform` lambda subtrees canonicalize to
+    * different forms per instantiation, so even AQE's runtime stage
+    * reuse (which does dedupe the lambda-free stages) leaves the fact
+    * scan + basket-explode pipeline running once per consumer (measured
+    * on the sibling pagerank shape: 15 lineitem scans survive in the
+    * executed adaptive plan alongside 11 reused stages). One
     * materialization of the small edge table replaces all rebuilds; the
     * blocks are reference-tracked and reclaimed by the ContextCleaner
     * (the multimodalNearDup precedent). */
@@ -136,10 +139,13 @@ object GraphQueries extends QueryGroup {
     *
     * Both the canonical edge set and the degree-annotated directed edges
     * are lazily localCheckpoint'ed: the unrolled 3-iteration plan
-    * references them from every round, and ReuseExchange cannot unify
-    * the rebuilds (the pair-explode lambdas canonicalize differently per
-    * instantiation — the un-checkpointed plan scans lineitem 14× with
-    * zero ReusedExchange). Materializing the edge tables once is exactly
+    * references them from every round, and exchange reuse cannot unify
+    * the rebuilds — the pair-explode lambdas canonicalize differently
+    * per instantiation, so even AQE's runtime stage reuse leaves the
+    * fact scan + basket explode running once per reference (measured:
+    * the un-checkpointed adaptive plan executes 15 lineitem scans with
+    * 11 reused stages, 9.6 s; checkpointed, 2.8 s cold in the same
+    * full-suite record). Materializing the edge tables once is exactly
     * what GraphX's Pregel loop does with its cached edge RDD; blocks are
     * ContextCleaner-reclaimed when the frames go out of scope. */
   private def pagerankInt(s: SparkSession, dir: String): DataFrame = {
