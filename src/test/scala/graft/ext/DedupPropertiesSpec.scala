@@ -26,6 +26,36 @@ class DedupPropertiesSpec extends SparkSpec {
     base ++ Seq((100L, base(0)._2), (101L, base(1)._2))
   }
 
+  test("set-similarity prefix filter is lossless across thresholds") {
+    // The fixture parity test (GraphSkylineSpec) runs only t=95, where
+    // prefixes are 1-2 tokens; lower thresholds grow L = n - ceil(t·n) + 1
+    // and exercise the SSJoin size-ratio and PPJoin positional prunes on
+    // genuinely overlapping prefixes. Brute force is the definition.
+    import org.apache.spark.sql.functions._
+    for (seedNo <- 1L to 2L; t100 <- Seq(50, 80, 95)) {
+      val docs = corpus(seedNo).toDF("doc_id", "text")
+      val fast = Dedup.setSimilarityPairs(docs, t100)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      Dedup.releaseScratch()
+      val sets = docs.select(col("doc_id"),
+        array_distinct(filter(split(col("text"), " "), x => length(x) > 0))
+          .as("toks"))
+      val brute = sets.select(col("doc_id").as("doc_a"), col("toks").as("ta"))
+        .crossJoin(sets.select(col("doc_id").as("doc_b"),
+          col("toks").as("tb")))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long")
+            .as("inter"),
+          size(array_union(col("ta"), col("tb"))).cast("long").as("uni"))
+        .filter(col("inter") * 100 >= col("uni") * t100)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      assert(fast == brute,
+        s"seed $seedNo t=$t100: fast-brute=${fast -- brute} " +
+          s"brute-fast=${brute -- fast}")
+    }
+  }
+
   test("dedup invariants hold on generated corpora (3 seeds)") {
     (1L to 3L).foreach { seedNo =>
       val docs = corpus(seedNo).toDF("doc_id", "text")
