@@ -136,6 +136,10 @@ object Multimodal {
     val raw = graft.io.Sources
       .scatter(ids.select(col(idCol).cast("long").as("media_id")))
       .mapPartitions { rows =>
+        // in-memory ImageIO for the ENCODE side too: ImageIO.write's
+        // default file-backed stream cache puts a temp-file create/delete
+        // inside every per-row PNG encode
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0)
           val seed = if (seedMod > 0) java.lang.Math.floorMod(id, seedMod)
@@ -156,6 +160,45 @@ object Multimodal {
     * row, never an exception: one corrupt object must not kill a 100 TB
     * scan (the caller filters or routes them to quarantine). Stills have
     * n_frames = 1. */
+  /** The per-payload pixel kernel shared by [[decodeImages]] and
+    * [[decodeImagesDistinct]]: PNG/JPEG bytes → (width, height, band-mean
+    * features), or None for null/undecodable payloads. */
+  private def decodePixels(bytes: Array[Byte])
+      : Option[(Int, Int, Array[Float])] = {
+    val img =
+      if (bytes == null) null
+      else
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        // NonFatal, not just IOException: codec plugins throw
+        // unchecked exceptions on malformed containers too
+        catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val feats = new Array[Float](8)
+      var band = 0
+      while (band < 8) {
+        val x0 = band * w / 8; val x1 = (band + 1) * w / 8
+        var sum = 0.0d; var n = 0
+        var x = x0
+        while (x < x1) {
+          var y = 0
+          while (y < h) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+              (rgb & 0xff)) / 3.0d
+            n += 1; y += 1
+          }
+          x += 1
+        }
+        feats(band) = if (n == 0) 0f else (sum / n).toFloat
+        band += 1
+      }
+      Some((w, h, feats))
+    }
+  }
+
   def decodeImages(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
     graft.io.Sources.scatter(media.select("media_id", "modality", "content"))
@@ -165,41 +208,61 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val id = r.getLong(0); val modality = r.getString(1)
-          val bytes = r.getAs[Array[Byte]]("content")
-          val img =
-            if (bytes == null) null
-            else
-              try javax.imageio.ImageIO.read(
-                new java.io.ByteArrayInputStream(bytes))
-              // NonFatal, not just IOException: codec plugins throw
-              // unchecked exceptions on malformed containers too
-              catch { case scala.util.control.NonFatal(_) => null }
-          if (img == null) Row(id, modality, null, null, null, null)
-          else {
-            val w = img.getWidth; val h = img.getHeight
-            val feats = new Array[Float](8)
-            var band = 0
-            while (band < 8) {
-              val x0 = band * w / 8; val x1 = (band + 1) * w / 8
-              var sum = 0.0d; var n = 0
-              var x = x0
-              while (x < x1) {
-                var y = 0
-                while (y < h) {
-                  val rgb = img.getRGB(x, y)
-                  sum += (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
-                    (rgb & 0xff)) / 3.0d
-                  n += 1; y += 1
-                }
-                x += 1
-              }
-              feats(band) = if (n == 0) 0f else (sum / n).toFloat
-              band += 1
-            }
-            Row(id, modality, w, h, 1, feats.toSeq)
+          decodePixels(r.getAs[Array[Byte]]("content")) match {
+            case None => Row(id, modality, null, null, null, null)
+            case Some((w, h, feats)) => Row(id, modality, w, h, 1, feats.toSeq)
           }
         }
       }(enc)
+  }
+
+  /** CONTENT-ADDRESSED image decode: decode each DISTINCT payload once and
+    * join the result back to every media_id carrying it. On duplicate-heavy
+    * corpora (crawl snapshots, re-hosted assets — dup factors of 2–100× are
+    * normal at 100 TB) this turns N codec invocations into |distinct|, the
+    * decode-side analogue of exact dedup. Mechanics and scale posture:
+    *  - `dropDuplicates(content_hash)` keeps ONE payload per hash with a
+    *    map-side partial aggregate, so the shuffle carries only the
+    *    per-partition-distinct payloads (≤ data, → |distinct| when dups
+    *    cluster), never the full corpus;
+    *  - decode runs on the deduped side only — the expensive stage shrinks
+    *    by the dup factor;
+    *  - the join back is a plain equi-join on content_hash: AQE broadcasts
+    *    the decoded side while it is small, degrades to a hash join when
+    *    |distinct| grows — no plan cliff.
+    * Same output schema and row grain as [[decodeImages]] (one row per
+    * media_id, null metadata for undecodable payloads) — the two are
+    * interchangeable, proven by DecodeDistinctParitySpec. */
+  def decodeImagesDistinct(media: DataFrame): DataFrame = {
+    val repSchema = StructType(Seq(
+      StructField("content_hash", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("feature", ArrayType(FloatType))))
+    val enc = RowEncoder.encoderFor(repSchema)
+    val rep = graft.io.Sources.scatter(
+        media.select("content_hash", "content")
+          .dropDuplicates("content_hash"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          decodePixels(r.getAs[Array[Byte]]("content")) match {
+            case None => Row(r.getString(0), null, null, null, null)
+            case Some((w, h, feats)) =>
+              Row(r.getString(0), w, h, 1, feats.toSeq)
+          }
+        }
+      }(enc)
+    // null-safe key: a null payload has a null content_hash (md5(null)),
+    // and dropDuplicates keeps exactly one null-hash row whose decode is
+    // the null-metadata row — `<=>` routes every null-payload media_id to
+    // it, preserving decodeImages' one-row-per-media_id grain
+    val m = media.select(col("media_id"), col("modality"),
+      col("content_hash").as("mh"))
+    m.join(rep, m("mh") <=> rep("content_hash"))
+      .select(col("media_id"), col("modality"), col("width"), col("height"),
+        col("n_frames"), col("feature"))
   }
 
   private val decodedAudioSchema: StructType = StructType(Seq(

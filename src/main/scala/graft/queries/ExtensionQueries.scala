@@ -1151,9 +1151,12 @@ object ExtensionQueries extends QueryGroup {
   private def multimodalNearDupPx(s: SparkSession, dir: String): DataFrame = {
     val media = graft.ext.Multimodal.syntheticImageMedia(
       docs(s, dir).select("doc_id"), "doc_id", seedMod = 50L)
-    // lazy localCheckpoint as in multimodalNearDup: nearDupLsh consumes the
-    // features three times; without it the decode re-runs per consumer
-    val feats = graft.ext.Multimodal.decodeImages(media)
+    // content-addressed decode: seedMod=50 makes the corpus 100×-duplicated
+    // (the near-dup fixture), exactly the corpus shape decodeImagesDistinct
+    // exists for — 50 codec invocations instead of |docs|. Lazy
+    // localCheckpoint as in multimodalNearDup: nearDupLsh consumes the
+    // features three times; without it the decode re-runs per consumer.
+    val feats = graft.ext.Multimodal.decodeImagesDistinct(media)
       .select(col("media_id"), col("feature"))
       .localCheckpoint(false)
     Similarity.nearDupLsh(feats,
