@@ -13,15 +13,16 @@ import org.apache.spark.sql.functions._
   * Column-name-parameterized so the same operator runs on the reference's
   * streams⟕songs and on the testdata events⟕customer mapping.
   *
-  * Scale notes: the whole table is ONE hash aggregate — A1-A3 and the A4
-  * argmax (a `min` over an orderable struct, [[argmaxKey]]) aggregate in one
-  * pass with MAP-SIDE partials, so the single exchange carries at most
-  * |date×genre| rows per input partition, never the fact table (the window
-  * formulation this replaced had to shuffle and per-group-sort every
-  * enriched row). pandas `idxmax` takes the first row on ties and raises
-  * when a group is all-null; the argmax key pins ties deterministically
-  * (popularity DESC NULLS LAST, then track name, then a unique id) and
-  * yields a null-popularity row for all-null groups instead of crashing
+  * Scale notes: the fact table is never shuffled — A1-A3 and the argmax's
+  * `max(popularity)` run in one CODEGEN hash aggregate with map-side
+  * partials (the exchange carries at most |date×genre| rows per input
+  * partition), and the argmax tie-break resolves against a broadcast of
+  * the per-group maxima over a second pruned scan (see [[tieKey]] for the
+  * full design, including why a one-pass min-over-struct was rejected).
+  * pandas `idxmax` takes the first row on ties and raises when a group is
+  * all-null; the tie-break pins ties deterministically (popularity DESC
+  * NULLS LAST, then track name, then a unique id) and yields a
+  * null-popularity row for all-null groups instead of crashing
   * (SURVEY §2.11-4).
   */
 object GenreKpis {
@@ -87,9 +88,13 @@ object GenreKpis {
       : DataFrame = {
     val m = maxes.select(col(c.date).as("_md"), col(c.genre).as("_mg"),
       col("max_pop"))
+    // max and match on the popularity column's NATIVE type: casting both
+    // sides to double here would merge values a long/high-precision
+    // decimal column keeps distinct (2^53 and 2^53+1) and could crown a
+    // non-max row; the double cast belongs only to the OUTPUT column
     f.join(broadcast(m),
         col(c.date) === col("_md") && col(c.genre) === col("_mg") &&
-          col(c.popularity).cast("double") <=> col("max_pop"))
+          col(c.popularity) <=> col("max_pop"))
       .groupBy(col(c.date), col(c.genre))
       .agg(min(tieKey(c)).as("arg"))
       .select(col(c.date), col(c.genre),
@@ -102,7 +107,7 @@ object GenreKpis {
   def mostPopularTrack(enriched: DataFrame, c: Cols = Cols()): DataFrame = {
     val f = Enrich.dropNullKeys(enriched, c.genre, c.date)
     val maxes = f.groupBy(col(c.date), col(c.genre))
-      .agg(max(col(c.popularity).cast("double")).as("max_pop"))
+      .agg(max(col(c.popularity)).as("max_pop"))
     argmaxOfMax(f, maxes, c)
   }
 
@@ -118,7 +123,7 @@ object GenreKpis {
         count(col(c.rowId)).as("listen_count"),
         mean(c.duration).as("avg_duration_ms"),
         mean(c.popularity).as("popularity_index"),
-        max(col(c.popularity).cast("double")).as("max_pop"))
+        max(col(c.popularity)).as("max_pop"))
     // inner, provably total: every (date, genre) group has >=1 row whose
     // popularity null-safe-equals the group's max (the max itself, or any
     // null-popularity row when the group is all-null), so the argmax side

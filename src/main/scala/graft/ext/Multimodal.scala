@@ -232,7 +232,15 @@ object Multimodal {
     *    |distinct| grows — no plan cliff.
     * Same output schema and row grain as [[decodeImages]] (one row per
     * media_id, null metadata for undecodable payloads) — the two are
-    * interchangeable, proven by DecodeDistinctParitySpec. */
+    * interchangeable, proven by DecodeDistinctParitySpec.
+    *
+    * The media frame is consumed TWICE (dedup+decode branch, join-back
+    * branch). With a STORED content_hash (the normal media-table layout —
+    * it is part of [[mediaSchema]] precisely so ingest materializes it
+    * once) the second scan prunes to three cheap columns; a caller whose
+    * media frame DERIVES content_hash on the fly (e.g. [[asMedia]] over
+    * generated payloads) should stage the frame first, or the payload
+    * production and hashing run once per branch. */
   def decodeImagesDistinct(media: DataFrame): DataFrame = {
     val repSchema = StructType(Seq(
       StructField("content_hash", StringType),

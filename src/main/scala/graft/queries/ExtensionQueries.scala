@@ -1149,8 +1149,14 @@ object ExtensionQueries extends QueryGroup {
     * genuinely near cross-seed vectors — the oracle replicates the exact
     * candidate set and filter). */
   private def multimodalNearDupPx(s: SparkSession, dir: String): DataFrame = {
+    // the media table is staged (lazy localCheckpoint) because
+    // decodeImagesDistinct scans it twice (dedup+decode branch, hash
+    // join-back branch) — without staging, the synthetic PNG ENCODE and
+    // md5 would re-run per branch; a production media table has
+    // content_hash stored in parquet, which is what the staging emulates
     val media = graft.ext.Multimodal.syntheticImageMedia(
       docs(s, dir).select("doc_id"), "doc_id", seedMod = 50L)
+      .localCheckpoint(false)
     // content-addressed decode: seedMod=50 makes the corpus 100×-duplicated
     // (the near-dup fixture), exactly the corpus shape decodeImagesDistinct
     // exists for — 50 codec invocations instead of |docs|. Lazy

@@ -70,7 +70,9 @@ object OperatorQueries extends QueryGroup {
         col("hour"))
       .orderBy("event_id")
 
-  /** W1/A4 — most popular track per (date, genre), window formulation. */
+  /** W1/A4 — most popular track per (date, genre): max-then-tiebreak
+    * argmax (GenreKpis.mostPopularTrack; the oracle stays the ROW_NUMBER
+    * window formulation it reproduces). */
   private def w1Top1(s: SparkSession, dir: String): DataFrame =
     GenreKpis.mostPopularTrack(enrichedEvents(s, dir), genreCols)
       .select(col("date").cast("string").as("date"),

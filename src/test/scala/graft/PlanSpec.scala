@@ -34,9 +34,13 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate\\(keys=.*partial_sum".r.findFirstIn(p).isDefined,
       s"A1-A3 partials must run in hash mode:\n$p")
     // the tie-break filters to max-tied rows via a BROADCAST of the
-    // per-group maxima — the fact stream is never shuffled for the argmax
-    assert(p.contains("BroadcastHashJoin"),
-      s"expected the maxima broadcast join:\n$p")
+    // per-group maxima — the fact stream is never shuffled for the argmax.
+    // Count >= 3: the enrich dimension join appears twice (once per fact
+    // scan) and would still be present if the maxima join regressed to a
+    // shuffle, so a bare contains() would be vacuous here
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 3,
+      s"expected enrich joins + the maxima broadcast join, got $bhj:\n$p")
     // group-grain exchanges only: agg partials, tie partials, final join —
     // anything more means a fact-grain shuffle crept back in
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).length

@@ -106,11 +106,16 @@ def run_pandas(dirpath):
     genre = g.agg(listen_count=('event_id', 'count'),
                   avg_duration_ms=('value', 'mean'),
                   popularity_index=('c_acctbal', 'mean'))
+    # head(1), NOT groupby.agg('first'): 'first' skips NaN per column
+    # independently and can stitch track and popularity from DIFFERENT
+    # rows; head(1) takes the literal rn=1 row like idxmax / ROW_NUMBER
     top = (f.sort_values(['c_acctbal', 'event_type', 'event_id'],
                          ascending=[False, True, True])
-            .groupby(['date', 'c_mktsegment'])
-            .agg(most_popular_track=('event_type', 'first'),
-                 most_popular_track_popularity=('c_acctbal', 'first')))
+            .groupby(['date', 'c_mktsegment']).head(1)
+            .set_index(['date', 'c_mktsegment'])
+            [['event_type', 'c_acctbal']]
+            .rename(columns={'event_type': 'most_popular_track',
+                             'c_acctbal': 'most_popular_track_popularity'}))
     genre = genre.join(top).reset_index()
     hf = enr[enr.date.notna()]
     h = hf.groupby(['date', 'hour'])
@@ -120,7 +125,8 @@ def run_pandas(dirpath):
     pc = (hf[hf.c_name.notna()].groupby(['date', 'hour', 'c_name'])
           .size().reset_index(name='play_count'))
     topa = (pc.sort_values(['play_count', 'c_name'], ascending=[False, True])
-              .groupby(['date', 'hour']).first()['c_name'].rename('top_artist'))
+              .groupby(['date', 'hour']).head(1)
+              .set_index(['date', 'hour'])['c_name'].rename('top_artist'))
     hourly = hourly.join(topa).reset_index()
     hourly['diversity'] = hourly.unique_tracks / hourly.total_plays
     t_tx = time.time() - t0
