@@ -76,7 +76,11 @@ object GenreKpis {
     * At 100 TB: two pruned column scans + a |groups|-row broadcast beat
     * one full-fact shuffle-and-sort by the width of the fact table; in
     * the bench the second scan reads the warmShared cache. rowId must be
-    * unique (it is the table's key) for the tie-break to be total. */
+    * unique (it is the table's key) for the tie-break to be total. The
+    * broadcast presumes group grain ≪ fact grain (days × genres — KBs
+    * even at 100 TB); for a pathologically high-cardinality group column
+    * drop the hint and AQE plans the same join as a shuffle join on the
+    * group keys, still never sorting the fact. */
   private def tieKey(c: Cols): Column = struct(
     when(col(c.track).isNull, 1).otherwise(0).as("tn"),
     coalesce(col(c.track), lit("")).as("tv"),
