@@ -51,10 +51,15 @@ object Dsir {
                         idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val b = lit(buckets.toLong)
+    // a pre-tokenized frame (TextAnalysis.tokenized/sharedTokens shape,
+    // detected by its `toks` column) skips the normalize→split here — the
+    // same tokenize-once contract the whole text family honors, so a
+    // runner can stage tokens one time and DSIR reads the staged table
+    val toksExpr =
+      if (docs.columns.contains("toks")) col("toks")
+      else TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
     val toks = docs
-      .select(col(idCol), targetPred.as("is_target"),
-        TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
-          .as("toks"))
+      .select(col(idCol), targetPred.as("is_target"), toksExpr.as("toks"))
       .filter(col("toks").isNotNull && size(col("toks")) >= 2)
       .select(col(idCol), col("is_target"),
         explode(expr(

@@ -513,11 +513,17 @@ object TrainingQueries extends QueryGroup {
     * modest by construction — the query pins the hashed-bigram model
     * and micro-nat scoring arithmetic cross-engine, not selection
     * skill. */
-  private def dsirWeights(s: SparkSession, dir: String): DataFrame =
-    Dsir.importanceWeights(
-        Sources.scatter(Sources.table(s, dir, "documents")),
-        col("lang") === "en")
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    // feed DSIR the STAGED token table (shared with the bm25/tfidf/
+    // surprisal/ccnet family) joined with the predicate column — the
+    // tokenize-once contract; the lang side is a broadcast-sized
+    // projection of the same corpus
+    val withLang = graft.ext.TextAnalysis.sharedTokens(s, dir)
+      .join(Sources.table(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id")
+    Dsir.importanceWeights(withLang, col("lang") === "en")
       .orderBy("doc_id")
+  }
 
   private val dsirOracle: String =
     """WITH d AS (SELECT doc_id, lang,
