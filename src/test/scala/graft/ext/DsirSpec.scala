@@ -47,4 +47,26 @@ class DsirSpec extends SparkSpec {
     // the selected set is exactly ceil(n/4) docs
     assert(a.count(_._4) == math.ceil(a.length / 4.0).toLong)
   }
+
+  test("a pre-tokenized frame yields the same weights as raw text") {
+    // the staged-token fast path (the `toks` column branch) must be a
+    // pure no-op on results — pins the tokenize-once contract DSIR
+    // shares with the text family
+    val docs = Seq(
+      (1L, "clean prose reads well", "en"),
+      (2L, "  Weird   SPACING and CAPS  ", "en"),
+      (3L, "zz qq xx vv kk", "de"),
+      (4L, "prose reads well indeed", "de"),
+      (5L, "x", "en"), // single-token: no bigrams, weight 0
+    ).toDF("doc_id", "text", "lang")
+    val pred = col("lang") === "en"
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_bigrams", "weight_m", "selected")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toList
+    val raw = canon(Dsir.importanceWeights(docs, pred))
+    val staged = TextAnalysis.tokenized(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    assert(canon(Dsir.importanceWeights(staged, pred)) === raw)
+    Dedup.releaseScratch()
+  }
 }
