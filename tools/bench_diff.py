@@ -67,6 +67,24 @@ def main() -> int:
     gone = set(old.get("queries", {})) - set(new.get("queries", {}))
     for q in sorted(gone):
         print(f"MISSING {q}: present at HEAD, absent now")
+    # Session-health verdict from the canary series: a flat canary means
+    # flagged queries are query-level (or jitter); a climbing canary means
+    # the SESSION degraded (the r6 failure mode) and per-query numbers
+    # from this run are suspect — rerun the flagged queries via BenchOne
+    # before believing them.
+    for key in ("canary_cold", "canary_warm"):
+        series = new.get(key) or []
+        if len(series) >= 4:
+            head = sorted(series[: len(series) // 2])
+            tail = sorted(series[len(series) // 2:])
+            med_h = head[len(head) // 2]
+            med_t = tail[len(tail) // 2]
+            verdict = ("SESSION DEGRADATION suspected — median canary "
+                       f"{med_h:.2f}s -> {med_t:.2f}s; treat per-query "
+                       "numbers as suspect"
+                       if med_t >= med_h * 2 and med_t - med_h >= 1.0
+                       else f"flat (medians {med_h:.2f}s -> {med_t:.2f}s)")
+            print(f"canary {key[7:]}: {verdict}")
     nw, ow = new.get("warm_total", 0), old.get("warm_total", 0)
     print(f"totals: cold {old.get('value', 0):.1f}s -> "
           f"{new.get('value', 0):.1f}s, warm {ow:.1f}s -> {nw:.1f}s, "
