@@ -16,7 +16,11 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-java $ADD_OPENS -Xmx8g \
+# GRAFT_EXTRA_JAVA_OPTS: hostile-mode sweeps, e.g.
+#   GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.codegen.wholeStage=false \
+#     -Dspark.sql.codegen.factoryMode=NO_CODEGEN" tools/check.sh ...
+# runs the whole differential with codegen off (interpreted expressions).
+java $ADD_OPENS -Xmx8g ${GRAFT_EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
   graft.Verify "$SF_DIR" "$OUT" "$PATTERN" 1>&2
