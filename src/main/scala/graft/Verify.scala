@@ -67,13 +67,34 @@ object Verify {
     // the driver passes no pattern and always dumps the full surface
     val pattern = if (args.length > 2) args(2) else ""
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER lets the harness run the SAME differential under
+    // `local-cluster[n,cores,mem]` — real Worker-launched executor JVMs,
+    // which serialize every custom Expression / typed Aggregator / broadcast
+    // over the wire, the one execution axis `local[*]` can never exercise
+    // (there, "serialization" is a same-classloader no-op for broadcasts and
+    // task binaries never cross a process boundary).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      // Executor JVMs are forked by the in-process Worker from SPARK_HOME's
+      // launcher; they get SPARK_HOME/jars but NOT this sbt build's classes
+      // dir — without extraClassPath every graft class hits CNFE on the
+      // first task. The JVM default timezone is NOT propagated to forked
+      // executors (only SQL confs are), so pin -Duser.timezone=UTC there.
+      val classesDir = new java.io.File("target/scala-2.13/classes")
+        .getAbsolutePath
+      builder
+        .config("spark.executor.extraClassPath", classesDir)
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one materialization of the shared enriched frame for the whole run;
     // never fatal — queries that don't touch it must still verify.

@@ -79,8 +79,11 @@ object GenreKpis {
     * unique (it is the table's key) for the tie-break to be total. The
     * broadcast presumes group grain ≪ fact grain (days × genres — KBs
     * even at 100 TB); for a pathologically high-cardinality group column
-    * drop the hint and AQE plans the same join as a shuffle join on the
-    * group keys, still never sorting the fact. */
+    * pass `hintBroadcast = false` and AQE plans the same join from the
+    * measured maxima size (broadcast only if it actually fits, else a
+    * shuffle join on the group keys — still never sorting the fact). The
+    * explicit hint would OVERRIDE that size check and force a driver-side
+    * build, so it must be droppable, not just documented. */
   private def tieKey(c: Cols): Column = struct(
     when(col(c.track).isNull, 1).otherwise(0).as("tn"),
     coalesce(col(c.track), lit("")).as("tv"),
@@ -88,15 +91,16 @@ object GenreKpis {
     col(c.track).as("track"),
     col(c.popularity).cast("double").as("pop"))
 
-  private def argmaxOfMax(f: DataFrame, maxes: DataFrame, c: Cols)
-      : DataFrame = {
-    val m = maxes.select(col(c.date).as("_md"), col(c.genre).as("_mg"),
+  private def argmaxOfMax(f: DataFrame, maxes: DataFrame, c: Cols,
+                          hintBroadcast: Boolean = true): DataFrame = {
+    val m0 = maxes.select(col(c.date).as("_md"), col(c.genre).as("_mg"),
       col("max_pop"))
+    val m = if (hintBroadcast) broadcast(m0) else m0
     // max and match on the popularity column's NATIVE type: casting both
     // sides to double here would merge values a long/high-precision
     // decimal column keeps distinct (2^53 and 2^53+1) and could crown a
     // non-max row; the double cast belongs only to the OUTPUT column
-    f.join(broadcast(m),
+    f.join(m,
         col(c.date) === col("_md") && col(c.genre) === col("_mg") &&
           col(c.popularity) <=> col("max_pop"))
       .groupBy(col(c.date), col(c.genre))
@@ -108,11 +112,12 @@ object GenreKpis {
 
   /** A4/W1 — most popular track per (date, genre), deterministic tie-break
     * (see [[tieKey]] for why this is max-then-tiebreak, not a window). */
-  def mostPopularTrack(enriched: DataFrame, c: Cols = Cols()): DataFrame = {
+  def mostPopularTrack(enriched: DataFrame, c: Cols = Cols(),
+                       hintBroadcast: Boolean = true): DataFrame = {
     val f = Enrich.dropNullKeys(enriched, c.genre, c.date)
     val maxes = f.groupBy(col(c.date), col(c.genre))
       .agg(max(col(c.popularity)).as("max_pop"))
-    argmaxOfMax(f, maxes, c)
+    argmaxOfMax(f, maxes, c, hintBroadcast)
   }
 
   /** Fused formulation: A1-A3 and the argmax's max stage in ONE codegen
@@ -120,7 +125,8 @@ object GenreKpis {
     * (see [[tieKey]]). Preferred plan — the J2 join below exists for
     * operator parity. */
   def compute(enriched: DataFrame, c: Cols = Cols(),
-              mean: Mean = defaultMean): DataFrame = {
+              mean: Mean = defaultMean,
+              hintBroadcast: Boolean = true): DataFrame = {
     val f = Enrich.dropNullKeys(enriched, c.genre, c.date)
     val agg = f.groupBy(col(c.date), col(c.genre))
       .agg(
@@ -132,7 +138,8 @@ object GenreKpis {
     // popularity null-safe-equals the group's max (the max itself, or any
     // null-popularity row when the group is all-null), so the argmax side
     // contains every group key
-    agg.join(argmaxOfMax(f, agg, c), Seq(c.date, c.genre), "inner")
+    agg.join(argmaxOfMax(f, agg, c, hintBroadcast),
+        Seq(c.date, c.genre), "inner")
       .select(col(c.date), col(c.genre), col("listen_count"),
         col("avg_duration_ms"), col("popularity_index"),
         col("most_popular_track"), col("most_popular_track_popularity"))

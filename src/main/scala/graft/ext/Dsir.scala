@@ -54,10 +54,26 @@ object Dsir {
     // a pre-tokenized frame (TextAnalysis.tokenized/sharedTokens shape,
     // detected by its `toks` column) skips the normalize→split here — the
     // same tokenize-once contract the whole text family honors, so a
-    // runner can stage tokens one time and DSIR reads the staged table
-    val toksExpr =
-      if (docs.columns.contains("toks")) col("toks")
-      else TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
+    // runner can stage tokens one time and DSIR reads the staged table.
+    // The detection is by NAME, so the shape must be validated: a caller
+    // frame with an unrelated `toks` column (wrong element type) would
+    // otherwise silently change importance weights instead of failing.
+    // Only the array-of-strings type is checkable — a differently
+    // NORMALIZED array<string> is on the caller, as the scaladoc'd
+    // tokenize-once contract states.
+    val toksExpr = docs.schema.find(_.name == "toks") match {
+      case Some(f) =>
+        require(f.dataType ==
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, containsNull = true) ||
+          f.dataType ==
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.StringType, containsNull = false),
+          s"pre-tokenized `toks` must be array<string> " +
+            s"(TextAnalysis.tokens shape), got ${f.dataType.simpleString}")
+        col("toks")
+      case None => TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
+    }
     val toks = docs
       .select(col(idCol), targetPred.as("is_target"), toksExpr.as("toks"))
       .filter(col("toks").isNotNull && size(col("toks")) >= 2)

@@ -39,6 +39,29 @@ def main() -> int:
     if not old:
         print("bench_diff: no previous BENCH_full.json at HEAD; baseline run")
         return 0
+    # Session-health verdict first: it gates how per-query flags print.
+    # A flat canary means flagged queries are query-level (or local jitter);
+    # a climbing canary means the SESSION degraded (the r6 failure mode) and
+    # every per-query number from this run is suspect.
+    def median(xs):
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+    degraded = False
+    canary_lines = []
+    for key in ("canary_cold", "canary_warm"):
+        series = new.get(key) or []
+        if len(series) >= 4:
+            med_h = median(series[: len(series) // 2])
+            med_t = median(series[len(series) // 2:])
+            bad = med_t >= med_h * 2 and med_t - med_h >= 1.0
+            degraded = degraded or bad
+            verdict = ("SESSION DEGRADATION suspected — median canary "
+                       f"{med_h:.2f}s -> {med_t:.2f}s; treat per-query "
+                       "numbers as suspect"
+                       if bad
+                       else f"flat (medians {med_h:.2f}s -> {med_t:.2f}s)")
+            canary_lines.append(f"canary {key[7:]}: {verdict}")
     regress = []
     restated = []
     for phase in ("queries", "queries_warm"):
@@ -60,31 +83,27 @@ def main() -> int:
     for phase, q, t_old, t_new in restated:
         print(f"RESTATED warm {q}: {t_old:.2f}s -> {t_new:.2f}s "
               f"(pre-r6 warm was a resume no-op; see BASELINE.md)")
+    # Under a degraded-session verdict, per-query flags are demoted to
+    # SUSPECT (informational, excluded from the strict exit code): the
+    # canary proves the box/JVM slowed down globally, so individual
+    # elevations can't be attributed to the queries. Rerun via
+    # `graft.BenchOne <q> 3` before believing any of them.
+    label = "SUSPECT (canary-degraded session)" if degraded else "REGRESS"
     for phase, q, t_old, t_new in sorted(regress, key=lambda r: r[3] - r[2],
                                          reverse=True):
-        print(f"REGRESS {phase[8:] or 'cold'} {q}: "
+        print(f"{label} {phase[8:] or 'cold'} {q}: "
               f"{t_old:.2f}s -> {t_new:.2f}s ({t_new / t_old:.1f}x)")
+    if degraded:
+        regress = []
     gone = set(old.get("queries", {})) - set(new.get("queries", {}))
     for q in sorted(gone):
         print(f"MISSING {q}: present at HEAD, absent now")
-    # Session-health verdict from the canary series: a flat canary means
-    # flagged queries are query-level (or jitter); a climbing canary means
-    # the SESSION degraded (the r6 failure mode) and per-query numbers
-    # from this run are suspect — rerun the flagged queries via BenchOne
-    # before believing them.
-    for key in ("canary_cold", "canary_warm"):
-        series = new.get(key) or []
-        if len(series) >= 4:
-            head = sorted(series[: len(series) // 2])
-            tail = sorted(series[len(series) // 2:])
-            med_h = head[len(head) // 2]
-            med_t = tail[len(tail) // 2]
-            verdict = ("SESSION DEGRADATION suspected — median canary "
-                       f"{med_h:.2f}s -> {med_t:.2f}s; treat per-query "
-                       "numbers as suspect"
-                       if med_t >= med_h * 2 and med_t - med_h >= 1.0
-                       else f"flat (medians {med_h:.2f}s -> {med_t:.2f}s)")
-            print(f"canary {key[7:]}: {verdict}")
+    for line in canary_lines:
+        print(line)
+    retimed = new.get("retimed") or []
+    if retimed:
+        print(f"retimed ({len(retimed)} warm samples arbitrated in-run): "
+              + ", ".join(sorted(retimed)))
     nw, ow = new.get("warm_total", 0), old.get("warm_total", 0)
     print(f"totals: cold {old.get('value', 0):.1f}s -> "
           f"{new.get('value', 0):.1f}s, warm {ow:.1f}s -> {nw:.1f}s, "

@@ -20,6 +20,13 @@ done
 #   GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.codegen.wholeStage=false \
 #     -Dspark.sql.codegen.factoryMode=NO_CODEGEN" tools/check.sh ...
 # runs the whole differential with codegen off (interpreted expressions).
+# SPARK_GRAFT_MASTER: alternative master — real-serialization mode:
+#   SPARK_GRAFT_MASTER='local-cluster[2,4,4096]' SPARK_HOME=/opt/spark \
+#     SPARK_SCALA_VERSION=2.13 SPARK_GRAFT_CPUS=8 tools/check.sh ...
+# forks 2 executor JVMs (4 cores / 4 GiB each) so every custom
+# Expression/Aggregator/broadcast actually crosses a process boundary
+# (SPARK_SCALA_VERSION is needed by the executor launcher's classpath
+# resolution; Verify adds the sbt classes dir to executor classpaths).
 java $ADD_OPENS -Xmx8g ${GRAFT_EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
