@@ -86,13 +86,21 @@ object Bench {
     // keeps its flag. Added wall time is bounded by the flagged set; the
     // retimed names are recorded in the JSON so a record where half the
     // suite needed arbitration is visibly suspect.
+    // The baseline is read from the same path the record is written to
+    // (SPARK_GRAFT_BENCH_OUT, default BENCH_full.json), and only trusted when
+    // its recorded `sf` matches this run's sfDir — a committed sf0.1 record
+    // would otherwise flag (and pointlessly retime) nearly every query of an
+    // sf0.01 run, or mask regressions in the other direction. On mismatch we
+    // fall back to this run's own cold readings.
     val committedWarm: Map[String, Double] =
       try {
+        val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
         val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_full.json")), "UTF-8")
-        val node = new com.fasterxml.jackson.databind.ObjectMapper()
-          .readTree(txt).get("queries_warm")
-        if (node == null) Map.empty
+          java.nio.file.Paths.get(path)), "UTF-8")
+        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+        val recSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+        val node = root.get("queries_warm")
+        if (node == null || recSf != sfDir) Map.empty
         else {
           val it = node.properties().iterator()
           val b = Map.newBuilder[String, Double]
@@ -109,16 +117,26 @@ object Bench {
         coldByName.getOrElse(name, t))
       if (t >= 2 * expect && t - expect >= 0.5 && !failed(name)) {
         retimed += name
+        // Only a SUCCESSFUL retime may lower the sample: a run that throws
+        // near-instantly must not be recorded as a fast warm pass — that
+        // would mask the very regression that triggered the retime.
         val t0 = System.nanoTime()
-        try qByName(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-        catch { case scala.util.control.NonFatal(_) => () }
-        finally {
-          ext.Dedup.releaseScratch()
-          if (name.startsWith("streaming_"))
-            streaming.StreamHygiene.release(spark)
-        }
-        name -> math.min(t, (System.nanoTime() - t0) / 1e9)
+        val ok =
+          try {
+            qByName(name)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            true
+          }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] retime of $name failed: ${e.getMessage}")
+            false
+          }
+          finally {
+            ext.Dedup.releaseScratch()
+            if (name.startsWith("streaming_"))
+              streaming.StreamHygiene.release(spark)
+          }
+        name -> (if (ok) math.min(t, (System.nanoTime() - t0) / 1e9) else t)
       } else name -> t
     }
     def js(rs: Seq[(String, Double)]) =

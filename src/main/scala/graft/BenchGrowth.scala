@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-growth measurement harness: replicates the sf0.1 fixtures N×
+  * under structure-preserving bijections and times the heavy extension
+  * families at each size — the committed, reproducible source of the
+  * SCALE.md §corpus-growth tables (the round-7 rows were produced by an
+  * uncommitted ad-hoc script; this main replaces it).
+  *
+  * Replication recipes (see SCALE.md §corpus-growth for why each is a
+  * bijection that preserves within-copy duplicate/similarity structure
+  * while keeping cross-copy content disjoint):
+  *  - documents: per-copy letter ROTATION over a–z/A–Z via `translate`
+  *    (spaces and digits unmapped, so tokenization is preserved);
+  *    doc_id offset per copy.
+  *  - embeddings: per-copy deterministic SIGN FLIPS (norm- and
+  *    within-copy-cosine-preserving; copy 0 is the identity).
+  *  - events: per-copy id-space offsets on event_id/user_id, so distinct
+  *    cardinalities grow exactly linearly with N.
+  *
+  * Methodology: each replicated corpus is WRITTEN TO PARQUET first (not
+  * timed) and the library call is timed reading that parquet — the same
+  * input shape the bench uses, so per-row scan cost is constant across
+  * sizes and the growth curve isolates the operator. Two passes per
+  * measurement; both printed (pass 1 carries the plan/codegen one-time
+  * cost, pass 2 is the steady-state signal).
+  *
+  * Usage: `BenchGrowth [dsir|sq8ivf|profile|all]` with
+  * SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+  */
+object BenchGrowth {
+
+  private val tmpRoot = "/tmp/graft-growth"
+
+  private def noopTime(df: DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Write once (keyed by name) and read back — replication cost stays
+    * out of the timed region. `partitionBy` stages a hive-partitioned
+    * layout (the celled-corpus scale path). */
+  private def staged(spark: SparkSession, name: String,
+                     partitionBy: Seq[String] = Nil)
+                    (build: => DataFrame): DataFrame = {
+    val path = s"$tmpRoot/$name"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      val w = build.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(path)
+    }
+    spark.read.parquet(path)
+  }
+
+  private val abc = "abcdefghijklmnopqrstuvwxyz"
+  private val letters = abc + abc.toUpperCase
+
+  private def rotated(r: Int): String = {
+    val lo = abc.drop(r) + abc.take(r)
+    lo + lo.toUpperCase
+  }
+
+  private def replicateDocs(base: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { c =>
+      base.select(
+        (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
+        (if (c == 0) col("text")
+         else translate(col("text"), letters, rotated(c % 26))).as("text"),
+        col("lang"))
+    }.reduce(_ unionAll _)
+
+  private def replicateEmb(base: DataFrame, copies: Int,
+                           dims: Int): DataFrame =
+    (0 until copies).map { c =>
+      val h = c.toLong * 0x9E3779B97F4A7C15L
+      val signs = Array.tabulate(dims) { d =>
+        if (c != 0 && ((h >>> (d % 63)) & 1L) == 1L) -1f else 1f
+      }
+      base.select(
+        (col("vec_id") + lit(c.toLong * 1000000L)).as("vec_id"),
+        zip_with(col("embedding"), array(signs.map(lit(_)): _*),
+          (x, s) => x * s).as("embedding"))
+    }.reduce(_ unionAll _)
+
+  private def replicateEvents(base: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { c =>
+      base.select(
+        (col("event_id") + lit(c.toLong * 1000000000L)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(c.toLong * 100000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+
+  def main(args: Array[String]): Unit = {
+    val which = if (args.isEmpty) "all" else args(0)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    def report(s: String): Unit = { println(s); lines += s }
+
+    if (which == "all" || which == "dsir") {
+      val docs = io.Sources.table(spark, sfDir, "documents")
+        .select("doc_id", "text", "lang")
+      for (n <- Seq(1, 4, 16)) {
+        val d = staged(spark, s"docs_x$n")(replicateDocs(docs, n))
+        val rows = d.count()
+        val ts = (1 to 2).map { _ =>
+          val t = noopTime(
+            ext.Dsir.importanceWeights(d, col("lang") === "en"))
+          ext.Dedup.releaseScratch()
+          t
+        }
+        report(f"dsir docs=$rows%d pass1=${ts(0)}%.2f pass2=${ts(1)}%.2f")
+      }
+    }
+
+    if (which == "all" || which == "sq8ivf") {
+      val emb = io.Sources.table(spark, sfDir, "embeddings")
+        .select("vec_id", "embedding")
+      for ((n, cells) <- Seq((1, 16), (10, 64), (50, 128))) {
+        val e = staged(spark, s"emb_x$n")(replicateEmb(emb, n, dims = 64))
+        val rows = e.count()
+        // train the coarse quantizer at cells ~ √N (the IVF contract:
+        // cell population stays ~constant, so per-query scan volume does
+        // too); the celled corpus is then staged to parquet so the timed
+        // region is the sq8IvfTopK search alone.
+        val t0 = System.nanoTime()
+        val idx = ext.Ivf.build(e, cells = cells)
+        val celled = staged(spark, s"emb_cells_x$n")(
+          idx.assignments.withColumnRenamed("cell", "label"))
+        val trainS = (System.nanoTime() - t0) / 1e9
+        idx.release()
+        val q = celled.filter(col("vec_id") < 10)
+        val ts = (1 to 2).map(_ =>
+          noopTime(ext.Similarity.sq8IvfTopK(q, celled)))
+        // The broadcast-probe join never shuffles the corpus but still
+        // READS all N rows — the linear term at growing N. The 100 TB
+        // posture stores the celled corpus hive-partitioned by cell;
+        // restricting the corpus to the (tiny, collectable) set of query
+        // cells is then PARTITION PRUNING, cutting the scan itself to
+        // nprobe·|q| cells. The restriction is lossless: the join is an
+        // equi-join on the cell, so non-query cells contribute nothing.
+        val part = staged(spark, s"emb_cells_part_x$n",
+          partitionBy = Seq("label"))(celled)
+        val pruned = (1 to 2).map { _ =>
+          // the cell-set collect is part of the query's honest cost
+          // (bounded: one row per query)
+          val t0 = System.nanoTime()
+          val qCells = q.select("label").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          ext.Similarity.sq8IvfTopK(q,
+              part.filter(col("label").isInCollection(qCells)))
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        report(f"sq8ivf vectors=$rows%d cells=$cells%d train=$trainS%.2f " +
+          f"search1=${ts(0)}%.2f search2=${ts(1)}%.2f " +
+          f"pruned1=${pruned(0)}%.2f pruned2=${pruned(1)}%.2f")
+      }
+    }
+
+    if (which == "all" || which == "profile") {
+      val events = io.Sources.table(spark, sfDir, "events")
+      for (n <- Seq(1, 10, 100)) {
+        val e = staged(spark, s"events_x$n")(replicateEvents(events, n))
+        val rows = e.count()
+        val ex = (1 to 2).map(_ =>
+          noopTime(queries.ProfilingQueries.profileExact(e)))
+        val sk = (1 to 2).map(_ =>
+          noopTime(queries.ProfilingQueries.profileSketch(e)))
+        report(f"profile rows=$rows%d exact1=${ex(0)}%.2f " +
+          f"exact2=${ex(1)}%.2f sketch1=${sk(0)}%.2f sketch2=${sk(1)}%.2f")
+      }
+    }
+
+    println("== summary ==")
+    lines.foreach(println)
+    spark.stop()
+  }
+}

@@ -47,7 +47,12 @@ def main() -> int:
         s = sorted(xs)
         n = len(s)
         return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
-    degraded = False
+    # Each canary series gates ONLY its own phase's flags: a climbing warm
+    # canary says nothing about the cold pass (and vice versa), so demoting
+    # both would let a genuine regression in the healthy phase hide behind
+    # the other phase's degradation.
+    degraded_phase = {"queries": False, "queries_warm": False}
+    phase_of = {"canary_cold": "queries", "canary_warm": "queries_warm"}
     canary_lines = []
     for key in ("canary_cold", "canary_warm"):
         series = new.get(key) or []
@@ -55,10 +60,10 @@ def main() -> int:
             med_h = median(series[: len(series) // 2])
             med_t = median(series[len(series) // 2:])
             bad = med_t >= med_h * 2 and med_t - med_h >= 1.0
-            degraded = degraded or bad
+            degraded_phase[phase_of[key]] = bad
             verdict = ("SESSION DEGRADATION suspected — median canary "
-                       f"{med_h:.2f}s -> {med_t:.2f}s; treat per-query "
-                       "numbers as suspect"
+                       f"{med_h:.2f}s -> {med_t:.2f}s; treat this phase's "
+                       "per-query numbers as suspect"
                        if bad
                        else f"flat (medians {med_h:.2f}s -> {med_t:.2f}s)")
             canary_lines.append(f"canary {key[7:]}: {verdict}")
@@ -83,18 +88,20 @@ def main() -> int:
     for phase, q, t_old, t_new in restated:
         print(f"RESTATED warm {q}: {t_old:.2f}s -> {t_new:.2f}s "
               f"(pre-r6 warm was a resume no-op; see BASELINE.md)")
-    # Under a degraded-session verdict, per-query flags are demoted to
-    # SUSPECT (informational, excluded from the strict exit code): the
-    # canary proves the box/JVM slowed down globally, so individual
-    # elevations can't be attributed to the queries. Rerun via
-    # `graft.BenchOne <q> 3` before believing any of them.
-    label = "SUSPECT (canary-degraded session)" if degraded else "REGRESS"
+    # Under a degraded-session verdict, that phase's flags are demoted to
+    # SUSPECT (informational, excluded from the regression count): the
+    # canary proves the box/JVM slowed down globally during that phase, so
+    # individual elevations can't be attributed to the queries. Rerun via
+    # `graft.BenchOne <q> 3` before believing any of them. The OTHER phase's
+    # flags keep their REGRESS status — its canary was flat.
+    demoted = [r for r in regress if degraded_phase[r[0]]]
     for phase, q, t_old, t_new in sorted(regress, key=lambda r: r[3] - r[2],
                                          reverse=True):
+        label = ("SUSPECT (canary-degraded session)"
+                 if degraded_phase[phase] else "REGRESS")
         print(f"{label} {phase[8:] or 'cold'} {q}: "
               f"{t_old:.2f}s -> {t_new:.2f}s ({t_new / t_old:.1f}x)")
-    if degraded:
-        regress = []
+    regress = [r for r in regress if not degraded_phase[r[0]]]
     gone = set(old.get("queries", {})) - set(new.get("queries", {}))
     for q in sorted(gone):
         print(f"MISSING {q}: present at HEAD, absent now")
@@ -109,8 +116,16 @@ def main() -> int:
           f"{new.get('value', 0):.1f}s, warm {ow:.1f}s -> {nw:.1f}s, "
           f"queries {len(old.get('queries', {}))} -> "
           f"{len(new.get('queries', {}))}; "
-          f"{len(regress)} regressions, {len(gone)} missing")
-    return 1 if strict and (regress or gone) else 0
+          f"{len(regress)} regressions, {len(demoted)} demoted-to-suspect, "
+          f"{len(gone)} missing")
+    # Strict mode: 1 on confirmed regressions/missing queries; 2 when flags
+    # were demoted by a degraded canary — distinct so CI still surfaces the
+    # suspect run instead of reading it as clean.
+    if strict and (regress or gone):
+        return 1
+    if strict and demoted:
+        return 2
+    return 0
 
 
 if __name__ == "__main__":
