@@ -254,21 +254,118 @@ object Similarity {
     * at least one table's bucket, then the exact (rounded) cosine filter
     * keeps true near-dups. The hash-bucketed alternative to the IVF-cell
     * pairing in Dedup.embeddingNearDup — no trained structure needed, and
-    * bucket sizes are probabilistically bounded regardless of data skew. */
+    * bucket sizes are probabilistically bounded regardless of data skew.
+    *
+    * Pair generation runs at DISTINCT-VECTOR grain — the content-addressed
+    * trick at embedding granularity. Near-dup corpora carry heavy
+    * exact-duplicate vector mass (the multimodal fixture: 5,000 ids over
+    * 50 distinct pixel-feature vectors), and both the LSH signature and
+    * the pair cosine are pure functions of the VECTOR — so identical
+    * vectors are grouped first (one hash-agg; the group id is the minimum
+    * member id), banding + cosine filtering pair only group
+    * representatives, and surviving group pairs expand back to id pairs.
+    * The candidate stage thus scales with |distinct vectors|², never
+    * corpus²: the id-grain formulation generated ~4M candidate pairs on
+    * the multimodal corpus at sf0.1 (every copy × every copy, landing in
+    * a handful of skewed buckets whose explode ran effectively
+    * single-core); the rep-grain stage generates ≤ 50²/2. The expansion
+    * is at RESULT grain — its output IS the answer set, which no
+    * formulation can shrink. Result-identical to the id-grain pairing:
+    * identical vectors share every table's signature, so a group-pair
+    * collides iff its members collided, within-group pairs (cosine
+    * computed, not assumed — zero vectors yield null cosine and drop, as
+    * before) are exactly the identical-id pairs, and least/greatest
+    * restores the id_a < id_b orientation. The cosine filter also runs
+    * BEFORE the final exchange (filter-then-distinct ≡
+    * distinct-then-filter for a pair-pure function), so candidate pairs
+    * never cross a shuffle. Pinned by SimilaritySpec and the
+    * multimodal/sim oracle entries. */
   def nearDupLsh(emb: DataFrame, threshold: Double = 0.9, tables: Int = 4,
                  planesPerTable: Int = 8, idCol: String = "vec_id",
                  vecCol: String = "embedding", dims: Int = -1): DataFrame = {
-    val pairs = Dedup.candidatesFromSignatures(
-      signLshBanded(emb, tables, planesPerTable, idCol, vecCol, dims), idCol,
-      bucketKeys = Seq("table", "sig"))
-      .withColumnRenamed("doc_a", "id_a").withColumnRenamed("doc_b", "id_b")
-    val vecs = emb.select(col(idCol), col(vecCol))
-    pairs
-      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), "id_a")
-      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb")), "id_b")
-      .withColumn("cosine", cosineRounded(col("va"), col("vb")))
+    // scratch-persisted (the setsim precedent): the grouped table feeds
+    // FIVE consumers (signature build, bucket vec join, both expansion
+    // sides, within-group pairs) — without it each consumer re-scans the
+    // corpus and re-runs the group hash-agg. Released by the runner after
+    // the query's action (Dedup.releaseScratch).
+    val groups = Dedup.persistScratch(emb.select(col(idCol), col(vecCol))
+      .groupBy(col(vecCol))
+      .agg(sort_array(collect_set(col(idCol))).as("gids"))
+      .withColumn("gid", col("gids").getItem(0)))
+    val reps = groups.select(col("gid"), col(vecCol))
+    val sigs = signLshBanded(reps, tables, planesPerTable, "gid", vecCol,
+        dims)
+      .join(reps, Seq("gid"))
+    // also scratch-persisted: the direct/chunked branch split below reads
+    // the bucket table twice
+    val buckets = Dedup.persistScratch(sigs
+      .groupBy(col("table"), col("sig"))
+      .agg(sort_array(collect_set(
+        struct(col("gid").as("id"), col(vecCol).as("v")))).as("elems"))
+      .filter(size(col("elems")) > 1))
+    // Explicit repartition (fixed N, so AQE leaves it alone): bucket rows
+    // are a few KB of bytes but carry Σ|bucket|² of downstream explode +
+    // cosine work — AQE's size-based coalescing would fold the pair stage
+    // onto one reducer. The exchange moves only compact bucket lists.
+    val n = buckets.sparkSession.sessionState.conf.numShufflePartitions
+    def pairCosine(exploded: DataFrame): DataFrame = exploded
+      .withColumn("cosine", cosineRounded(col("a.v"), col("b.v")))
       .filter(col("cosine") >= threshold)
-      .select("id_a", "id_b", "cosine")
+      .select(col("a.id").as("gid_a"), col("b.id").as("gid_b"),
+        col("cosine"))
+    // A HOT bucket (a signature most of the corpus collapses into — e.g.
+    // low-dim all-positive vectors agree with most hyperplanes) would run
+    // its entire |bucket|² pair scan on one core no matter how buckets
+    // are spread. Buckets past `hotBucket` elements therefore emit their
+    // partner tails as ≤`blk`-element BLOCK rows first, and the blocks
+    // round-robin across the cluster before the pair explode + cosine —
+    // the expensive per-pair stage parallelizes; what stays bucket-local
+    // is only the O(|bucket|²/blk · blk) slice memcpy. Small buckets keep
+    // the direct two-explode path (no block shuffle: for healthy banding
+    // it would add a ~corpus-sized exchange for nothing). Measured on the
+    // adversarial stub-feature corpus (one ~2.8k-element bucket, ~4M
+    // pairs): the pair stage drops from ~3 s single-core to sub-second.
+    val hotBucket = 512
+    val blk = 256
+    val direct = buckets.filter(size(col("elems")) < hotBucket)
+      .repartition(n, col("table"), col("sig"))
+      .select(col("elems"), posexplode(col("elems")).as(Seq("i", "a")))
+      .select(col("a"), explode(
+        slice(col("elems"), col("i") + lit(2), size(col("elems")))).as("b"))
+    val chunked = buckets.filter(size(col("elems")) >= hotBucket)
+      .select(col("elems"), posexplode(col("elems")).as(Seq("i", "a")))
+      // the last element has no partner tail; sequence(start > stop, +step)
+      // THROWS in Spark (it is not an empty array), so drop it here
+      .filter(col("i") + lit(2) <= size(col("elems")))
+      .select(col("a"), explode(expr(
+        s"transform(sequence(i + 2, size(elems), $blk)," +
+          s" s -> slice(elems, s, $blk))")).as("blk"))
+      .repartition(n)
+      .select(col("a"), explode(col("blk")).as("b"))
+    val repPairs = pairCosine(direct).unionByName(pairCosine(chunked))
+      .distinct()
+    val cross = repPairs
+      .join(groups.select(col("gid").as("gid_a"), col("gids").as("ids_a")),
+        "gid_a")
+      .join(groups.select(col("gid").as("gid_b"), col("gids").as("ids_b")),
+        "gid_b")
+      .select(explode(col("ids_a")).as("x"), col("ids_b"), col("cosine"))
+      .select(col("x"), explode(col("ids_b")).as("y"), col("cosine"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("cosine"))
+    val within = groups.filter(size(col("gids")) > 1)
+      .withColumn("cosine", cosineRounded(col(vecCol), col(vecCol)))
+      .filter(col("cosine") >= threshold)
+      .select(col("gids"), col("cosine"),
+        posexplode(col("gids")).as(Seq("i", "id_a")))
+      .select(col("id_a"), explode(
+        slice(col("gids"), col("i") + lit(2), size(col("gids"))))
+        .as("id_b"), col("cosine"))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+    // no distinct over the union: repPairs is already distinct at group
+    // grain, each group pair expands each id pair once, and cross ∩
+    // within = ∅ (different vs same group)
+    cross.unionByName(within)
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -78,6 +78,35 @@ class SimilaritySpec extends SparkSpec {
     cos.foreach(c => assert(c >= 0.9))
   }
 
+  test("nearDupLsh hot-bucket chunked path equals brute force (one giant bucket)") {
+    // 600 distinct vectors = base + per-id tiny perturbations, all with
+    // pairwise cosine ≈ 1: every vector lands in the SAME signature bucket
+    // of every table (identical hyperplane signs), which is exactly the
+    // degenerate shape the >= hotBucket(512) block-chunked pair path
+    // exists for. Expected output under a generous threshold: ALL C(600,2)
+    // pairs — pinning that the chunk boundaries lose no pair and duplicate
+    // none. A second corpus built from 3 distinct vectors × 200 copies
+    // each pins the group-expansion arithmetic (within + cross counts).
+    val base = randVec(7)
+    val many = (0L until 600L).map { i =>
+      val v = base.clone(); v(0) = v(0) + i.toFloat * 1e-5f
+      (i, 0, v)
+    }.toDF("vec_id", "label", "embedding")
+    val n = Similarity.nearDupLsh(many, threshold = 0.5).count()
+    assert(n == 600L * 599L / 2, s"expected all pairs, got $n")
+
+    val copies = (0L until 600L).map(i =>
+      (i, 0, randVec((i % 3L).toInt))).toDF("vec_id", "label", "embedding")
+    val pairs = Similarity.nearDupLsh(copies, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // identical-vector groups of 200: within-group pairs only (the 3
+    // random 16-dim directions are far apart), each pair exactly once
+    assert(pairs.length == 3 * (200 * 199 / 2))
+    assert(pairs.distinct.length == pairs.length)
+    pairs.foreach { case (a, b) =>
+      assert(a < b && (a % 3) == (b % 3), s"bad pair ($a,$b)") }
+  }
+
   test("signLsh is deterministic and bucket-compatible for identical vectors") {
     val dup = Seq((999L, 0, randVec(7))).toDF("vec_id", "label", "embedding")
     val sigs = Similarity.signLsh(corpus.union(dup))
