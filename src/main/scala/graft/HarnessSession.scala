@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared session builder for the bench harnesses (Bench / BenchOne /
+  * BenchGrowth), honoring the same SPARK_GRAFT_MASTER override as
+  * [[Verify]]: `local-cluster[n,cores,mem]` forks real Worker-launched
+  * executor JVMs, putting genuine process-boundary serialization and
+  * shuffle wire costs under the TIMED path — the last term of the 100×
+  * extrapolation `local[*]` cannot measure (there, broadcast handoff is a
+  * same-classloader reference and "shuffle" is an in-heap array move). */
+object HarnessSession {
+  def build(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster")) {
+      // forked executors get SPARK_HOME/jars but not this sbt build's
+      // classes dir (CNFE otherwise), and the JVM default timezone does
+      // not propagate (only SQL confs do) — same provisions as Verify
+      val classesDir = new java.io.File("target/scala-2.13/classes")
+        .getAbsolutePath
+      builder
+        .config("spark.executor.extraClassPath", classesDir)
+        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
+    }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

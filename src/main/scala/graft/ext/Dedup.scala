@@ -117,7 +117,9 @@ object Dedup {
 
   /** Candidate pairs from any (id, bucketKeys...) signature table: ids
     * sharing a bucket, deduplicated, as (doc_a, doc_b) with doc_a < doc_b.
-    * Shared by the MinHash families here and Similarity.nearDupLsh.
+    * Used by the MinHash families here (Similarity.nearDupLsh kept this
+    * shape until round 9, when it moved to distinct-vector-grain pairing
+    * with the cosine filter fused into the explode — see its scaladoc).
     *
     * Formulated as group-by-bucket + in-bucket pair expansion, NOT a
     * self-join: the signature pipeline is consumed ONCE (no persist to
