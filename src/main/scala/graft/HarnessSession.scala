@@ -17,7 +17,9 @@ object HarnessSession {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // overridable default (builder .config beats -D; see Verify)
+      .config("spark.sql.adaptive.enabled",
+        sys.props.getOrElse("spark.sql.adaptive.enabled", "true"))
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster")) {
       // forked executors get SPARK_HOME/jars but not this sbt build's

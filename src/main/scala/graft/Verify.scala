@@ -78,7 +78,13 @@ object Verify {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      // default-on, but overridable: builder .config BEATS -D system
+      // properties in Spark's precedence, so a hard-coded value here would
+      // silently nullify a GRAFT_EXTRA_JAVA_OPTS AQE-off sweep (found in
+      // round 9 — the r7 "AQE-off" matrix row had exactly that hole and
+      // was re-run after this fix)
+      .config("spark.sql.adaptive.enabled",
+        sys.props.getOrElse("spark.sql.adaptive.enabled", "true"))
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster")) {
       // Executor JVMs are forked by the in-process Worker from SPARK_HOME's
@@ -96,6 +102,14 @@ object Verify {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // echo the effective hostile-mode switches so a sweep's artifact
+    // proves which mode actually ran (not just which flags were passed)
+    System.err.println("[verify] effective modes: adaptive=" +
+      spark.conf.get("spark.sql.adaptive.enabled") +
+      " wholeStageCodegen=" + spark.conf.get("spark.sql.codegen.wholeStage") +
+      " ansi=" + spark.conf.get("spark.sql.ansi.enabled") +
+      " objectHashAgg=" +
+      spark.conf.get("spark.sql.execution.useObjectHashAggregateExec"))
     // one materialization of the shared enriched frame for the whole run;
     // never fatal — queries that don't touch it must still verify.
     // NonFatal only: an OOM/linkage error must abort the JVM, not cascade
