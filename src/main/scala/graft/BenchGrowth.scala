@@ -123,6 +123,16 @@ object BenchGrowth {
         }
         report(f"dsir docs=$rows%d pass1=${ts(0)}%.2f pass2=${ts(1)}%.2f")
       }
+      // same-JVM reference point: the bench-shaped staged query
+      // (sharedTokens cache + lang join + orderBy) on the sf corpus, to
+      // separate staged-path overhead from the library call itself
+      val qs = (1 to 3).map { _ =>
+        val t = noopTime(SparkEntry.queries("f_dsir_weights")(spark, sfDir))
+        ext.Dedup.releaseScratch()
+        t
+      }
+      report(f"dsir bench-shape (staged+orderBy) passes=" +
+        qs.map(t => f"$t%.2f").mkString(","))
     }
 
     if (which == "all" || which == "sq8ivf") {

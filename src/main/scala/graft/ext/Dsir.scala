@@ -74,8 +74,13 @@ object Dsir {
         col("toks")
       case None => TextAnalysis.tokens(TextAnalysis.normalize(col(textCol)))
     }
-    val toks = docs
-      .select(col(idCol), targetPred.as("is_target"), toksExpr.as("toks"))
+    // scatter-guarded: on the RAW-text branch a single-file corpus would
+    // otherwise tokenize + bigram-explode on ONE core (measured: 3.5-4 s
+    // vs 0.8 s at sf0.1 — the same class of hazard io.Sources.scatter
+    // exists for); on the staged branch the upstream join/agg makes the
+    // plan "wide" and scatter is a no-op
+    val toks = graft.io.Sources.scatter(docs
+      .select(col(idCol), targetPred.as("is_target"), toksExpr.as("toks")))
       .filter(col("toks").isNotNull && size(col("toks")) >= 2)
       .select(col(idCol), col("is_target"),
         explode(expr(
