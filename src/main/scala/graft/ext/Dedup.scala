@@ -483,7 +483,10 @@ object Dedup {
   def setSimilarityPairs(docs: DataFrame, t100: Int = 95): DataFrame = {
     require(t100 > 0 && t100 <= 100, s"threshold must be in (0,100]: $t100")
     val t = t100.toLong
-    val tok = docs
+    // scatter-guarded like every other corpus-scan entry point: the
+    // tokenize+explode+md5 map side of the freq aggregate would otherwise
+    // run on however few partitions the source file yields
+    val tok = scatter(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("tok"))
       .filter(length(col("tok")) > 0)
