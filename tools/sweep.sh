@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Re-run the full SCALE.md invariance matrix at HEAD: seven hostile-mode
+# differential sweeps, each expected to print "== 221 pass, 0 fail".
+# Verify echoes the EFFECTIVE mode switches per run (see the r9 note in
+# SCALE.md: builder .config beats -D, so trust the echo, not the flag).
+# Usage: tools/sweep.sh [sfDir]   (default /root/testdata/sf0.01)
+set -uo pipefail
+cd "$(dirname "$0")/.."
+SF="${1:-/root/testdata/sf0.01}"
+run() {
+  local label="$1"; shift
+  echo "=== SWEEP $label start $(date +%T)"
+  "$@" tools/check.sh "$SF" 2>/tmp/graft_sweep_err.log | tail -1 \
+    | sed "s/^/=== SWEEP $label RESULT: /"
+  grep "effective modes" /tmp/graft_sweep_err.log | head -1
+}
+run default        env
+run aqe-off        env GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.adaptive.enabled=false"
+run codegen-off    env GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.codegen.wholeStage=false -Dspark.sql.codegen.factoryMode=NO_CODEGEN"
+run ansi-off       env GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.ansi.enabled=false"
+run sort-typed-agg env GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.execution.useObjectHashAggregateExec=false"
+run part7          env SPARK_GRAFT_CPUS=7
+run local-cluster  env SPARK_GRAFT_MASTER='local-cluster[2,4,4096]' \
+                       SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+                       SPARK_GRAFT_CPUS=8
+echo "=== SWEEP all done $(date +%T)"
