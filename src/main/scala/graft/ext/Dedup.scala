@@ -135,10 +135,18 @@ object Dedup {
   private[ext] def candidatesFromSignatures(sigRaw: DataFrame, idCol: String,
       bucketKeys: Seq[String] = Seq("band", "sig")): DataFrame = {
     val keys = bucketKeys.map(col)
-    sigRaw
+    val buckets = sigRaw
       .groupBy(keys: _*)
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
+    // Explicit fixed-N repartition before the pair explode (the
+    // nearDupLsh precedent, round 9): bucket rows are few BYTES but carry
+    // Σ|bucket|² of downstream work, and AQE's size-based coalescing
+    // would fold the whole explode onto one reducer. The exchange moves
+    // only the compact bucket lists.
+    val n = sigRaw.sparkSession.sessionState.conf.numShufflePartitions
+    buckets
+      .repartition(n, keys: _*)
       // stage 1: one row per (list, position). posexplode is 0-based.
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
       // stage 2: partners after position i in the ascending-sorted list —
