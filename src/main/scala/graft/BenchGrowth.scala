@@ -109,11 +109,12 @@ object BenchGrowth {
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     def report(s: String): Unit = { println(s); lines += s }
 
+    val docs1 = io.Sources.table(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang")
+
     if (which == "all" || which == "dsir") {
-      val docs = io.Sources.table(spark, sfDir, "documents")
-        .select("doc_id", "text", "lang")
       for (n <- Seq(1, 4, 16)) {
-        val d = staged(spark, s"docs_x$n")(replicateDocs(docs, n))
+        val d = staged(spark, s"docs_x$n")(replicateDocs(docs1, n))
         val rows = d.count()
         val ts = (1 to 2).map { _ =>
           val t = noopTime(
@@ -133,6 +134,35 @@ object BenchGrowth {
       }
       report(f"dsir bench-shape (staged+orderBy) passes=" +
         qs.map(t => f"$t%.2f").mkString(","))
+    }
+
+    if (which == "all" || which == "textops") {
+      // growth rows for the remaining heavy text families: BPE training
+      // (vocab is Heaps-law bounded, but letter-rotated copies carry
+      // DISTINCT vocabularies, so this measures the worst case — vocab
+      // growing ~linearly with corpus), sequence packing (sharded cumsum,
+      // no global serialization point), and paragraph dedup (one
+      // hash-agg at paragraph grain)
+      for (n <- Seq(1, 4, 16)) {
+        val d = staged(spark, s"docs_x$n")(replicateDocs(docs1, n))
+        val rows = d.count()
+        val bpe = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val merges = ext.Bpe.trainMerges(ext.Bpe.wordCounts(d), 10)
+          require(merges.length == 10)
+          (System.nanoTime() - t0) / 1e9
+        }
+        val pack = (1 to 2).map(_ => noopTime(
+          ext.Packing.packPlan(d, budget = 512, shards = 8)))
+        val para = (1 to 2).map { _ =>
+          val t = noopTime(ext.Dedup.paragraphDedup(d))
+          ext.Dedup.releaseScratch()
+          t
+        }
+        report(f"textops docs=$rows%d bpe10=${bpe(0)}%.2f/${bpe(1)}%.2f " +
+          f"pack=${pack(0)}%.2f/${pack(1)}%.2f " +
+          f"paradedup=${para(0)}%.2f/${para(1)}%.2f")
+      }
     }
 
     if (which == "all" || which == "sq8ivf") {

@@ -40,7 +40,9 @@ object Bpe {
   /** The Heaps-law corpus compression: normalized lowercase letter-words with
     * occurrence counts. The ONLY corpus-sized job in training. */
   def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs
+    // scatter-guarded: normalize+split+explode run map-side before the
+    // count aggregate and would otherwise inherit the source partitioning
+    graft.io.Sources.scatter(docs.select(col(textCol)))
       .select(explode(split(TextAnalysis.normalize(col(textCol)), " "))
         .as("word"))
       .filter(col("word").rlike("^[a-z]+$"))

@@ -33,7 +33,9 @@ object Packing {
     require(shards >= 1, s"shards must be positive, got $shards")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.filter(col(idCol).isNotNull)
+    // scatter-guarded: tokenization runs map-side BEFORE the shard
+    // exchange and would otherwise inherit the source file's partitioning
+    graft.io.Sources.scatter(docs.filter(col(idCol).isNotNull))
       .select(col(idCol),
         pmod(col(idCol), lit(shards.toLong)).as("shard"),
         size(TextAnalysis.tokens(TextAnalysis.normalize(col("text"))))
