@@ -63,7 +63,10 @@ object BenchGrowth {
     lo + lo.toUpperCase
   }
 
-  private def replicateDocs(base: DataFrame, copies: Int): DataFrame =
+  private def replicateDocs(base: DataFrame, copies: Int): DataFrame = {
+    // rotation k is only a bijection with DISTINCT cross-copy content for
+    // k in 0..25; copy 26 would alias copy 0 and silently duplicate it
+    require(copies <= 26, s"letter rotation supports <= 26 copies: $copies")
     (0 until copies).map { c =>
       base.select(
         (col("doc_id") + lit(c.toLong * 10000000L)).as("doc_id"),
@@ -71,6 +74,7 @@ object BenchGrowth {
          else translate(col("text"), letters, rotated(c % 26))).as("text"),
         col("lang"))
     }.reduce(_ unionAll _)
+  }
 
   private def replicateEmb(base: DataFrame, copies: Int,
                            dims: Int): DataFrame =
