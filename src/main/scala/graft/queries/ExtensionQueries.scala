@@ -1070,7 +1070,10 @@ object ExtensionQueries extends QueryGroup {
         col("n_frames")) ++
         (0 until 8).map(i =>
           element_at(col("feature"), i + 1).cast("int").as(s"f$i")): _*)
-      .orderBy("media_id")
+    // no ORDER BY (the setsim precedent): a global sort's range-sample
+    // pass re-runs everything after the last exchange — here the ENTIRE
+    // mapPartitions decode, doubling the query — for presentation order
+    // the differential compare doesn't need
   }
 
   private val multimodalDecodeImageOracle: String = {
@@ -1126,7 +1129,8 @@ object ExtensionQueries extends QueryGroup {
         col("n_samples")) ++
         (0 until 8).map(i =>
           element_at(col("feature"), i + 1).cast("int").as(s"f$i")): _*)
-      .orderBy("media_id")
+    // no ORDER BY — same rationale as multimodalDecodeImage: the sort's
+    // sampling pass would run the WAV decode twice
   }
 
   private val multimodalDecodeAudioOracle: String = {

@@ -522,7 +522,9 @@ object TrainingQueries extends QueryGroup {
       .join(Sources.table(s, dir, "documents").select("doc_id", "lang"),
         "doc_id")
     Dsir.importanceWeights(withLang, col("lang") === "en")
-      .orderBy("doc_id")
+    // no ORDER BY (the setsim/decode precedent): the sort's range-sample
+    // pass would re-execute the zipWithIndex selection chain a second
+    // time for presentation order the differential compare doesn't need
   }
 
   private val dsirOracle: String =
