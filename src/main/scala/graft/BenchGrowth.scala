@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   *    within-copy-cosine-preserving; copy 0 is the identity).
   *  - events: per-copy id-space offsets on event_id/user_id, so distinct
   *    cardinalities grow exactly linearly with N.
+  *  - lineitem (graph mode): per-copy id offsets on BOTH l_orderkey and
+  *    l_partkey — each copy is a vertex-disjoint replica of the
+  *    co-purchase graph, so edges, triangles, and PageRank structure all
+  *    grow exactly linearly with N (no cross-copy edges can form: no
+  *    order key is shared between copies).
   *
   * Methodology: each replicated corpus is WRITTEN TO PARQUET first (not
   * timed) and the library call is timed reading that parquet — the same
@@ -27,8 +32,8 @@ import org.apache.spark.sql.functions._
   * measurement; both printed (pass 1 carries the plan/codegen one-time
   * cost, pass 2 is the steady-state signal).
   *
-  * Usage: `BenchGrowth [dsir|sq8ivf|profile|all]` with
-  * SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+  * Usage: `BenchGrowth [dsir|textops|sq8ivf|profile|graph|sparsecos|all]`
+  * with SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
   */
 object BenchGrowth {
 
@@ -211,6 +216,57 @@ object BenchGrowth {
         report(f"sq8ivf vectors=$rows%d cells=$cells%d train=$trainS%.2f " +
           f"search1=${ts(0)}%.2f search2=${ts(1)}%.2f " +
           f"pruned1=${pruned(0)}%.2f pruned2=${pruned(1)}%.2f")
+      }
+    }
+
+    if (which == "all" || which == "graph") {
+      // growth rows for the iterative graph family. The queries read
+      // `lineitem` through Sources.table, so each size is staged as a
+      // miniature sfDir holding only the replicated two-column lineitem
+      // projection (the only table the graph queries touch) and the
+      // UNCHANGED SparkEntry entries are timed against it — the growth
+      // curve measures the exact bench plans, localCheckpoints and all.
+      // Questions under test: triangleCount's wedge join is Σ outdeg²
+      // (degree-bounded by orientation) and pagerank shuffles the edge
+      // table once per iteration — both should grow ~linearly on
+      // vertex-disjoint copies, with parallelism absorbing much of it.
+      val li = io.Sources.table(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+      for (n <- Seq(1, 4, 16)) {
+        // Sources.table reads <dir>/<name>.parquet, so stage under the
+        // exact name the unchanged query will look up.
+        val dir = s"$tmpRoot/graph_x$n"
+        val rows = staged(spark, s"graph_x$n/lineitem.parquet") {
+          (0 until n).map { c =>
+            li.select(
+              (col("l_orderkey") + lit(c.toLong * 100000000L))
+                .as("l_orderkey"),
+              (col("l_partkey") + lit(c.toLong * 10000000L))
+                .as("l_partkey"))
+          }.reduce(_ unionAll _)
+        }.count()
+        val tri = (1 to 2).map(_ => noopTime(
+          SparkEntry.queries("g_triangle_count")(spark, dir)))
+        val pr = (1 to 2).map(_ => noopTime(
+          SparkEntry.queries("g_pagerank_int")(spark, dir)))
+        report(f"graph lineitem=$rows%d tri=${tri(0)}%.2f/${tri(1)}%.2f " +
+          f"pagerank=${pr(0)}%.2f/${pr(1)}%.2f")
+      }
+    }
+
+    if (which == "all" || which == "sparsecos") {
+      // growth row for the df-pruned sparse-cosine join: the posting-list
+      // pair expansion is Σ|posting|² with |posting| ≤ maxDf. Rotated
+      // copies keep within-copy postings intact and add no cross-copy
+      // letter tokens; digit-only tokens ARE shared across copies, so
+      // their df grows ~16× and the maxDf prune drops them whole — the
+      // designed discipline, exercised adversarially here.
+      for (n <- Seq(1, 4, 16)) {
+        val d = staged(spark, s"docs_x$n")(replicateDocs(docs1, n))
+        val rows = d.count()
+        val ts = (1 to 2).map(_ => noopTime(
+          ext.TextAnalysis.sparseCosinePairs(d)))
+        report(f"sparsecos docs=$rows%d pass1=${ts(0)}%.2f pass2=${ts(1)}%.2f")
       }
     }
 
