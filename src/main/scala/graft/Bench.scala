@@ -18,6 +18,10 @@ object Bench {
     // timed query that touches it pays the cache build, the rest hit it
     try queries.CoreQueries.warmShared(spark, sfDir)
     catch { case scala.util.control.NonFatal(_) => () }
+    // co-purchase edge table shared by the three graph queries; lazy, so
+    // the first timed consumer pays the one build (honest accounting)
+    try queries.GraphQueries.warmEdges(spark, sfDir)
+    catch { case scala.util.control.NonFatal(_) => () }
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     // Degradation canary: the SAME fixed cheap query re-timed every
     // `canaryEvery` queries. Its series distinguishes "a query got slower"
@@ -159,6 +163,7 @@ object Bench {
         System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
       }
     queries.CoreQueries.coolShared(spark)
+    queries.GraphQueries.coolEdges(spark)
     queries.ExtensionQueries.coolClusters(spark)
     queries.ExtensionQueries.coolIvf(spark)
     ext.TextAnalysis.coolTokens(spark)

@@ -165,19 +165,12 @@ object AnalyticsQueries extends QueryGroup {
     * naturally small (TPC-H ≤ 7 items; a production variant caps the
     * basket at top-N items, the standard guard) — and the pair count is
     * map-side combinable. Sorting inside the basket gives p1 < p2 without
-    * a distinct pass. */
+    * a distinct pass. The build lives in [[GraphQueries.edgePairs]]: the
+    * counted pair table IS the co-purchase graph's edge set, which
+    * `g_triangle_count` and `g_pagerank_int` consume too — a warmed
+    * runner materializes it once for all three. */
   private def copurchase(s: SparkSession, dir: String): DataFrame =
-    Sources.table(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts)), y ->
-          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
-      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-      .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= 2)
+    GraphQueries.sharedEdges(s, dir, checkpointFallback = false)
       .orderBy(col("n_orders").desc, col("p1").asc, col("p2").asc)
 
   private val copurchaseOracle: String =

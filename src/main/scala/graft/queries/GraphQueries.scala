@@ -13,6 +13,58 @@ import graft.io.Sources
   */
 object GraphQueries extends QueryGroup {
 
+  /** Canonical co-purchase edge build: part pairs (p1 < p2) co-ordered in
+    * ≥ 2 orders. One shuffle builds sorted per-order baskets, pair
+    * expansion is a narrow codegen'd HOF bounded by C(basket, 2), and the
+    * pair count is map-side combinable (no `distinct` pre-pass:
+    * `collect_set` dedups inside the aggregate, saving a shuffle). This is
+    * the ONE edge table THREE queries consume — `g_copurchase_pairs` (the
+    * counted pairs ARE its answer), `g_triangle_count`, and
+    * `g_pagerank_int` — each of which previously re-ran the build. */
+  private[queries] def edgePairs(s: SparkSession, dir: String): DataFrame =
+    Sources.table(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), y ->
+          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 2)
+
+  // Cross-query edge-table memo, the warmShared/sharedClusters lifecycle:
+  // long-lived runners (Verify/Bench) opt in via [[warmEdges]], after
+  // which the first consumer's action materializes ONE lazily
+  // localCheckpoint'ed edge table (at 100 TB: the graph staged to parquet
+  // once, every graph analytic reading it) and the other two consumers
+  // reuse its blocks instead of re-running the fact-table build. Unwarmed
+  // sessions (plan-shape specs, single-query use) keep today's pure
+  // per-query plans — CacheManager can't dedupe this for us because the
+  // pair-explode lambdas canonicalize differently per instantiation (the
+  // same reason the per-query localCheckpoints exist, see triangleCount).
+  private val edgesMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  def warmEdges(s: SparkSession, dir: String): Unit =
+    edgesMemo.getOrElseUpdate((s, dir), edgePairs(s, dir).localCheckpoint(false))
+
+  /** Drop memoized edge tables for `s` (all sessions if null); checkpoint
+    * blocks are ContextCleaner-reclaimed once unreferenced. */
+  def coolEdges(s: SparkSession): Unit =
+    edgesMemo.keys.filter(k => s == null || k._1 == s)
+      .foreach(edgesMemo.remove)
+
+  /** The shared edge table when warmed; otherwise a fresh build —
+    * checkpointed only when the caller has multiple consumers. */
+  private[queries] def sharedEdges(s: SparkSession, dir: String,
+      checkpointFallback: Boolean): DataFrame =
+    edgesMemo.getOrElse((s, dir), {
+      val e = edgePairs(s, dir)
+      if (checkpointFallback) e.localCheckpoint(false) else e
+    })
+
   /** Per-node triangle participation counts, by degree-ordered edge
     * orientation (the node-iterator++ algorithm of Schank & Wagner 2005 /
     * Suri & Vassilvitskii 2011 for MapReduce).
@@ -33,35 +85,24 @@ object GraphQueries extends QueryGroup {
     * both shuffle on edge keys; the closing join's probe side is the
     * (bounded) wedge set.
     *
-    * The edge set is lazily localCheckpoint'ed: its build (distinct →
-    * per-order collect_set → pair explode → ≥2-order filter, two full
-    * shuffles over the fact table) feeds FOUR consumers (degrees + both
-    * wedge sides + the closing probe), and exchange reuse cannot unify
-    * the rebuilds — the `transform` lambda subtrees canonicalize to
-    * different forms per instantiation, so even AQE's runtime stage
-    * reuse (which does dedupe the lambda-free stages) leaves the fact
-    * scan + basket-explode pipeline running once per consumer (measured
-    * on the sibling pagerank shape: 15 lineitem scans survive in the
-    * executed adaptive plan alongside 11 reused stages). One
-    * materialization of the small edge table replaces all rebuilds; the
-    * blocks are reference-tracked and reclaimed by the ContextCleaner
+    * The edge set is lazily localCheckpoint'ed (shared across the three
+    * graph queries when the runner warmed it — see [[edgePairs]]): its
+    * build (per-order collect_set → pair explode → ≥2-order filter, two
+    * full shuffles over the fact table) feeds FOUR consumers here alone
+    * (degrees + both wedge sides + the closing probe), and exchange reuse
+    * cannot unify the rebuilds — the `transform` lambda subtrees
+    * canonicalize to different forms per instantiation, so even AQE's
+    * runtime stage reuse (which does dedupe the lambda-free stages)
+    * leaves the fact scan + basket-explode pipeline running once per
+    * consumer (measured on the sibling pagerank shape: 15 lineitem scans
+    * survive in the executed adaptive plan alongside 11 reused stages).
+    * One materialization of the small edge table replaces all rebuilds;
+    * the blocks are reference-tracked and reclaimed by the ContextCleaner
     * (the multimodalNearDup precedent). */
   private def triangleCount(s: SparkSession, dir: String): DataFrame = {
     // Undirected edge set, canonical p1 < p2 — same as g_copurchase_pairs.
-    val edges = Sources.table(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts)), y ->
-          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
-      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-      .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= 2)
+    val edges = sharedEdges(s, dir, checkpointFallback = true)
       .select(col("p1"), col("p2"))
-      .localCheckpoint(false)
     val deg = edges.select(col("p1").as("node"))
       .unionAll(edges.select(col("p2").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -137,31 +178,21 @@ object GraphQueries extends QueryGroup {
     * round, which is the property that makes iterated graph algorithms
     * survive on a cluster. Symmetric edges mean no dangling mass.
     *
-    * Both the canonical edge set and the degree-annotated directed edges
-    * are lazily localCheckpoint'ed: the unrolled 3-iteration plan
-    * references them from every round, and exchange reuse cannot unify
-    * the rebuilds — the pair-explode lambdas canonicalize differently
-    * per instantiation, so even AQE's runtime stage reuse leaves the
-    * fact scan + basket explode running once per reference (measured:
-    * the un-checkpointed adaptive plan executes 15 lineitem scans with
-    * 11 reused stages, 9.6 s; checkpointed, 2.8 s cold in the same
-    * full-suite record). Materializing the edge tables once is exactly
-    * what GraphX's Pregel loop does with its cached edge RDD; blocks are
-    * ContextCleaner-reclaimed when the frames go out of scope. */
+    * Both the canonical edge set (shared across the three graph queries
+    * when the runner warmed it — see [[edgePairs]]) and the
+    * degree-annotated directed edges are lazily localCheckpoint'ed: the
+    * unrolled 3-iteration plan references them from every round, and
+    * exchange reuse cannot unify the rebuilds — the pair-explode lambdas
+    * canonicalize differently per instantiation, so even AQE's runtime
+    * stage reuse leaves the fact scan + basket explode running once per
+    * reference (measured: the un-checkpointed adaptive plan executes 15
+    * lineitem scans with 11 reused stages, 9.6 s; checkpointed, 2.8 s
+    * cold in the same full-suite record). Materializing the edge tables
+    * once is exactly what GraphX's Pregel loop does with its cached edge
+    * RDD; blocks are ContextCleaner-reclaimed when the frames go out of
+    * scope. */
   private def pagerankInt(s: SparkSession, dir: String): DataFrame = {
-    val und = Sources.table(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
-      .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts)), y ->
-          |    struct(x AS p1, y AS p2))))""".stripMargin)).as("pr"))
-      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-      .agg(count(lit(1)).as("n_orders"))
-      .filter(col("n_orders") >= 2)
-      .localCheckpoint(false)
+    val und = sharedEdges(s, dir, checkpointFallback = true)
     // symmetric directed edges; out-degree = undirected degree
     val edges = und.select(col("p1").as("src"), col("p2").as("dst"))
       .unionAll(und.select(col("p2").as("src"), col("p1").as("dst")))

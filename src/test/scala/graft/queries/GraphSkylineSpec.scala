@@ -44,6 +44,25 @@ class GraphSkylineSpec extends SparkSpec {
     graft.io.Sources.table(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
 
+  test("warmed shared edge table == unwarmed per-query builds") {
+    // the three co-purchase-graph consumers must return identical rows
+    // whether each builds its own edge table (unwarmed: plan-shape specs,
+    // single-query sessions) or all three read the one warmed
+    // materialization (Verify/Bench runners)
+    val fns = Seq(
+      GraphQueries.defs.find(_.name == "g_triangle_count").get.fn,
+      GraphQueries.defs.find(_.name == "g_pagerank_int").get.fn,
+      AnalyticsQueries.defs.find(_.name == "g_copurchase_pairs").get.fn)
+    val unwarmed = fns.map(f => f(spark, dir).collect().toSeq)
+    GraphQueries.warmEdges(spark, dir)
+    try {
+      val warmed = fns.map(f => f(spark, dir).collect().toSeq)
+      unwarmed.zip(warmed).zipWithIndex.foreach { case ((u, w), i) =>
+        assert(u == w, s"consumer $i disagrees warmed vs unwarmed")
+      }
+    } finally GraphQueries.coolEdges(spark)
+  }
+
   test("sort-sweep skyline == NOT-EXISTS dominance definition") {
     val sweep = AnalyticsQueries.defs.find(_.name == "t_skyline_pareto").get
       .fn(spark, dir)
