@@ -312,33 +312,68 @@ object OperatorQueries extends QueryGroup {
   /** Statistical aggregate surface: Pearson correlation per return flag.
     * Cross-engine float parity for one-pass corr() is not guaranteed
     * (different update formulas), so the oracle-checkable value is
-    * derived from DECIMAL-exact sums via the textbook formula — identical
-    * arithmetic in both engines — rounded to 6 dp to wash out the
-    * decimal→double 1-ulp edge at >2^53. Each engine then checks ITS OWN
-    * corr() builtin against that exact value in-plan (the bound-as-data
-    * pattern), so the row hash-matches iff both builtins agree with the
-    * exact formula. */
+    * derived from exact sums via the textbook formula — rounded to 6 dp
+    * to wash out the exact→double 1-ulp edge at >2^53. Each engine then
+    * checks ITS OWN corr() builtin against that exact value in-plan (the
+    * bound-as-data pattern), so the row hash-matches iff both builtins
+    * agree with the exact formula.
+    *
+    * The Spark side sums INTEGER CENTS via the same hi/lo-split moments
+    * as [[regrFit]] (shared builder: [[centsMoments]]) rather than
+    * per-row DECIMAL(28,4) — the decimal twin of this plan spends its
+    * time in double→BigDecimal casts (the a_regr_fit migration cut 7.8 s
+    * to ~1.4 s cold; this query paid the same tax). Correlation is
+    * scale-invariant, so the 10⁴ factors the cents introduce in the
+    * numerator and both variance terms cancel EXACTLY in the closed
+    * form; the DuckDB oracle keeps its decimal formulation (decimal sums
+    * are cheap there) and the 6-dp round reconciles the two exact paths'
+    * final-cast ulps, exactly as in a_regr_fit. */
   private def corrStats(s: SparkSession, dir: String): DataFrame = {
-    val x = col("l_quantity"); val y = col("l_extendedprice")
-    val agg = Sources.table(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
-        sum(x.cast("decimal(18,2)")).as("sx"),
-        sum(y.cast("decimal(18,2)")).as("sy"),
-        sum((x * y).cast("decimal(28,4)")).as("sxy"),
-        sum((x * x).cast("decimal(28,4)")).as("sxx"),
-        sum((y * y).cast("decimal(28,4)")).as("syy"),
-        corr(x, y).as("corr_builtin"))
-    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-    val dx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val dy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
-    val exact = num / sqrt(dx * dy)
+    val agg = centsMoments(s, dir,
+      corr(col("l_quantity"), col("l_extendedprice")) -> "corr_builtin")
+    val n = col("n").cast("decimal(38,0)")
+    val sx = col("sx_u").cast("decimal(38,0)")
+    val sy = col("sy_u").cast("decimal(38,0)")
+    val sxy = rejoin("sxy", 18); val sxx = rejoin("sxx", 12)
+    val syy = rejoin("syy", 23)
+    val num = (n * sxy - sx * sy).cast("double")
+    val dx = (n * sxx - sx * sx).cast("double")
+    val dy = (n * syy - sy * sy).cast("double")
+    val exact = num / sqrt(dx * dy) // cents 10⁴ factors cancel exactly
     agg.select(col("l_returnflag"), col("n"),
         round(exact, 6).as("corr_exact"),
         (abs(col("corr_builtin") - exact) < lit(1e-6))
           .as("builtin_matches_exact"))
       .orderBy("l_returnflag")
   }
+
+  /** Shared exact-moment builder for [[corrStats]] / [[regrFit]]: per
+    * return flag, (n, Σx, Σy, Σxy, Σx², Σy²) over integer cents with
+    * hi/lo overflow splitting (see regrFit's scaladoc for the bounds),
+    * plus one engine-builtin aggregate bound as data. */
+  private def centsMoments(s: SparkSession, dir: String,
+      builtin: (Column, String)): DataFrame = {
+    val qx = (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+    val qy = (col("l_extendedprice").cast("decimal(18,2)") * 100)
+      .cast("long")
+    val moments =
+      Seq(count(lit(1)) -> "n", sum(qx) -> "sx_u", sum(qy) -> "sy_u") ++
+        hiLo(qx * qy, 18, "sxy") ++ hiLo(qx * qx, 12, "sxx") ++
+        hiLo(qy * qy, 23, "syy") :+ builtin
+    val aggCols = moments.map { case (c, nm) => c.as(nm) }
+    Sources.table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  private def hiLo(p: Column, shift: Int, name: String)
+      : Seq[(Column, String)] = Seq(
+    sum(shiftright(p, shift)) -> s"${name}_hi",
+    sum(p.bitwiseAND(lit((1L << shift) - 1))) -> s"${name}_lo")
+
+  private def rejoin(name: String, shift: Int): Column =
+    col(s"${name}_hi").cast("decimal(38,0)") * lit(1L << shift) +
+      col(s"${name}_lo").cast("decimal(38,0)")
 
   /** One-pass least-squares fit (y = intercept + slope·x) per return flag,
     * from the same five algebraic sums as [[corrStats]] — the mergeable-
@@ -366,26 +401,11 @@ object OperatorQueries extends QueryGroup {
     * regr_slope builtin in-plan (bound-as-data), so a hash match
     * certifies builtin == textbook. */
   private def regrFit(s: SparkSession, dir: String): DataFrame = {
-    val x = col("l_quantity"); val y = col("l_extendedprice")
-    // exact double→cents: the doubles ARE 2-dp decimals, so the
-    // DECIMAL(18,2) hop is value-preserving and ×100 lands on a long
-    val qx = (x.cast("decimal(18,2)") * 100).cast("long")
-    val qy = (y.cast("decimal(18,2)") * 100).cast("long")
-    def hiLo(p: Column, shift: Int, name: String): Seq[(Column, String)] = Seq(
-      sum(shiftright(p, shift)) -> s"${name}_hi",
-      sum(p.bitwiseAND(lit((1L << shift) - 1))) -> s"${name}_lo")
-    val moments =
-      Seq(count(lit(1)) -> "n", sum(qx) -> "sx_u", sum(qy) -> "sy_u") ++
-        hiLo(qx * qy, 18, "sxy") ++ hiLo(qx * qx, 12, "sxx") ++
-        hiLo(qy * qy, 23, "syy") :+
-        expr("regr_slope(l_extendedprice, l_quantity)") -> "slope_builtin"
-    val aggCols = moments.map { case (c, n) => c.as(n) }
-    val agg = Sources.table(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(aggCols.head, aggCols.tail: _*)
-    def rejoin(name: String, shift: Int): Column =
-      col(s"${name}_hi").cast("decimal(38,0)") * lit(1L << shift) +
-        col(s"${name}_lo").cast("decimal(38,0)")
+    // exact double→cents via the shared moment builder ([[centsMoments]]):
+    // the measures ARE 2-dp decimals, so the DECIMAL(18,2) hop is
+    // value-preserving and ×100 lands on a long
+    val agg = centsMoments(s, dir,
+      expr("regr_slope(l_extendedprice, l_quantity)") -> "slope_builtin")
     val n = col("n").cast("decimal(38,0)")
     val sx = col("sx_u").cast("decimal(38,0)")
     val sy = col("sy_u").cast("decimal(38,0)")
