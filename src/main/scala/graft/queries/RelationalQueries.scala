@@ -255,13 +255,21 @@ object RelationalQueries extends QueryGroup {
     * round is a keyed join + hash aggregate on edge endpoints (the
     * standard distributed PageRank round). Unrolling two rounds keeps
     * the oracle expressible; the loop form adds rounds without changing
-    * any per-round plan. */
+    * any per-round plan.
+    *
+    * The edge list is lazily localCheckpoint'ed (the g_pagerank_int
+    * pattern): FOUR consumers reference it (both degree rollups + both
+    * round joins), and re-running the orders⋈lineitem join + distinct
+    * per consumer is the rebuild the cached-edge-table discipline
+    * exists to kill — one materialization of the small distinct pair
+    * set replaces them; blocks are ContextCleaner-reclaimed. */
   private def rankPropagation(s: SparkSession, dir: String): DataFrame = {
     val edges = Sources.table(s, dir, "lineitem")
       .join(Sources.table(s, dir, "orders"),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
       .distinct()
+      .localCheckpoint(false)
     val outC = edges.groupBy(col("c")).agg(count(lit(1)).as("deg_c"))
     // round 1: every customer starts at 1_000_000; suppliers collect
     val r1 = edges.join(outC, Seq("c"))
