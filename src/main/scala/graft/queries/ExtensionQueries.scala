@@ -34,16 +34,35 @@ object ExtensionQueries extends QueryGroup {
 
   private def sharedClusters(s: SparkSession, dir: String): DataFrame =
     clustersMemo.getOrElseUpdate((s, dir),
-      Dedup.connectedComponents(Dedup.minhashCandidates(docs(s, dir))))
+      Dedup.connectedComponents(sharedCandidates(s, dir)))
+
+  // The candidate PAIRS themselves feed five consumers (the cluster build
+  // above, dedup_minhash_pairs, dedup_ngram_jaccard,
+  // dedup_containment_pairs, dedup_editdist) — each previously re-ran the
+  // whole shingle→minhash→band→bucket-join pipeline over the corpus.
+  // Memoize one lazily localCheckpoint'ed materialization of the (tiny —
+  // O(near-dup pairs)) candidate set per (session, dir); the verify
+  // stages that differ per consumer (Jaccard, containment, edit distance)
+  // still run per query, on candidates only. Released with the cluster
+  // memo in [[coolClusters]].
+  private val candMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def sharedCandidates(s: SparkSession, dir: String): DataFrame =
+    candMemo.getOrElseUpdate((s, dir),
+      Dedup.minhashCandidates(docs(s, dir)).localCheckpoint(false))
 
   /** Drop memoized cluster labelings for `s` (all sessions if null) — the
     * coolShared twin for long-lived sessions; the checkpoint blocks are
     * reclaimed by the ContextCleaner once the frames are unreferenced.
     * One-shot Verify/Bench JVMs may skip this (process exit releases
     * everything). */
-  def coolClusters(s: SparkSession): Unit =
+  def coolClusters(s: SparkSession): Unit = {
     clustersMemo.keys.filter(k => s == null || k._1 == s)
       .foreach(clustersMemo.remove)
+    candMemo.keys.filter(k => s == null || k._1 == s)
+      .foreach(candMemo.remove)
+  }
 
   /** Drop memoized trained-IVF indexes for `s` (all sessions if null),
     * unpersisting each build's staged vectorized corpus — the
@@ -117,19 +136,15 @@ object ExtensionQueries extends QueryGroup {
     Dedup.exactGroups(docs(s, dir)).orderBy("content_hash")
 
   private def dedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashCandidates(docs(s, dir)).orderBy("doc_a", "doc_b")
+    sharedCandidates(s, dir).orderBy("doc_a", "doc_b")
 
-  private def dedupJaccard(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    Dedup.ngramJaccard(d, Dedup.minhashCandidates(d))
+  private def dedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(s, dir), sharedCandidates(s, dir))
       .orderBy("doc_a", "doc_b")
-  }
 
-  private def dedupContainment(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir)
-    Dedup.containmentPairs(d, Dedup.minhashCandidates(d))
+  private def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), sharedCandidates(s, dir))
       .orderBy("doc_a", "doc_b")
-  }
 
   private def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(docs(s, dir)).orderBy("doc_id")
@@ -726,7 +741,7 @@ object ExtensionQueries extends QueryGroup {
     val d = docs(s, dir)
     val n = d.select(col("doc_id"),
       TextAnalysis.normalize(col("text")).as("norm"))
-    Dedup.minhashCandidates(d)
+    sharedCandidates(s, dir)
       .join(n.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
       .join(n.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
