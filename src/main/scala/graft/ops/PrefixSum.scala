@@ -56,4 +56,101 @@ object PrefixSum {
     }
     spark.createDataFrame(out, schema)
   }
+
+  /** PER-GROUP running sum — the scale-correct replacement for
+    * `sum(x) OVER (PARTITION BY g ORDER BY …)` when the group key has FEW
+    * distinct values: Spark's window hash-partitions on the key, so a
+    * 6-value key runs the whole fact table through 6 tasks no matter how
+    * many executors exist (the same parallelism collapse the empty
+    * partition-by has, divided by |groups|).
+    *
+    * Same two-phase shape as [[runningSum]], with the group key LEADING
+    * the range-partition order so each group occupies a contiguous run of
+    * partitions (a large group spans MANY partitions — that is the point).
+    * Each partition reports only its boundary state — (first group key,
+    * last group key, sum of the trailing last-group run) — an O(1)-per-
+    * partition driver collect; a partition's offset is then the chained
+    * trailing sums of the immediately-preceding partitions that end in
+    * its first group (walked backward on the driver, transparent across
+    * empty partitions). The second map pass resets the running value at
+    * every within-partition group change, so only each partition's FIRST
+    * group consumes the offset.
+    *
+    * `groupCols` are column NAMES (the boundary walk compares row values
+    * by field index); `orderCols` must totally order rows WITHIN a group,
+    * the same caveat the window form carries. */
+  def groupedRunningSum(df: DataFrame, groupCols: Seq[String],
+                        orderCols: Seq[Column], valueCol: String,
+                        outCol: String = "running", partitions: Int = 0)
+      : DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val keys = groupCols.map(df.col) ++ orderCols
+    val sorted = df.repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    require(df.schema(valueCol).dataType == LongType,
+      s"groupedRunningSum needs a LongType value column; '$valueCol' is " +
+        s"${df.schema(valueCol).dataType.simpleString} - cast it first")
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val valueIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    def gkey(r: Row): Seq[Any] = gIdx.map(r.get)
+    // Boundary state per partition: (firstKey, lastKey, trailingSum) where
+    // trailingSum covers the run of rows at the END of the partition whose
+    // key == lastKey. Interior groups never need cross-partition offsets.
+    val bounds: Array[Option[(Seq[Any], Seq[Any], Long)]] = {
+      val collected = rdd.mapPartitionsWithIndex { (pid, it) =>
+        var first: Seq[Any] = null
+        var cur: Seq[Any] = null
+        var curSum = 0L
+        it.foreach { r =>
+          val k = gkey(r)
+          val v = if (r.isNullAt(valueIdx)) 0L else r.getLong(valueIdx)
+          if (first == null) { first = k; cur = k; curSum = v }
+          else if (k == cur) curSum += v
+          else { cur = k; curSum = v }
+        }
+        Iterator.single(pid ->
+          (if (first == null) None else Some((first, cur, curSum))))
+      }.collect().toMap
+      Array.tabulate(n)(pid => collected.getOrElse(pid, None))
+    }
+    val offsets = Array.tabulate(n) { p =>
+      bounds(p) match {
+        case None => 0L
+        case Some((firstKey, _, _)) =>
+          var acc = 0L
+          var q = p - 1
+          var continue = true
+          while (continue && q >= 0) {
+            bounds(q) match {
+              case None => q -= 1 // empty partition: transparent
+              case Some((qFirst, qLast, qTrailing)) =>
+                if (qLast == firstKey) {
+                  acc += qTrailing
+                  // the group may extend further back only if it fills
+                  // partition q entirely
+                  if (qFirst == firstKey) q -= 1 else continue = false
+                } else continue = false
+            }
+          }
+          acc
+      }
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Seq[Any] = null
+      var s = 0L
+      it.map { r =>
+        val k = gkey(r)
+        if (cur == null) { cur = k; s = bc.value(pid) }
+        else if (k != cur) { cur = k; s = 0L }
+        if (!r.isNullAt(valueIdx)) s += r.getLong(valueIdx)
+        Row.fromSeq(r.toSeq :+ s)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
 }

@@ -135,17 +135,28 @@ object OperatorQueries extends QueryGroup {
 
   /** Beyond-reference aggregate: exact discrete median (lower median, ties
     * by event_id) via row-position selection — deterministic in any engine,
-    * unlike interpolating percentile implementations. */
+    * unlike interpolating percentile implementations.
+    *
+    * Row positions come from [[graft.ops.PrefixSum.groupedRunningSum]]
+    * (summing 1 per row == ROW_NUMBER in the same total order), not a
+    * `PARTITION BY event_type` window: a FIVE-value partition key runs
+    * the whole fact table through five tasks regardless of cluster size
+    * (the a_weighted_median rationale — see its scaladoc). Group counts
+    * ride a five-row broadcast aggregate; the oracle stays the window
+    * formulation this plan replaces.
+    *
+    * asc_nulls_first + NULLS FIRST in the oracle: Spark's ASC default is
+    * NULLS FIRST, DuckDB's is NULLS LAST — pin it on both sides so a null
+    * value can't shift row positions cross-engine (same as rankFamily). */
   private def medianDisc(s: SparkSession, dir: String): DataFrame = {
-    val byType = Window.partitionBy(col("event_type"))
-    // asc_nulls_first + NULLS FIRST in the oracle: Spark's ASC default is
-    // NULLS FIRST, DuckDB's is NULLS LAST — pin it on both sides so a null
-    // value can't shift row positions cross-engine (same as rankFamily).
-    val w = byType.orderBy(col("value").asc_nulls_first, col("event_id").asc)
-    Sources.table(s, dir, "events")
+    val base = Sources.table(s, dir, "events")
       .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(byType))
+      .withColumn("one", lit(1L))
+    val counts = broadcast(base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt")))
+    graft.ops.PrefixSum.groupedRunningSum(base, Seq("event_type"),
+        Seq(col("value").asc_nulls_first, col("event_id").asc), "one", "rn")
+      .join(counts, "event_type")
       .filter(col("rn") === floor((col("cnt") + lit(1)) / lit(2.0)))
       .select(col("event_type"), col("value").as("median_value"),
         col("cnt").as("n"))
@@ -153,17 +164,22 @@ object OperatorQueries extends QueryGroup {
   }
 
   /** Exact discrete quartiles via row-position selection (the medianDisc
-    * generalization): one window pass yields q1/q2/q3 per group — engine-
-    * independent, unlike interpolating percentile built-ins. Position of
-    * quantile q = floor((cnt-1) * q) + 1 (lower value at ties). */
+    * generalization): grouped-prefix row positions yield q1/q2/q3 per
+    * group — engine-independent, unlike interpolating percentile
+    * built-ins. Position of quantile q = floor((cnt-1) * q) + 1 (lower
+    * value at ties). Same distributed-rank shape as [[medianDisc]]; the
+    * oracle stays the window formulation. NULLS FIRST pinned on both
+    * sides, as there. */
   private def quartilesDisc(s: SparkSession, dir: String): DataFrame = {
-    val byType = Window.partitionBy(col("event_type"))
-    // NULLS FIRST pinned on both sides, as in medianDisc.
-    val w = byType.orderBy(col("value").asc_nulls_first, col("event_id").asc)
-    val ranked = Sources.table(s, dir, "events")
+    val base = Sources.table(s, dir, "events")
       .select(col("event_type"), col("value"), col("event_id"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(byType))
+      .withColumn("one", lit(1L))
+    val counts = broadcast(base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt")))
+    val ranked = graft.ops.PrefixSum.groupedRunningSum(base,
+        Seq("event_type"),
+        Seq(col("value").asc_nulls_first, col("event_id").asc), "one", "rn")
+      .join(counts, "event_type")
     def pick(q: Double, as: String) =
       max(when(col("rn") === floor((col("cnt") - 1) * q) + 1,
         col("value"))).as(as)

@@ -190,29 +190,43 @@ object SketchQueries extends QueryGroup {
     * that plain median misrepresents whenever weights skew.
     *
     * Lower weighted median by cumulative-weight crossing: order by price
-    * with a total tie-break, running weight sum (explicit ROWS frame —
-    * the default RANGE frame would lump price ties and overshoot), first
-    * row where 2·cum ≥ total. Weights are integer-valued quantities cast
-    * to BIGINT, so the crossing comparison is exact integer arithmetic in
-    * both engines. One sort per group, no self-join; at scale this is a
-    * single range-partitioned sort — the same cost as any quantile. */
+    * with a total tie-break, running weight sum, first row where
+    * 2·cum ≥ total. Weights are integer-valued quantities cast to
+    * BIGINT, so the crossing comparison is exact integer arithmetic in
+    * both engines.
+    *
+    * The cumulative sum runs through [[graft.ops.PrefixSum
+    * .groupedRunningSum]], NOT `sum() OVER (PARTITION BY l_returnflag
+    * ORDER BY …)`: the window form hash-partitions on the group key, and
+    * a SIX-value key runs the whole fact table through six tasks no
+    * matter the cluster size — the one-reducer global-window disease,
+    * divided by |groups|, and the reason this query would stall at
+    * 100 TB. The grouped two-phase prefix range-partitions on (flag,
+    * price, tie-break) instead, so a single flag's rows spread over many
+    * partitions and every partition works; the oracle stays the window
+    * formulation this operator replaces (identical cum values, same
+    * contract as o_prefix_sum/o_global_rowid). Group totals ride a
+    * six-row broadcast aggregate, and the first crossing row per group
+    * is a struct-min hash aggregate over the surviving half — no window
+    * anywhere in the plan. */
   private def weightedMedian(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("price").asc, col("l_orderkey").asc,
-        col("l_linenumber").asc)
-    val cumW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy(col("l_returnflag"))
-    Sources.table(s, dir, "lineitem")
+    val base = Sources.table(s, dir, "lineitem")
       .select(col("l_returnflag"), col("l_extendedprice").as("price"),
         col("l_quantity").cast("long").as("qty"),
         col("l_orderkey"), col("l_linenumber"))
-      .withColumn("cum", sum(col("qty")).over(cumW))
-      .withColumn("total", sum(col("qty")).over(tot))
+    val totals = broadcast(base.groupBy(col("l_returnflag"))
+      .agg(sum(col("qty")).as("total")))
+    graft.ops.PrefixSum.groupedRunningSum(base, Seq("l_returnflag"),
+        Seq(col("price"), col("l_orderkey"), col("l_linenumber")),
+        "qty", "cum")
+      .join(totals, "l_returnflag")
       .filter(col("cum") * 2 >= col("total"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("l_returnflag"), col("price").as("wmedian_price"),
-        col("total").as("total_qty"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(struct(col("price"), col("l_orderkey"),
+          col("l_linenumber"))).as("m"),
+        max(col("total")).as("total_qty"))
+      .select(col("l_returnflag"), col("m.price").as("wmedian_price"),
+        col("total_qty"))
       .orderBy("l_returnflag")
   }
 

@@ -272,22 +272,29 @@ object TrainingQueries extends QueryGroup {
   /** CCNet-style perplexity-bucket gate: per SOURCE, keep the
     * low-surprisal half of documents (the "head/middle" cut — templated
     * and fluent text stays, rare-construction tails go to review). The
-    * cut is an exact discrete median via row_number against the doubled
+    * cut is an exact discrete median via row position against the doubled
     * rank (rn·2 ≤ n+1 keeps ⌈n/2⌉), not percentile interpolation — ties
     * break on doc_id so the kept set is identical in any engine and
-    * under any partitioning. One source-keyed exchange serves both the
-    * rank and the count. */
+    * under any partitioning.
+    *
+    * Row positions via [[graft.ops.PrefixSum.groupedRunningSum]], not a
+    * `PARTITION BY source` window: a handful of sources would funnel the
+    * whole (corpus-sized) scored table through as many tasks (the
+    * a_weighted_median rationale). The scored table is Scratch-persisted
+    * so the per-source count job and the prefix pass share one
+    * materialization of the expensive surprisal join. */
   private def surprisalGate(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val scored = docSurprisal(s, dir).join(
-      Sources.table(s, dir, "documents").select("doc_id", "source"),
-      Seq("doc_id"))
-    val bySource = Window.partitionBy(col("source"))
-    val ranked = scored
-      .withColumn("rn", row_number().over(
-        bySource.orderBy(col("avg_surprisal").asc, col("doc_id").asc)))
-      .withColumn("n", count(lit(1)).over(bySource))
-    ranked.filter(col("rn") * 2 <= col("n") + 1)
+    val scored = graft.ops.Scratch.persist(
+      docSurprisal(s, dir).join(
+        Sources.table(s, dir, "documents").select("doc_id", "source"),
+        Seq("doc_id")))
+    val counts = broadcast(scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n")))
+    graft.ops.PrefixSum.groupedRunningSum(
+        scored.withColumn("one", lit(1L)), Seq("source"),
+        Seq(col("avg_surprisal").asc, col("doc_id").asc), "one", "rn")
+      .join(counts, "source")
+      .filter(col("rn") * 2 <= col("n") + 1)
       .select("doc_id", "source", "avg_surprisal")
       .orderBy("doc_id")
   }

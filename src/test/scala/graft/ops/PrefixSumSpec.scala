@@ -26,4 +26,45 @@ class PrefixSumSpec extends SparkSpec {
       .select($"k", $"run").as[(Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((1L, 10L), (2L, 30L), (3L, 60L)))
   }
+
+  test("grouped running sum equals the per-group window SUM") {
+    // Skewed groups so the range partitioner makes ONE group span many
+    // partitions (the boundary-chaining path) while others fit inside a
+    // single partition; partitions > rows-per-small-group also exercises
+    // empty and single-group partitions.
+    // o = a bijection of id (unique ⇒ total order per group, so the
+    // window twin is deterministic), scattered so within-group order is
+    // uncorrelated with id ranges
+    val df = spark.range(0, 3000)
+      .select(
+        when($"id" < 2400, lit("big"))
+          .when($"id" < 2700, lit("mid"))
+          .otherwise(concat(lit("s"), ($"id" % 5L).cast("string")))
+          .as("g"),
+        (($"id" * 1117L) % 3001L).as("o"),
+        (($"id" % 11L) - 4L).as("v"))
+      .repartition(8)
+    val got = PrefixSum.groupedRunningSum(df, Seq("g"), Seq($"o"), "v",
+        "run", partitions = 16)
+      .select($"g", $"o", $"run").as[(String, Long, Long)]
+      .collect().sortBy(t => (t._1, t._2))
+    val want = df.withColumn("run", sum($"v").over(
+        Window.partitionBy($"g").orderBy($"o")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"g", $"o", $"run").as[(String, Long, Long)]
+      .collect().sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("grouped: one group filling several partitions chains offsets") {
+    // 1000 rows of a single group across 8 partitions: every partition
+    // after the first needs the full chained trailing sums of ALL its
+    // predecessors (firstKey == lastKey throughout the run).
+    val df = spark.range(0, 1000)
+      .select(lit("only").as("g"), $"id".as("o"), lit(1L).as("v"))
+    val got = PrefixSum.groupedRunningSum(df, Seq("g"), Seq($"o"), "v",
+        "run", partitions = 8)
+      .select($"o", $"run").as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == (0L until 1000L).map(i => i -> (i + 1)))
+  }
 }
