@@ -86,31 +86,17 @@ object Bench {
     // its recorded `sf` matches this run's sfDir — a committed sf0.1 record
     // would otherwise flag (and pointlessly retime) nearly every query of an
     // sf0.01 run, or mask regressions in the other direction. On mismatch we
-    // fall back to this run's own cold readings.
-    val committedWarm: Map[String, Double] =
-      try {
-        val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), "UTF-8")
-        val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
-        val recSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
-        val node = root.get("queries_warm")
-        if (node == null || recSf != sfDir) Map.empty
-        else {
-          val it = node.properties().iterator()
-          val b = Map.newBuilder[String, Double]
-          while (it.hasNext) { val e = it.next()
-            b += e.getKey -> e.getValue.asDouble() }
-          b.result()
-        }
-      } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    // fall back to this run's own cold readings. Policy functions live in
+    // BenchArbitration (unit-covered by BenchArbitrationSpec).
+    val committedWarm: Map[String, Double] = BenchArbitration
+      .readCommittedWarm(BenchArbitration.benchOutPath(sys.env.get), sfDir)
     val coldByName = results.toMap
     val qByName = SparkEntry.queries
     val retimed = scala.collection.mutable.ArrayBuffer.empty[String]
     val warm = warm0.map { case (name, t) =>
       val expect = committedWarm.getOrElse(name,
         coldByName.getOrElse(name, t))
-      if (t >= 2 * expect && t - expect >= 0.5 && !failed(name)) {
+      if (BenchArbitration.needsRetime(t, expect, failed(name))) {
         retimed += name
         // Only a SUCCESSFUL retime may lower the sample: a run that throws
         // near-instantly must not be recorded as a fast warm pass — that
@@ -131,7 +117,7 @@ object Bench {
             if (name.startsWith("streaming_"))
               streaming.StreamHygiene.release(spark)
           }
-        name -> (if (ok) math.min(t, (System.nanoTime() - t0) / 1e9) else t)
+        name -> BenchArbitration.merged(t, ok, (System.nanoTime() - t0) / 1e9)
       } else name -> t
     }
     def js(rs: Seq[(String, Double)]) =
@@ -155,7 +141,7 @@ object Bench {
     // per-query timings; also write the complete line to a committed file
     // so every query has a recorded cold+warm history round-over-round
     // (tools/bench_diff.py reports regressions against the last commit).
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")
+    val outFile = BenchArbitration.benchOutPath(sys.env.get)
     if (outFile.nonEmpty)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outFile), line + "\n")

@@ -1,0 +1,65 @@
+package graft
+
+/** The warm-pass jitter-arbitration policy, factored out of [[Bench]] so
+  * the three integrity-critical behaviors are unit-testable without a
+  * Spark session (BenchArbitrationSpec):
+  *
+  *  1. a committed baseline is trusted only when its recorded `sf` matches
+  *     this run's corpus — an sf0.1 record must not set expectations for
+  *     an sf0.01 run (it would flag/mask almost every query);
+  *  2. the retime trigger needs BOTH a 2× ratio and a 0.5 s absolute
+  *     excess, and never fires for a query that already failed;
+  *  3. only a SUCCESSFUL retime may lower the recorded sample — a retime
+  *     that throws returns near-instantly, and `min()`ing it in would
+  *     record a fake fast warm pass, masking the very regression that
+  *     triggered the retime.
+  *
+  * Every perf claim the repo makes flows through BENCH_full.json, so these
+  * rules are load-bearing for the round-over-round gate, not cosmetics.
+  */
+object BenchArbitration {
+
+  /** Where the bench record is read from and written to — the SAME path,
+    * so arbitration always compares against the record it will replace. */
+  def benchOutPath(env: String => Option[String]): String =
+    env("SPARK_GRAFT_BENCH_OUT").getOrElse("BENCH_full.json")
+
+  /** Parse a committed BENCH_full.json line into per-query warm
+    * expectations. Returns empty when the record's `sf` differs from this
+    * run's `sfDir` (stale-corpus guard) or the text is not a bench record
+    * — callers then fall back to the run's own cold readings. */
+  def parseCommittedWarm(txt: String, sfDir: String): Map[String, Double] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      val recSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+      val node = root.get("queries_warm")
+      if (node == null || recSf != sfDir) Map.empty
+      else {
+        val it = node.properties().iterator()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next()
+          b += e.getKey -> e.getValue.asDouble() }
+        b.result()
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** File-reading wrapper over [[parseCommittedWarm]]; a missing or
+    * unreadable record is simply no expectation. */
+  def readCommittedWarm(path: String, sfDir: String): Map[String, Double] =
+    try parseCommittedWarm(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"), sfDir)
+    catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Retime trigger: a fresh warm sample is suspect when it is >=2× its
+    * expectation AND >=0.5 s over it (small queries jitter by ms — a pure
+    * ratio would cry wolf), and the query did not already fail (a failure
+    * is recorded as such; retiming it would just fail again). */
+  def needsRetime(sample: Double, expect: Double, failed: Boolean): Boolean =
+    !failed && sample >= 2 * expect && sample - expect >= 0.5
+
+  /** Merge rule for the retime sample: min (not mean) because timing noise
+    * on a fixed plan is one-sided additive — but ONLY when the retime run
+    * succeeded. A crashed retime keeps the original sample. */
+  def merged(original: Double, retimeOk: Boolean, retimeSec: Double): Double =
+    if (retimeOk) math.min(original, retimeSec) else original
+}

@@ -37,7 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object BenchGrowth {
 
-  private val tmpRoot = "/tmp/graft-growth"
+  // Staged corpora are keyed by (recipe name, SOURCE sfDir): a previous
+  // run against a different SPARK_GRAFT_SF_DIR must not be silently reused
+  // — the digest suffix makes each source corpus its own staging universe.
+  private def tmpRoot: String = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"/tmp/graft-growth-$d"
+  }
 
   private def noopTime(df: DataFrame): Double = {
     val t0 = System.nanoTime()
@@ -84,9 +92,14 @@ object BenchGrowth {
   private def replicateEmb(base: DataFrame, copies: Int,
                            dims: Int): DataFrame =
     (0 until copies).map { c =>
-      val h = c.toLong * 0x9E3779B97F4A7C15L
+      // one mixed hash per (copy, dimension) — a single 64-bit copy hash
+      // indexed by bit position would repeat flips past 64 dims (and the
+      // old `d % 63` never used bit 63 at dims=64)
       val signs = Array.tabulate(dims) { d =>
-        if (c != 0 && ((h >>> (d % 63)) & 1L) == 1L) -1f else 1f
+        val hd = (c.toLong * 0x9E3779B97F4A7C15L) ^
+          (d.toLong * 0xC2B2AE3D27D4EB4FL)
+        val mixed = java.lang.Long.rotateLeft(hd * 0x9E3779B97F4A7C15L, 31)
+        if (c != 0 && (mixed & 1L) == 1L) -1f else 1f
       }
       base.select(
         (col("vec_id") + lit(c.toLong * 1000000L)).as("vec_id"),

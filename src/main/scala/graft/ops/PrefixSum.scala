@@ -92,6 +92,25 @@ object PrefixSum {
     require(df.schema(valueCol).dataType == LongType,
       s"groupedRunningSum needs a LongType value column; '$valueCol' is " +
         s"${df.schema(valueCol).dataType.simpleString} - cast it first")
+    // The boundary walk compares group keys with Seq[Any] equality, which
+    // is value equality for atomic types but REFERENCE equality for the
+    // Array[Byte]/collection values Binary/Array/Map/Struct columns carry —
+    // a group spanning a partition boundary would silently fail to chain.
+    // Fail loud at plan time instead; hash such keys to an atomic column
+    // (e.g. xxhash64) upstream if needed.
+    groupCols.foreach { g =>
+      import org.apache.spark.sql.types._
+      val dt = df.schema(g).dataType
+      val valueComparable = dt match {
+        case BinaryType => false // Array[Byte]: reference equality
+        case _: ArrayType | _: MapType | _: StructType => false
+        case _ => true
+      }
+      require(valueComparable,
+        s"groupedRunningSum group key '$g' is ${dt.simpleString}: keys are " +
+          "compared by value equality, which binary/array/map/struct types " +
+          "do not provide - hash the key to an atomic column first")
+    }
     val gIdx = groupCols.map(sorted.schema.fieldIndex)
     val valueIdx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd

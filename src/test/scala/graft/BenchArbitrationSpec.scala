@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the bench warm-pass arbitration policy — the three
+  * measurement-integrity behaviors every BENCH_full.json perf claim rests
+  * on (see BenchArbitration scaladoc). No Spark session needed: the policy
+  * is pure. */
+class BenchArbitrationSpec extends AnyFunSuite {
+
+  private val record =
+    """{"metric":"total","value":10.0,"sf":"/root/testdata/sf0.1",
+      |"queries_warm":{"q1_agg":1.5,"f2_null_scan":0.25}}"""
+      .stripMargin.replace("\n", "")
+
+  test("committed warm baseline is trusted only at a matching sf") {
+    val warm = BenchArbitration
+      .parseCommittedWarm(record, "/root/testdata/sf0.1")
+    assert(warm == Map("q1_agg" -> 1.5, "f2_null_scan" -> 0.25))
+    // an sf0.1 record must not set expectations for an sf0.01 run
+    assert(BenchArbitration
+      .parseCommittedWarm(record, "/root/testdata/sf0.01").isEmpty)
+  }
+
+  test("records without sf or queries_warm, and garbage, yield no baseline") {
+    assert(BenchArbitration
+      .parseCommittedWarm("""{"queries_warm":{"q":1.0}}""", "x").isEmpty)
+    assert(BenchArbitration
+      .parseCommittedWarm("""{"sf":"x"}""", "x").isEmpty)
+    assert(BenchArbitration.parseCommittedWarm("not json{", "x").isEmpty)
+  }
+
+  test("readCommittedWarm: missing file is an empty baseline, not a crash") {
+    assert(BenchArbitration
+      .readCommittedWarm("/nonexistent/BENCH.json", "x").isEmpty)
+  }
+
+  test("baseline path honors SPARK_GRAFT_BENCH_OUT") {
+    val env = Map("SPARK_GRAFT_BENCH_OUT" -> "/tmp/alt-bench.json")
+    assert(BenchArbitration.benchOutPath(env.get) == "/tmp/alt-bench.json")
+    assert(BenchArbitration.benchOutPath(_ => None) == "BENCH_full.json")
+  }
+
+  test("retime trigger needs 2x ratio AND 0.5s excess AND a non-failed run") {
+    val n = BenchArbitration.needsRetime _
+    assert(n(2.0, 0.9, false))          // 2.2x, +1.1s
+    assert(n(0.8, 0.3, false))          // 2.7x, exactly +0.5s — at the floor
+    assert(!n(0.7, 0.3, false))         // 2.3x but +0.4s — under the floor
+    assert(!n(5.0, 4.0, false))         // +1.0s but only 1.25x — under ratio
+    assert(!n(2.0, 0.9, true))          // failed queries are never retimed
+  }
+
+  test("only a successful retime may lower the sample") {
+    // success: min of the two samples (noise is one-sided additive)
+    assert(BenchArbitration.merged(3.0, retimeOk = true, 1.2) == 1.2)
+    assert(BenchArbitration.merged(1.0, retimeOk = true, 2.5) == 1.0)
+    // failure: a crashed retime returns near-instantly — keeping min would
+    // record a fake fast warm pass; the original sample must survive
+    assert(BenchArbitration.merged(3.0, retimeOk = false, 0.01) == 3.0)
+  }
+}

@@ -67,4 +67,21 @@ class PrefixSumSpec extends SparkSpec {
       .select($"o", $"run").as[(Long, Long)].collect().sortBy(_._1)
     assert(got.toSeq == (0L until 1000L).map(i => i -> (i + 1)))
   }
+
+  test("grouped: non-value-comparable group keys are rejected at plan time") {
+    // binary/array keys compare by reference inside the boundary walk —
+    // cross-partition chaining would silently break, so fail loud instead
+    val bin = spark.range(0, 10)
+      .select(encode(lit("k"), "UTF-8").as("g"), $"id".as("o"),
+        lit(1L).as("v"))
+    val e1 = intercept[IllegalArgumentException] {
+      PrefixSum.groupedRunningSum(bin, Seq("g"), Seq($"o"), "v")
+    }
+    assert(e1.getMessage.contains("binary"))
+    val arr = spark.range(0, 10)
+      .select(array(lit(1)).as("g"), $"id".as("o"), lit(1L).as("v"))
+    intercept[IllegalArgumentException] {
+      PrefixSum.groupedRunningSum(arr, Seq("g"), Seq($"o"), "v")
+    }
+  }
 }

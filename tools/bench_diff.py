@@ -7,8 +7,19 @@ ratio and an absolute floor — small queries jitter by milliseconds, so a
 pure ratio would cry wolf.
 
 Usage: tools/bench_diff.py [new.json] [old.json|HEAD]
-Exit 0 always (the report is informational; the correctness gate is
-tools/check.sh) — pass --strict to exit 1 on regressions.
+
+Exit codes: 0 always without --strict (the report is informational; the
+correctness gate is tools/check.sh). With --strict the contract is
+three-valued:
+  0  clean (no confirmed regressions, no missing queries, no demotions)
+  1  confirmed per-query regressions and/or queries missing vs the old
+     record — a real failure
+  2  no confirmed regressions, but one or more flags were DEMOTED to
+     SUSPECT because that phase's canary series showed session
+     degradation — the run is suspect, rerun `graft.BenchOne <q> 3`
+     before believing or dismissing the flagged queries
+Wrappers that treat any nonzero as failure will also fail on 2; branch on
+the exact code if suspect-but-unconfirmed runs should be retried instead.
 """
 import json
 import subprocess

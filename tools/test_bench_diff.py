@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Unit coverage for tools/bench_diff.py's strict-exit contract and
+per-phase canary demotion (the measurement-integrity behaviors the perf
+gate rests on). Plain asserts, no pytest dependency; run directly:
+
+    python3 tools/test_bench_diff.py
+
+Invoked from sbt test via BenchDiffToolSpec so the contract is part of
+the standard gate.
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+DIFF = os.path.join(HERE, "bench_diff.py")
+
+FLAT = [0.1, 0.1, 0.1, 0.1]
+CLIMB = [0.1, 0.1, 2.5, 2.5]  # tail median 2.5 >= 2*0.1 and +1.0s
+
+
+def record(queries, queries_warm, canary_cold=FLAT, canary_warm=FLAT):
+    return {
+        "metric": "total", "value": sum(queries.values()),
+        "warm_total": sum(queries_warm.values()),
+        "queries": queries, "queries_warm": queries_warm,
+        "canary_cold": canary_cold, "canary_warm": canary_warm,
+        "failed": [], "retimed": [], "sf": "/root/testdata/sf0.1",
+    }
+
+
+def run(new, old, strict=True):
+    with tempfile.TemporaryDirectory() as d:
+        np, op = os.path.join(d, "new.json"), os.path.join(d, "old.json")
+        with open(np, "w") as f:
+            json.dump(new, f)
+        with open(op, "w") as f:
+            json.dump(old, f)
+        args = [sys.executable, DIFF, np, op] + (["--strict"] if strict else [])
+        p = subprocess.run(args, capture_output=True, text=True)
+        return p.returncode, p.stdout
+
+
+def main():
+    old = record({"qa": 1.0, "qb": 1.0}, {"qa": 0.5, "qb": 0.5})
+
+    # 1. clean run -> exit 0
+    rc, out = run(record({"qa": 1.0, "qb": 1.1}, {"qa": 0.5, "qb": 0.6}), old)
+    assert rc == 0, (rc, out)
+    assert "REGRESS" not in out, out
+
+    # 2. flat canaries + a real warm regression -> REGRESS, exit 1
+    rc, out = run(record({"qa": 1.0, "qb": 1.0}, {"qa": 2.0, "qb": 0.5}), old)
+    assert rc == 1, (rc, out)
+    assert "REGRESS warm qa" in out, out
+
+    # 3. degraded WARM canary demotes the warm flag -> SUSPECT, exit 2
+    rc, out = run(record({"qa": 1.0, "qb": 1.0}, {"qa": 2.0, "qb": 0.5},
+                         canary_warm=CLIMB), old)
+    assert rc == 2, (rc, out)
+    assert "SUSPECT" in out and "REGRESS warm" not in out, out
+
+    # 4. per-phase isolation: degraded warm canary must NOT demote a COLD
+    #    regression -> still exit 1 (cold flag keeps REGRESS status)
+    rc, out = run(record({"qa": 3.0, "qb": 1.0}, {"qa": 2.0, "qb": 0.5},
+                         canary_warm=CLIMB), old)
+    assert rc == 1, (rc, out)
+    assert "REGRESS cold qa" in out, out
+    assert "SUSPECT (canary-degraded session) warm qa" in out, out
+
+    # 5. symmetric: degraded COLD canary demotes cold but not warm
+    rc, out = run(record({"qa": 3.0, "qb": 1.0}, {"qa": 2.0, "qb": 0.5},
+                         canary_cold=CLIMB), old)
+    assert rc == 1, (rc, out)
+    assert "SUSPECT (canary-degraded session) cold qa" in out, out
+    assert "REGRESS warm qa" in out, out
+
+    # 6. missing query -> exit 1 even when everything else is clean
+    rc, out = run(record({"qa": 1.0}, {"qa": 0.5}), old)
+    assert rc == 1, (rc, out)
+    assert "MISSING qb" in out, out
+
+    # 7. non-strict mode is informational: exit 0 despite regressions
+    rc, out = run(record({"qa": 3.0, "qb": 1.0}, {"qa": 2.0, "qb": 0.5}),
+                  old, strict=False)
+    assert rc == 0, (rc, out)
+    assert "REGRESS" in out, out
+
+    print("test_bench_diff: all assertions passed")
+
+
+if __name__ == "__main__":
+    main()
