@@ -208,21 +208,19 @@ object BenchGrowth {
           noopTime(ext.Similarity.sq8IvfTopK(q, celled)))
         // The broadcast-probe join never shuffles the corpus but still
         // READS all N rows — the linear term at growing N. The 100 TB
-        // posture stores the celled corpus hive-partitioned by cell;
-        // restricting the corpus to the (tiny, collectable) set of query
-        // cells is then PARTITION PRUNING, cutting the scan itself to
-        // nprobe·|q| cells. The restriction is lossless: the join is an
-        // equi-join on the cell, so non-query cells contribute nothing.
+        // posture stores the celled corpus hive-partitioned by cell and
+        // searches it with Similarity.sq8IvfTopKPruned (query-cell
+        // partition pruning; losslessness + the PartitionFilters plan
+        // shape are pinned in Sq8IvfPrunedSpec). The timed region
+        // includes the bounded query-cell collect — the query's honest
+        // cost.
         val part = staged(spark, s"emb_cells_part_x$n",
           partitionBy = Seq("label"))(celled)
         val pruned = (1 to 2).map { _ =>
-          // the cell-set collect is part of the query's honest cost
-          // (bounded: one row per query)
+          // plan construction inside the timing: the method's bounded
+          // query-cell collect must be charged to the search
           val t0 = System.nanoTime()
-          val qCells = q.select("label").distinct()
-            .collect().map(_.getInt(0)).toSeq
-          ext.Similarity.sq8IvfTopK(q,
-              part.filter(col("label").isInCollection(qCells)))
+          ext.Similarity.sq8IvfTopKPruned(q, part)
             .write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         }

@@ -181,6 +181,39 @@ object Similarity {
     twoPhaseTopK(scored, k, scoreCol = "dot_q")
   }
 
+  /** [[sq8IvfTopK]] over a cell-PARTITIONED corpus layout — the flat-
+    * growth production form (SCALE.md §round-9 growth: flat 2k→100k
+    * vectors, vs a linear O(N) scan term for the unpartitioned corpus).
+    *
+    * [[sq8IvfTopK]]'s broadcast-probe join never shuffles the corpus but
+    * still READS all N rows each search. The fix is layout, not plan:
+    * store the celled corpus hive-partitioned on the cell column
+    * (`Sinks.parquet(celled, path, partitionBy = Seq(cellCol))`, the
+    * write-once step of the index build) and restrict the scan to the
+    * query batch's cells — a STATIC partition filter the parquet source
+    * turns into file pruning, so the search reads ~|query cells| / cells
+    * of the corpus. The restriction is lossless: the candidate join is an
+    * equi-join on the cell, so rows outside the query cells contribute
+    * nothing (result-equality with [[sq8IvfTopK]] pinned in
+    * Sq8IvfPrunedSpec, along with the PartitionFilters/files-read
+    * assertion).
+    *
+    * The query-cell collect is a bounded driver round — ≤ one scalar per
+    * query vector, the same honest O(|queries|) traffic the probe
+    * broadcast already carries — and is the price of making the prune
+    * visible to the compiler as a literal IN over the partition column.
+    * Works unchanged on an unpartitioned corpus (the filter then runs as
+    * a rowgroup-level predicate — correct, just without the IO win). */
+  def sq8IvfTopKPruned(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                       cellCol: String = "label", idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val qCells = queries.select(col(cellCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    sq8IvfTopK(queries,
+      corpus.filter(col(cellCol).isInCollection(qCells)),
+      k, cellCol, idCol, vecCol)
+  }
+
   /** Random-hyperplane (sign) LSH signatures: `planes` deterministic
     * hyperplanes ([[planeWeights]]); bit p of the signature is the sign of
     * ⟨v, plane_p⟩. Vectors sharing a signature land in one bucket →
