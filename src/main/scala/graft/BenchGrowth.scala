@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   * measurement; both printed (pass 1 carries the plan/codegen one-time
   * cost, pass 2 is the steady-state signal).
   *
-  * Usage: `BenchGrowth [dsir|textops|sq8ivf|profile|graph|sparsecos|all]`
+  * Usage: `BenchGrowth
+  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|all]`
   * with SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
   */
 object BenchGrowth {
@@ -262,6 +263,36 @@ object BenchGrowth {
           SparkEntry.queries("g_pagerank_int")(spark, dir)))
         report(f"graph lineitem=$rows%d tri=${tri(0)}%.2f/${tri(1)}%.2f " +
           f"pagerank=${pr(0)}%.2f/${pr(1)}%.2f")
+      }
+    }
+
+    if (which == "all" || which == "simhash") {
+      // growth row for the SimHash family — the round-9 cold-heaviest pair
+      // family, and the one with a STRUCTURALLY bounded bucket space: the
+      // pigeonhole band join keys on (byte_i, byte_v), only 4×256 buckets
+      // in total, so band-bucket occupancy grows ~N/256 and the candidate
+      // volume Σ|bucket|² grows ~N²/64 — quadratic in corpus size, unlike
+      // the MinHash/setsim families whose bucket KEYS grow with the
+      // corpus. Rotated copies shift token distributions but byte values
+      // still land in the same 256-value space, so cross-copy collisions
+      // are the norm: this measures the worst case the scaladoc warns
+      // about. The signature stage (one shuffle of (doc, 32 longs)) is
+      // timed separately and should stay ~linear.
+      for (n <- Seq(1, 4, 16)) {
+        val d = staged(spark, s"docs_x$n")(replicateDocs(docs1, n))
+        val rows = d.count()
+        val sig = (1 to 2).map { _ =>
+          val t = noopTime(ext.Dedup.simhash(d))
+          ext.Dedup.releaseScratch()
+          t
+        }
+        val pairs = (1 to 2).map { _ =>
+          val t = noopTime(ext.Dedup.simhashPairs(d))
+          ext.Dedup.releaseScratch()
+          t
+        }
+        report(f"simhash docs=$rows%d sig=${sig(0)}%.2f/${sig(1)}%.2f " +
+          f"pairs=${pairs(0)}%.2f/${pairs(1)}%.2f")
       }
     }
 
