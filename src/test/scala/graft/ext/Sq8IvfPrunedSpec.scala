@@ -72,6 +72,14 @@ class Sq8IvfPrunedSpec extends SparkSpec {
     }
   }
 
+  test("an empty query batch yields an empty result, not a planning error") {
+    // the collected cell set is empty -> isInCollection(Nil) must plan
+    // (OptimizeIn folds it to false), not throw
+    val corpus = corpusRows.toDF("vec_id", "label", "embedding")
+    val none = corpus.filter($"vec_id" < 0)
+    assert(Similarity.sq8IvfTopKPruned(none, corpus, k = 3).count() == 0L)
+  }
+
   /** Collect file scans through AQE query stages (QueryStageExec hides
     * its materialized plan behind `.plan`). */
   private def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
