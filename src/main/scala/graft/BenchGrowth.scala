@@ -41,12 +41,14 @@ object BenchGrowth {
   // Staged corpora are keyed by (recipe name, SOURCE sfDir): a previous
   // run against a different SPARK_GRAFT_SF_DIR must not be silently reused
   // — the digest suffix makes each source corpus its own staging universe.
-  private def tmpRoot: String = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  private[graft] def tmpRootFor(sfDir: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     s"/tmp/graft-growth-$d"
   }
+
+  private def tmpRoot: String =
+    tmpRootFor(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
 
   private def noopTime(df: DataFrame): Double = {
     val t0 = System.nanoTime()
@@ -77,7 +79,7 @@ object BenchGrowth {
     lo + lo.toUpperCase
   }
 
-  private def replicateDocs(base: DataFrame, copies: Int): DataFrame = {
+  private[graft] def replicateDocs(base: DataFrame, copies: Int): DataFrame = {
     // rotation k is only a bijection with DISTINCT cross-copy content for
     // k in 0..25; copy 26 would alias copy 0 and silently duplicate it
     require(copies <= 26, s"letter rotation supports <= 26 copies: $copies")
@@ -90,7 +92,7 @@ object BenchGrowth {
     }.reduce(_ unionAll _)
   }
 
-  private def replicateEmb(base: DataFrame, copies: Int,
+  private[graft] def replicateEmb(base: DataFrame, copies: Int,
                            dims: Int): DataFrame =
     (0 until copies).map { c =>
       // one mixed hash per (copy, dimension) — a single 64-bit copy hash
@@ -108,7 +110,7 @@ object BenchGrowth {
           (x, s) => x * s).as("embedding"))
     }.reduce(_ unionAll _)
 
-  private def replicateEvents(base: DataFrame, copies: Int): DataFrame =
+  private[graft] def replicateEvents(base: DataFrame, copies: Int): DataFrame =
     (0 until copies).map { c =>
       base.select(
         (col("event_id") + lit(c.toLong * 1000000000L)).as("event_id"),

@@ -1,0 +1,125 @@
+package graft
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The SCALE.md corpus-growth tables are only as sound as BenchGrowth's
+  * replication bijections — pin their contracts:
+  *
+  *  - documents: letter rotation preserves within-copy token structure
+  *    (so each copy carries the same near-dup families) while cross-copy
+  *    letter content is disjoint;
+  *  - embeddings: sign flips preserve norms and within-copy cosines, and
+  *    the per-(copy, dim) hash gives every dimension an independent flip
+  *    (the round-9 `d % 63` recipe silently tied dim 63 to dim 0 at
+  *    dims=64);
+  *  - events: id offsets grow distinct cardinalities exactly linearly;
+  *  - staging: the parquet cache is keyed by the SOURCE corpus dir, so a
+  *    changed SPARK_GRAFT_SF_DIR cannot silently reuse stale data.
+  */
+class BenchGrowthSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("staged-corpus cache path is keyed by the source sfDir") {
+    val a = BenchGrowth.tmpRootFor("/root/testdata/sf0.1")
+    val b = BenchGrowth.tmpRootFor("/root/testdata/sf0.01")
+    assert(a != b)
+    assert(a == BenchGrowth.tmpRootFor("/root/testdata/sf0.1")) // stable
+  }
+
+  test("replicateDocs: token structure per copy, disjoint letter content") {
+    val base = Seq(
+      (1L, "Hello world 42", "en"),
+      (2L, "the quick brown fox 42", "en"),
+      (3L, "Hello world 42", "en") // within-copy duplicate pair (1,3)
+    ).toDF("doc_id", "text", "lang")
+    val rep = BenchGrowth.replicateDocs(base, 4).cache()
+    try {
+      assert(rep.count() == 12)
+      // ids unique across copies
+      assert(rep.select("doc_id").distinct().count() == 12)
+      // token counts preserved per copy (spaces/digits unmapped)
+      val toks = rep.select(size(split($"text", " ")).as("n"))
+        .groupBy("n").count().as[(Int, Long)].collect().toMap
+      assert(toks == Map(3 -> 8, 5 -> 4))
+      // the duplicate pair survives in EVERY copy: 4 texts with 2 ids each
+      val dupTexts = rep.groupBy("text").count().filter($"count" === 2)
+      assert(dupTexts.count() == 4)
+      // cross-copy letter content disjoint: every distinct text maps to
+      // exactly one copy (2 distinct texts per copy x 4 copies)
+      assert(rep.select("text").distinct().count() == 8)
+      // digits shared across copies (the documented adversarial floor)
+      val withDigit = rep.filter($"text".contains("42"))
+      assert(withDigit.count() == 12)
+    } finally rep.unpersist()
+  }
+
+  test("replicateEmb: norms and within-copy cosines preserved; " +
+      "independent per-dimension flips") {
+    val dims = 64
+    val v1 = Array.tabulate(dims)(d => (d + 1).toFloat / dims)
+    val v2 = Array.tabulate(dims)(d => math.cos(d * 2.1).toFloat)
+    val base = Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    val copies = 8
+    val rep = BenchGrowth.replicateEmb(base, copies, dims).cache()
+    try {
+      assert(rep.count() == copies * 2)
+      // norm preserved for every replica (|x * s| == |x| for s in ±1)
+      val norms = rep.select($"vec_id",
+          aggregate($"embedding".cast("array<double>"), lit(0.0d),
+            (acc, x) => acc + x * x).as("n2"))
+        .as[(Long, Double)].collect().toMap
+      val n1 = norms(1L)
+      val n2 = norms(2L)
+      (0 until copies).foreach { c =>
+        assert(math.abs(norms(1L + c * 1000000L) - n1) < 1e-9)
+        assert(math.abs(norms(2L + c * 1000000L) - n2) < 1e-9)
+      }
+      // within-copy dot product (hence cosine) preserved: the SAME sign
+      // vector applies to both members of a copy, and s*s = 1 per dim
+      val pairs = rep.select(($"vec_id" % 1000000L).as("m"),
+          ($"vec_id" / 1000000L).cast("long").as("c"), $"embedding")
+      val a = pairs.filter($"m" === 1L)
+        .select($"c", $"embedding".as("ea"))
+      val b = pairs.filter($"m" === 2L)
+        .select($"c", $"embedding".as("eb"))
+      val dots = a.join(b, "c").select($"c",
+          aggregate(zip_with($"ea".cast("array<double>"),
+            $"eb".cast("array<double>"), (x, y) => x * y), lit(0.0d),
+            (acc, x) => acc + x).as("dot"))
+        .as[(Long, Double)].collect().toMap
+      val d0 = dots(0L)
+      (1 until copies).foreach(c => assert(math.abs(dots(c.toLong) - d0) < 1e-9))
+      // independent flips: recover each copy's sign vector from replica 1
+      // (v1 has no zero components) and check (a) copies differ from each
+      // other, (b) dim 63 is NOT tied to dim 0 across all copies (the old
+      // d % 63 recipe made flip(c)(63) == flip(c)(0) for every c)
+      val signVecs = rep.filter(($"vec_id" % 1000000L) === 1L)
+        .select((($"vec_id" / 1000000L).cast("long")).as("c"),
+          zip_with($"embedding", typedLit(v1.toSeq),
+            (x, o) => when(x * o >= 0f, 1).otherwise(-1)).as("s"))
+        .as[(Long, Seq[Int])].collect().toMap
+      assert(signVecs(0L).forall(_ == 1)) // copy 0 is the identity
+      assert(signVecs.values.toSeq.distinct.size == copies,
+        "sign vectors must differ across copies")
+      assert((1 until copies).exists(c =>
+          signVecs(c.toLong)(63) != signVecs(c.toLong)(0)),
+        "dim 63 must not be tied to dim 0 across every copy")
+    } finally rep.unpersist()
+  }
+
+  test("replicateEvents: distinct cardinalities grow exactly linearly") {
+    val base = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-06-01 10:00:00"), 10L, "play",
+        1.0, "x"),
+      (2L, java.sql.Timestamp.valueOf("2024-06-01 11:00:00"), 20L, "skip",
+        2.0, "y")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rep = BenchGrowth.replicateEvents(base, 5)
+    assert(rep.count() == 10)
+    assert(rep.select("event_id").distinct().count() == 10)
+    assert(rep.select("user_id").distinct().count() == 10)
+    // non-id columns untouched
+    assert(rep.select("event_type").distinct().count() == 2)
+  }
+}
