@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * cost, pass 2 is the steady-state signal).
   *
   * Usage: `BenchGrowth
-  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|all]`
+  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|all]`
   * with SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
   */
 object BenchGrowth {
@@ -265,6 +265,45 @@ object BenchGrowth {
           SparkEntry.queries("g_pagerank_int")(spark, dir)))
         report(f"graph lineitem=$rows%d tri=${tri(0)}%.2f/${tri(1)}%.2f " +
           f"pagerank=${pr(0)}%.2f/${pr(1)}%.2f")
+      }
+    }
+
+    if (which == "all" || which == "pairs") {
+      // committed replacement for the last round-7 ad-hoc rows: the
+      // MinHash banded candidate join (bucket keys grow with the corpus;
+      // Σ|bucket|² bounded by banding), the SSJoin/PPJoin-pruned
+      // set-similarity join (output is exactly linear — the verify stage
+      // rejects cross-copy candidates), and exact dedup (one hash-agg,
+      // map-side combine). Candidate/pair COUNTS are reported alongside
+      // times: the scale argument is about volume, not just seconds.
+      for (n <- Seq(1, 4, 16)) {
+        val d = staged(spark, s"docs_x$n")(replicateDocs(docs1, n))
+        val rows = d.count()
+        var nCand = -1L
+        val mh = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val c = ext.Dedup.minhashCandidates(d)
+          nCand = c.count()
+          val t = (System.nanoTime() - t0) / 1e9
+          ext.Dedup.releaseScratch()
+          t
+        }
+        var nSs = -1L
+        val ss = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          nSs = ext.Dedup.setSimilarityPairs(d).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          ext.Dedup.releaseScratch()
+          t
+        }
+        val ex = (1 to 2).map { _ =>
+          val t = noopTime(ext.Dedup.exactGroups(d))
+          ext.Dedup.releaseScratch()
+          t
+        }
+        report(f"pairs docs=$rows%d minhashCand=$nCand%d " +
+          f"mh=${mh(0)}%.2f/${mh(1)}%.2f setsimPairs=$nSs%d " +
+          f"ss=${ss(0)}%.2f/${ss(1)}%.2f exact=${ex(0)}%.2f/${ex(1)}%.2f")
       }
     }
 
