@@ -109,7 +109,9 @@ object Verify {
       " wholeStageCodegen=" + spark.conf.get("spark.sql.codegen.wholeStage") +
       " ansi=" + spark.conf.get("spark.sql.ansi.enabled") +
       " objectHashAgg=" +
-      spark.conf.get("spark.sql.execution.useObjectHashAggregateExec"))
+      spark.conf.get("spark.sql.execution.useObjectHashAggregateExec") +
+      " vecParquet=" +
+      spark.conf.get("spark.sql.parquet.enableVectorizedReader"))
     // one materialization of the shared enriched frame for the whole run;
     // never fatal — queries that don't touch it must still verify.
     // NonFatal only: an OOM/linkage error must abort the JVM, not cascade

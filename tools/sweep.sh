@@ -19,6 +19,7 @@ run aqe-off        env GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.adaptive.enabled=false
 run codegen-off    env GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.codegen.wholeStage=false -Dspark.sql.codegen.factoryMode=NO_CODEGEN"
 run ansi-off       env GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.ansi.enabled=false"
 run sort-typed-agg env GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.execution.useObjectHashAggregateExec=false"
+run vec-reader-off env GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.parquet.enableVectorizedReader=false -Dspark.sql.orc.enableVectorizedReader=false"
 run part7          env SPARK_GRAFT_CPUS=7
 run local-cluster  env SPARK_GRAFT_MASTER='local-cluster[2,4,4096]' \
                        SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
