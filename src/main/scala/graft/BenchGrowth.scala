@@ -38,13 +38,20 @@ import org.apache.spark.sql.functions._
   */
 object BenchGrowth {
 
-  // Staged corpora are keyed by (recipe name, SOURCE sfDir): a previous
-  // run against a different SPARK_GRAFT_SF_DIR must not be silently reused
-  // — the digest suffix makes each source corpus its own staging universe.
+  // Bump whenever ANY replicate* recipe (or an upstream input shape a
+  // staged corpus bakes in, e.g. the Ivf cell assignment) changes: staged
+  // parquet from the previous recipe must not be silently reused — the
+  // BenchGrowthSpec contracts pin the FUNCTIONS, not stale files on disk.
+  private val recipeVersion = 2 // v2: per-(copy,dim) mixed-hash sign flips
+
+  // Staged corpora are keyed by (recipe name, recipe version, SOURCE
+  // sfDir): a previous run against a different SPARK_GRAFT_SF_DIR or an
+  // older recipe must not be silently reused — the suffix makes each
+  // (source corpus, recipe) its own staging universe.
   private[graft] def tmpRootFor(sfDir: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    s"/tmp/graft-growth-$d"
+    s"/tmp/graft-growth-v$recipeVersion-$d"
   }
 
   private def tmpRoot: String =

@@ -92,12 +92,12 @@ object PrefixSum {
     require(df.schema(valueCol).dataType == LongType,
       s"groupedRunningSum needs a LongType value column; '$valueCol' is " +
         s"${df.schema(valueCol).dataType.simpleString} - cast it first")
-    // The boundary walk compares group keys with Seq[Any] equality, which
-    // is value equality for atomic types but REFERENCE equality for the
-    // Array[Byte]/collection values Binary/Array/Map/Struct columns carry —
-    // a group spanning a partition boundary would silently fail to chain.
-    // Fail loud at plan time instead; hash such keys to an atomic column
-    // (e.g. xxhash64) upstream if needed.
+    // The boundary walk compares group-key values on the driver and in the
+    // second map pass. BinaryType keys come back as Array[Byte] — reference
+    // equality, so a group spanning a partition boundary would silently
+    // fail to chain. Fail loud at plan time instead (composite array/map/
+    // struct keys are rejected conservatively too: binary can nest inside
+    // them); hash such keys to an atomic column (e.g. xxhash64) upstream.
     groupCols.foreach { g =>
       import org.apache.spark.sql.types._
       val dt = df.schema(g).dataType
@@ -108,13 +108,33 @@ object PrefixSum {
       }
       require(valueComparable,
         s"groupedRunningSum group key '$g' is ${dt.simpleString}: keys are " +
-          "compared by value equality, which binary/array/map/struct types " +
-          "do not provide - hash the key to an atomic column first")
+          "compared by value equality, which binary (and binary nested in " +
+          "array/map/struct) does not provide - hash the key to an atomic " +
+          "column first")
     }
     val gIdx = groupCols.map(sorted.schema.fieldIndex)
     val valueIdx = sorted.schema.fieldIndex(valueCol)
     val rdd = sorted.rdd
-    def gkey(r: Row): Seq[Any] = gIdx.map(r.get)
+    // Group-key equality must match SPARK's grouping semantics, not
+    // Scala's: Scala == unboxes numerics, so NaN != NaN and every
+    // NaN-keyed row would silently restart its group (and -0.0 vs 0.0
+    // would split a group Spark considers one). Normalize floats once
+    // (canonical NaN, -0.0 -> 0.0) and compare with java.lang equals
+    // (bit-level for boxed Double/Float: NaN equals NaN).
+    def gkey(r: Row): Seq[Any] = gIdx.map { i =>
+      r.get(i) match {
+        case d: java.lang.Double =>
+          if (d.isNaN) java.lang.Double.valueOf(Double.NaN)
+          else if (d.doubleValue() == 0d) java.lang.Double.valueOf(0d) else d
+        case f: java.lang.Float =>
+          if (f.isNaN) java.lang.Float.valueOf(Float.NaN)
+          else if (f.floatValue() == 0f) java.lang.Float.valueOf(0f) else f
+        case x => x
+      }
+    }
+    def sameKey(a: Seq[Any], b: Seq[Any]): Boolean =
+      a.lazyZip(b).forall((x, y) =>
+        if (x == null) y == null else x.equals(y))
     // Boundary state per partition: (firstKey, lastKey, trailingSum) where
     // trailingSum covers the run of rows at the END of the partition whose
     // key == lastKey. Interior groups never need cross-partition offsets.
@@ -127,7 +147,7 @@ object PrefixSum {
           val k = gkey(r)
           val v = if (r.isNullAt(valueIdx)) 0L else r.getLong(valueIdx)
           if (first == null) { first = k; cur = k; curSum = v }
-          else if (k == cur) curSum += v
+          else if (sameKey(k, cur)) curSum += v
           else { cur = k; curSum = v }
         }
         Iterator.single(pid ->
@@ -146,11 +166,11 @@ object PrefixSum {
             bounds(q) match {
               case None => q -= 1 // empty partition: transparent
               case Some((qFirst, qLast, qTrailing)) =>
-                if (qLast == firstKey) {
+                if (sameKey(qLast, firstKey)) {
                   acc += qTrailing
                   // the group may extend further back only if it fills
                   // partition q entirely
-                  if (qFirst == firstKey) q -= 1 else continue = false
+                  if (sameKey(qFirst, firstKey)) q -= 1 else continue = false
                 } else continue = false
             }
           }
@@ -165,7 +185,7 @@ object PrefixSum {
       it.map { r =>
         val k = gkey(r)
         if (cur == null) { cur = k; s = bc.value(pid) }
-        else if (k != cur) { cur = k; s = 0L }
+        else if (!sameKey(k, cur)) { cur = k; s = 0L }
         if (!r.isNullAt(valueIdx)) s += r.getLong(valueIdx)
         Row.fromSeq(r.toSeq :+ s)
       }

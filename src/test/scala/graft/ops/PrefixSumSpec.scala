@@ -68,6 +68,27 @@ class PrefixSumSpec extends SparkSpec {
     assert(got.toSeq == (0L until 1000L).map(i => i -> (i + 1)))
   }
 
+  test("grouped: NaN and -0.0 double keys follow Spark grouping semantics") {
+    // Scala == unboxes numerics (NaN != NaN, 0.0 == -0.0 but distinct
+    // bits), while Spark grouping treats all NaN as one group and -0.0 as
+    // 0.0 — the boundary walk must agree with Spark, including chains of
+    // NaN-keyed rows across partition boundaries
+    val df = spark.range(0, 300).select(
+      when($"id" % 3 === 0, lit(Double.NaN))
+        .when($"id" % 3 === 1, lit(-0.0d)).otherwise(lit(7.5d)).as("g"),
+      $"id".as("o"), lit(1L).as("v"))
+    val got = PrefixSum.groupedRunningSum(df, Seq("g"), Seq($"o"), "v",
+        "run", partitions = 8)
+      .select($"o", $"run").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val want = df.withColumn("run", sum($"v").over(
+        Window.partitionBy($"g").orderBy($"o")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .select($"o", $"run").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    // each of the 3 groups ends with a running count of 100
+    assert(got.map(_._2).max == 100L)
+  }
+
   test("grouped: non-value-comparable group keys are rejected at plan time") {
     // binary/array keys compare by reference inside the boundary walk —
     // cross-partition chaining would silently break, so fail loud instead

@@ -1,5 +1,5 @@
 #!/usr/bin/env bash
-# Re-run the full SCALE.md invariance matrix at HEAD: seven hostile-mode
+# Re-run the full SCALE.md invariance matrix at HEAD: eight hostile-mode
 # differential sweeps, each expected to print "== 221 pass, 0 fail".
 # Verify echoes the EFFECTIVE mode switches per run (see the r9 note in
 # SCALE.md: builder .config beats -D, so trust the echo, not the flag).
