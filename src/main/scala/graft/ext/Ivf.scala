@@ -61,26 +61,27 @@ object Ivf {
     Index(centroids, assignments, staged = vecs)
   }
 
-  /** Top-k search probing the `nprobe` nearest cells per query. */
-  def search(index: Index, queries: DataFrame, k: Int = 5,
-             nprobe: Int = 2, idCol: String = "vec_id",
-             vecCol: String = "embedding"): DataFrame = {
+  /** The nprobe-nearest-cells probe set per query — deterministic (probe
+    * ranking on 6-dp rounded cosine + cell tie-break, so the searched
+    * cells are engine-stable) and tiny (nprobe rows per query). */
+  private def probedCells(index: Index, queries: DataFrame, nprobe: Int,
+                          idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    // rank cells per query by centroid similarity; keep nprobe
     val cellRank = Window.partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("cell").asc)
-    // probe ranking on cosine ROUNDED to 6 dp (+ cell tie-break): the
-    // probe CHOICE is then engine-stable, so an external oracle carrying
-    // the centroids as literals reproduces the same searched cells
-    val probed = q.crossJoin(broadcast(index.centroids))
+    q.crossJoin(broadcast(index.centroids))
       .withColumn("c_sim",
         VectorFunctions.cosineRounded(col("qv"), col("centroid"), 6))
       .withColumn("crn", row_number().over(cellRank))
       .filter(col("crn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cell"))
-    // the index IS the celled corpus — broadcast-join the tiny probed set,
-    // no corpus-side exchange
-    val scored = index.assignments
+  }
+
+  /** Score the probed (query, cell) set against the celled corpus — a
+    * broadcast equi-join on cell; no corpus-side exchange. */
+  private def scoreProbed(celled: DataFrame, probed: DataFrame, k: Int,
+                          idCol: String, vecCol: String): DataFrame = {
+    val scored = celled
       .select(col(idCol), col("cell"), col(vecCol).as("cv"))
       .join(broadcast(probed), Seq("cell"))
       .filter(col(idCol) =!= col("query_id"))
@@ -88,5 +89,37 @@ object Ivf {
         VectorFunctions.cosineRounded(col("qv"), col("cv")))
       .withColumnRenamed(idCol, "vec_id")
     Similarity.topKViaAggregator(scored, k)
+  }
+
+  /** Top-k search probing the `nprobe` nearest cells per query. */
+  def search(index: Index, queries: DataFrame, k: Int = 5,
+             nprobe: Int = 2, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame =
+    scoreProbed(index.assignments,
+      probedCells(index, queries, nprobe, idCol, vecCol), k, idCol, vecCol)
+
+  /** [[search]] over a cell-PARTITIONED assignments layout — the trained-
+    * quantizer twin of [[Similarity.sq8IvfTopKPruned]]. [[search]]'s
+    * broadcast probe join never shuffles the corpus but still READS all N
+    * assignment rows per search; storing the assignments hive-partitioned
+    * on `cell` (`Sinks.parquet(index.assignments, path,
+    * partitionBy = Seq("cell"))` — the natural write-once step of the
+    * index build) and restricting the scan to the probed cell set turns
+    * the read itself into static partition pruning: ~nprobe·|queries|
+    * cells of IO instead of N rows. The probed-cell collect is bounded
+    * (nprobe rows per query — the same traffic the probe broadcast
+    * already carries) and the restriction is lossless (the scoring join
+    * is an equi-join on cell). Construct the index as
+    * `Index(centroids, spark.read.parquet(celledPath))`; result equality
+    * with [[search]] and the PartitionFilters scan shape are pinned in
+    * IvfSpec. */
+  def searchPruned(index: Index, queries: DataFrame, k: Int = 5,
+                   nprobe: Int = 2, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val probed = probedCells(index, queries, nprobe, idCol, vecCol)
+    val cells = probed.select("cell").distinct()
+      .collect().map(_.get(0)).toSeq
+    scoreProbed(index.assignments.filter(col("cell").isInCollection(cells)),
+      probed, k, idCol, vecCol)
   }
 }

@@ -62,4 +62,55 @@ class IvfSpec extends SparkSpec {
     // probing every cell IS brute force: recall must be exactly 1
     assert(curve.last._2 == 1.0, s"nprobe=cells recall ${curve.last._2} != 1")
   }
+
+  test("searchPruned over a cell-partitioned layout equals search and " +
+      "prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_part").toFile
+    try {
+      val built = Ivf.build(emb, cells = 8)
+      graft.io.Sinks.parquet(built.assignments, dir.getAbsolutePath,
+        partitionBy = Seq("cell"))
+      built.release()
+      val celled = Ivf.Index(built.centroids,
+        spark.read.parquet(dir.getAbsolutePath))
+      // two queries at nprobe=1 probe at most 2 of the 8 cells — the scan
+      // must read a strict subset of partitions
+      val q2 = queries.filter($"vec_id" < 2)
+      val pruned = Ivf.searchPruned(celled, q2, k = 5, nprobe = 1)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+          r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+      val got = rows(pruned) // executes THIS plan: metrics below are live
+      assert(got == rows(Ivf.search(built, q2, k = 5, nprobe = 1)),
+        "pruned result diverged from the full-assignments search")
+      assert(got.nonEmpty)
+      val exec = pruned.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scans = collectScans(exec)
+        .filter(_.relation.partitionSchema.nonEmpty)
+        .filter(_.toString.contains("PartitionFilters: [cell"))
+      assert(scans.nonEmpty, s"no static cell partition filter in:\n$exec")
+      val read = scans.flatMap(_.metrics.get("numPartitions").map(_.value))
+      assert(read.nonEmpty && read.forall(n => n >= 1L && n <= 2L),
+        s"expected <= 2 of the 8 cell partitions read, got $read")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
+  /** Collect file scans through AQE query stages (QueryStageExec hides
+    * its materialized plan behind `.plan`). */
+  private def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    val here = p.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    val nested = p.collectWithSubqueries {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q
+    }.flatMap(q => collectScans(q.plan))
+    here ++ nested
+  }
 }
