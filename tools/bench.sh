@@ -14,8 +14,12 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# GRAFT_EXTRA_JAVA_OPTS: same contract as check.sh — JVM/GC or
+# spark.* -D experiments (e.g. "-XX:+UseParallelGC") without editing
+# the pinned recipe below. Empty by default, so the committed recipe
+# (-Xmx8g, default G1) is what plain `tools/bench.sh` measures.
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
-java $ADD_OPENS -Xmx8g \
+java $ADD_OPENS -Xmx8g ${GRAFT_EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
   graft.Bench 2> >(tail -5 >&2) | tail -1 > /dev/null
