@@ -95,8 +95,17 @@ object Joins {
       .filter(keys.map(col(_).isNotNull).reduceOption(_ && _)
         .getOrElse(lit(true)) && col("_gt").isNotNull)
 
+    // A null-timed LEFT row is unmatchable in SQL semantics (t >= NULL is
+    // never true), so it must sort where its carry window sees no right
+    // rows: nulls FIRST for the backward carry (nothing precedes it) and
+    // nulls LAST for the forward carry (nothing follows it). Spark's
+    // default asc is nulls-first — correct for backward only by accident,
+    // and wrong for forward, where a null-timed left row would swallow the
+    // earliest right payload. Both are pinned explicitly.
+    val timeOrder =
+      if (forward) col("_gt").asc_nulls_last else col("_gt").asc_nulls_first
     val wBase = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_gt").asc, col("_gs").asc)
+      .orderBy(timeOrder, col("_gs").asc)
     val (w, carry) =
       if (forward)
         (wBase.rowsBetween(Window.currentRow, Window.unboundedFollowing),

@@ -59,6 +59,22 @@ class JoinsSpec extends SparkSpec {
     assert(out == Seq("good"))
   }
 
+  test("null-timed LEFT rows are unmatchable in both directions") {
+    // SQL semantics: t >= NULL / t <= NULL is never true, so a left row
+    // with a null time matches nothing. The forward carry is the trap —
+    // under default nulls-first ordering the null row's CURRENT..FOLLOWING
+    // window would see every right row and swallow the earliest payload.
+    val left = Seq((Option(1L), Option(10L)), (Option(1L), Option.empty[Long]))
+      .toDF("k", "t")
+    val right = Seq((1L, 5L, "early"), (1L, 15L, "late")).toDF("k", "rt", "v")
+    val back = Joins.asofJoin(left, right, Seq("k"), "t", "rt")
+      .select("t", "v").as[(Option[Long], Option[String])].collect().toSet
+    assert(back == Set((Some(10L), Some("early")), (None, None)))
+    val fwd = Joins.asofJoinForward(left, right, Seq("k"), "t", "rt")
+      .select("t", "v").as[(Option[Long], Option[String])].collect().toSet
+    assert(fwd == Set((Some(10L), Some("late")), (None, None)))
+  }
+
   test("asofJoin takes the latest right ROW atomically (nulls included)") {
     val left = Seq((1L, 10L)).toDF("k", "t")
     // latest matching right row has v1 set but v2 null: ASOF semantics
