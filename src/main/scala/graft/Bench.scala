@@ -135,7 +135,17 @@ object Bench {
     def arr(xs: Seq[Double]) = xs
       .map(x => String.format(java.util.Locale.ROOT, "%.3f", x))
       .mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"retimed":$retimedJs,"canary_cold":${arr(canaryCold)},"canary_warm":${arr(canaryWarm)},"queries":${js(results)},"queries_warm":${js(warm)},"sf":"$sfDir"}"""
+    // GC provenance: timings under different collectors are not
+    // comparable (r10 A/B: ParallelGC is ~11 s warm / ~30 s cold faster
+    // than G1 on the full suite), so the record names the collector the
+    // JVM actually ran — a cross-GC bench_diff is visible, not silent.
+    val gc = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getName)
+        .mkString("\"", "; ", "\"")
+    }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"retimed":$retimedJs,"canary_cold":${arr(canaryCold)},"canary_warm":${arr(canaryWarm)},"queries":${js(results)},"queries_warm":${js(warm)},"sf":"$sfDir","jvm_gc":$gc}"""
     println(line)
     // The driver's artifact retains only a stdout tail, which loses most
     // per-query timings; also write the complete line to a committed file

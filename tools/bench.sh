@@ -15,11 +15,14 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 # GRAFT_EXTRA_JAVA_OPTS: same contract as check.sh — JVM/GC or
-# spark.* -D experiments (e.g. "-XX:+UseParallelGC") without editing
-# the pinned recipe below. Empty by default, so the committed recipe
-# (-Xmx8g, default G1) is what plain `tools/bench.sh` measures.
+# spark.* -D experiments without editing the pinned recipe below.
+# Recipe: -Xmx8g (G1 old-gen stalls measured r6/r7 on bigger heaps) +
+# ParallelGC (r10 A/B: warm 164.6->153.4/152.3 s across two runs, cold
+# 207.9->176.2/180.7 s, canary medians 1.14->1.03 — the throughput
+# collector suits a 221-query batch session better than G1's pause
+# targeting; see SCALE.md bench methodology r10).
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
-java $ADD_OPENS -Xmx8g ${GRAFT_EXTRA_JAVA_OPTS:-} \
+java $ADD_OPENS -Xmx8g -XX:+UseParallelGC ${GRAFT_EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
   graft.Bench 2> >(tail -5 >&2) | tail -1 > /dev/null

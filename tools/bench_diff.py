@@ -78,6 +78,13 @@ def main() -> int:
                        if bad
                        else f"flat (medians {med_h:.2f}s -> {med_t:.2f}s)")
             canary_lines.append(f"canary {key[7:]}: {verdict}")
+    # Cross-collector comparisons are apples-to-oranges (r10 A/B: ParallelGC
+    # runs ~11s warm / ~30s cold faster than G1 on the full suite), so name
+    # the mismatch up front — per-query flags below may be pure GC delta.
+    gc_new, gc_old = new.get("jvm_gc"), old.get("jvm_gc")
+    if gc_new and gc_old and gc_new != gc_old:
+        print(f"GC MISMATCH: old ran [{gc_old}], new ran [{gc_new}] — "
+              "per-query deltas include the collector change")
     regress = []
     restated = []
     for phase in ("queries", "queries_warm"):

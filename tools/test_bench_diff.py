@@ -88,6 +88,18 @@ def main():
     assert rc == 0, (rc, out)
     assert "REGRESS" in out, out
 
+    # 8. differing jvm_gc provenance is named (informational, no exit
+    #    change); absent on either side -> silent (pre-r10 records)
+    new_gc = record({"qa": 1.0, "qb": 1.1}, {"qa": 0.5, "qb": 0.6})
+    new_gc["jvm_gc"] = "PS Scavenge; PS MarkSweep"
+    old_gc = dict(old)
+    old_gc["jvm_gc"] = "G1 Young Generation; G1 Old Generation"
+    rc, out = run(new_gc, old_gc)
+    assert rc == 0, (rc, out)
+    assert "GC MISMATCH" in out, out
+    rc, out = run(new_gc, old)  # old record predates the field
+    assert "GC MISMATCH" not in out, out
+
     print("test_bench_diff: all assertions passed")
 
 
