@@ -72,6 +72,38 @@ class JoinsPropertiesSpec extends SparkSpec {
     }.toMap
   }
 
+  test("rangeJoinBucketed matches brute-force containment on signed domains (6 seeds)") {
+    // negative coordinates exercise floor-division bucketing below zero —
+    // integer division would round toward zero there and split a bucket
+    // across the origin; floor() must keep point and interval bucketing
+    // aligned on the same grid
+    val genRange: Gen[(List[Long], List[(Long, Long)], Long)] = for {
+      pts <- Gen.listOfN(30, Gen.chooseNum(-40L, 40L))
+      ivs <- Gen.listOfN(12, for {
+        lo <- Gen.chooseNum(-40L, 40L)
+        span <- Gen.chooseNum(0L, 25L)
+      } yield (lo, lo + span))
+      w <- Gen.oneOf(1L, 3L, 7L, 10L)
+    } yield (pts, ivs, w)
+    (1L to 6L).foreach { seedNo =>
+      val (pts, ivs, w) =
+        genRange.pureApply(Gen.Parameters.default, Seed(seedNo))
+      val pDf = pts.toDF("p")
+      val iDf = ivs.zipWithIndex
+        .map { case ((lo, hi), i) => (lo, hi, s"i$i") }.toDF("lo", "hi", "iv")
+      val got = Joins.rangeJoinBucketed(pDf, iDf, "p", "lo", "hi", w)
+        .select("p", "iv").as[(Long, String)].collect()
+      val want = for {
+        (p, pi) <- pts.zipWithIndex
+        ((lo, hi), i) <- ivs.zipWithIndex
+        if p >= lo && p <= hi
+      } yield (p, s"i$i")
+      // multiset compare: duplicate generated points must pair once EACH
+      assert(got.sorted.toSeq == want.sorted,
+        s"seed $seedNo width $w: got ${got.length}, want ${want.length}")
+    }
+  }
+
   test("asofJoin/asofJoinForward match a brute-force reference (6 seeds × 4 variants)") {
     (1L to 6L).foreach { seedNo =>
       val (left, right) = genCase.pureApply(Gen.Parameters.default, Seed(seedNo))
