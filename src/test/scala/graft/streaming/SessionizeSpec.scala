@@ -22,6 +22,35 @@ class SessionizeSpec extends SparkSpec {
     (2L, ts(5)),
   )
 
+  test("batch sessionization matches a brute-force gap merge (5 seeds)") {
+    // randomized (user, ts) streams with duplicate timestamps: equal-time
+    // events give gap 0 under ANY window tie order, so the outcome must be
+    // deterministic even though the lag order over ties is not
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(60, for {
+      u <- Gen.chooseNum(1L, 4L)
+      m <- Gen.chooseNum(0L, 500L)
+    } yield (u, m))
+    val gap = 40 * 60000L
+    (1L to 5L).foreach { seedNo =>
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(seedNo))
+      val df = rows.map { case (u, m) => (u, ts(m)) }.toDF("user_id", "ts")
+      val got = Sessionize.batch(df, gap)
+        .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val want = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.map { case (_, m) => ts(m).getTime }.sorted
+        sorted.foldLeft(List.empty[(Long, Long, Long)]) {
+          case ((s0, l0, n0) :: rest, t) if t - l0 <= gap =>
+            (s0, t, n0 + 1) :: rest
+          case (acc, t) => (t, t, 1L) :: acc
+        }.map { case (s0, l0, n0) => (u, s0, l0, n0) }
+      }.toSet
+      assert(got == want, s"seed $seedNo")
+    }
+  }
+
   test("batch sessionization splits on gaps") {
     val out = Sessionize.batch(eventRows.toDF("user_id", "ts"), gapMs)
       .orderBy("user_id", "session_start_ms")
