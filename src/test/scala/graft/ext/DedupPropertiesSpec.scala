@@ -102,4 +102,34 @@ class DedupPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("connectedComponents matches union-find on random graphs (6 seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // sparse edges over a small node domain: several components, cycles,
+    // self-loops, and repeated edges all occur across the seeds
+    val genEdges: Gen[List[(Long, Long)]] =
+      Gen.chooseNum(1, 30).flatMap(n => Gen.listOfN(n, for {
+        a <- Gen.chooseNum(0L, 15L)
+        b <- Gen.chooseNum(0L, 15L)
+      } yield (a, b)))
+    (1L to 6L).foreach { seedNo =>
+      val edges = genEdges.pureApply(Gen.Parameters.default, Seed(seedNo))
+      val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .as[(Long, Long)].collect().toMap
+      // union-find reference, component labeled by its min node id
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val want = nodes.map(n => n -> find(n)).toMap
+      assert(got == want, s"seed $seedNo: got $got want $want")
+    }
+  }
 }
