@@ -29,7 +29,13 @@ object HarnessSession {
         .getAbsolutePath
       builder
         .config("spark.executor.extraClassPath", classesDir)
-        .config("spark.executor.extraJavaOptions", "-Duser.timezone=UTC")
+        // ParallelGC on executors for the same reason the driver recipe
+        // pins it (SCALE.md bench methodology r10: batch suite, no pause
+        // SLO — the throughput collector wins ~7% warm over G1); extra
+        // opts ride GRAFT_EXECUTOR_EXTRA_JAVA_OPTS for sweeps.
+        .config("spark.executor.extraJavaOptions",
+          "-Duser.timezone=UTC -XX:+UseParallelGC " +
+            sys.env.getOrElse("GRAFT_EXECUTOR_EXTRA_JAVA_OPTS", ""))
         .config("spark.executor.memory",
           sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "3g"))
     }
