@@ -20,6 +20,34 @@ class PrefixSumSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("grouped running sum matches window SUM on random skewed inputs (5 seeds)") {
+    // randomized group/partition interactions: group sizes from 1 to
+    // ~half the input (so groups span several range partitions), string
+    // keys, negative values, duplicate order keys broken by a unique id —
+    // the boundary-chaining walk is the code under test
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.listOfN(300, for {
+      g <- Gen.frequency(5 -> Gen.const("big"), 3 -> Gen.oneOf("m1", "m2"),
+        2 -> Gen.chooseNum(0, 30).map(i => s"s$i"))
+      o <- Gen.chooseNum(0L, 40L)
+      v <- Gen.chooseNum(-50L, 50L)
+    } yield (g, o, v))
+    (1L to 5L).foreach { seedNo =>
+      val rows = gen.pureApply(Gen.Parameters.default, Seed(seedNo))
+        .zipWithIndex.map { case ((g, o, v), i) => (g, o, v, i.toLong) }
+      val df = rows.toDF("g", "o", "v", "uid").repartition(7)
+      val got = PrefixSum.groupedRunningSum(df, Seq("g"),
+          Seq($"o", $"uid"), "v", "run", partitions = 6)
+        .select($"uid", $"run").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("run", sum($"v").over(
+          Window.partitionBy($"g").orderBy($"o", $"uid")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select($"uid", $"run").as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed $seedNo")
+    }
+  }
+
   test("empty partitions contribute zero offset") {
     val df = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
     val got = PrefixSum.runningSum(df, Seq($"k"), "v", "run", partitions = 8)
