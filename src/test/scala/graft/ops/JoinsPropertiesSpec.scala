@@ -104,6 +104,50 @@ class JoinsPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("multi-key as-of: a composite key behaves as its concatenation (4 seeds)") {
+    // the Seq-of-keys plumbing (select lists, window partition, null-key
+    // filters) must treat (k1, k2) exactly like a single fused key; any
+    // null component makes the composite unmatchable on the right and
+    // payload-less on the left, per SQL equality semantics
+    val genPair: Gen[(Option[Long], Option[Long])] = for {
+      k1 <- Gen.frequency(9 -> Gen.chooseNum(1L, 2L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long]))
+      k2 <- Gen.frequency(9 -> Gen.chooseNum(1L, 2L).map(Option(_)),
+        1 -> Gen.const(Option.empty[Long]))
+    } yield (k1, k2)
+    val gen = for {
+      left <- Gen.listOfN(20, for {
+        ks <- genPair; t <- Gen.chooseNum(0L, 15L)
+      } yield (ks, t))
+      right <- Gen.listOfN(20, for {
+        ks <- genPair; rt <- Gen.chooseNum(0L, 15L)
+      } yield (ks, rt))
+    } yield (left, right)
+    (1L to 4L).foreach { seedNo =>
+      val (l0, r0) = gen.pureApply(Gen.Parameters.default, Seed(seedNo))
+      val left = l0.zipWithIndex
+        .map { case (((k1, k2), t), i) => (k1, k2, t, i.toLong) }
+      val right = r0.zipWithIndex
+        .groupBy { case (((k1, k2), rt), _) => (k1, k2, rt) }.toList
+        .map { case (_, hits) => hits.minBy(_._2) }
+        .map { case (((k1, k2), rt), i) => (k1, k2, rt, s"v$i") }
+      val got = Joins.asofJoin(
+          left.toDF("k1", "k2", "t", "lidx"),
+          right.toDF("k1", "k2", "rt", "v"), Seq("k1", "k2"), "t", "rt")
+        .select("lidx", "v").as[(Long, Option[String])].collect().toMap
+      // reference: fuse the composite key; null components never match
+      val want = left.map { case (k1, k2, t, lidx) =>
+        val cand = for {
+          (rk1, rk2, rt, v) <- right
+          a <- rk1; b <- rk2; c <- k1; d <- k2
+          if a == c && b == d && rt <= t
+        } yield (rt, v)
+        lidx -> (if (cand.isEmpty) None else Some(cand.maxBy(_._1)._2))
+      }.toMap
+      assert(got == want, s"seed $seedNo")
+    }
+  }
+
   test("asofJoin/asofJoinForward match a brute-force reference (6 seeds × 4 variants)") {
     (1L to 6L).foreach { seedNo =>
       val (left, right) = genCase.pureApply(Gen.Parameters.default, Seed(seedNo))
