@@ -21,6 +21,45 @@ class PcaSpec extends SparkSpec {
       m2.components.map(_.toSeq).toSeq)
   }
 
+  test("jacobiEigen invariants on random symmetric matrices (6 seeds)") {
+    // A·V = V·Λ, orthonormal V, trace preserved — checked on random
+    // symmetric inputs including a NEAR-DEGENERATE one (c·I + tiny
+    // perturbation), where naive sweep orderings can stall or emit
+    // non-orthogonal vectors for the clustered eigenvalues
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val d = 6
+    (1L to 6L).foreach { seedNo =>
+      val raw = Gen.listOfN(d * d, Gen.chooseNum(-100, 100))
+        .pureApply(Gen.Parameters.default, Seed(seedNo))
+        .map(_ / 10.0).toArray
+      val degenerate = seedNo % 3 == 0
+      val a = Array.tabulate(d, d) { (i, j) =>
+        val s = (raw(i * d + j) + raw(j * d + i)) / 2.0
+        if (degenerate) (if (i == j) 5.0 else 0.0) + s / 1e4 else s
+      }
+      val (vals, vmat) = Pca.jacobiEigen(a.map(_.clone()))
+      // eigenvector i is COLUMN i of the returned matrix (scaladoc)
+      val vecs = Array.tabulate(d)(i => Array.tabulate(d)(r => vmat(r)(i)))
+      // orthonormal eigenbasis
+      for (i <- 0 until d; j <- i until d) {
+        val e = if (i == j) 1.0 else 0.0
+        assert(math.abs(dot(vecs(i), vecs(j)) - e) < 1e-8,
+          s"seed $seedNo V$i.V$j")
+      }
+      // eigen equation per pair, against the ORIGINAL matrix
+      for (i <- 0 until d) {
+        val av = Array.tabulate(d)(r => dot(a(r), vecs(i)))
+        val resid = math.sqrt(av.zip(vecs(i).map(_ * vals(i)))
+          .map { case (x, y) => (x - y) * (x - y) }.sum)
+        assert(resid < 1e-7, s"seed $seedNo eigpair $i residual $resid")
+      }
+      // trace preservation
+      val tr = (0 until d).map(i => a(i)(i)).sum
+      assert(math.abs(tr - vals.sum) < 1e-7, s"seed $seedNo trace")
+    }
+  }
+
   test("components are orthonormal; eigenvalues descend and are ~nonnegative") {
     val m = Pca.fit(emb)
     for (i <- 0 until 8; j <- i until 8) {
