@@ -132,4 +132,49 @@ class DedupPropertiesSpec extends SparkSpec {
       assert(got == want, s"seed $seedNo: got $got want $want")
     }
   }
+
+  test("sortedNeighborhoodPairs matches a sequential reference (5 seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny alphabet so block keys collide and edit distances spread
+    val genText: Gen[String] = Gen.chooseNum(3, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    def lev(s: String, t: String): Int = {
+      val dp = Array.tabulate(s.length + 1)(i => i)
+      for (j <- 1 to t.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to s.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (s(i - 1) == t(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(s.length)
+    }
+    val window = 2; val keyLen = 4; val blockLen = 2
+    val verifyLen = 10; val maxDist = 5
+    (1L to 5L).foreach { seedNo =>
+      val texts = Gen.listOfN(40, genText)
+        .pureApply(Gen.Parameters.default, Seed(seedNo))
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Dedup.sortedNeighborhoodPairs(rows.toDF("doc_id", "text"),
+          window, keyLen, blockLen, verifyLen, maxDist)
+        .select("doc_a", "doc_b", "dist")
+        .as[(Long, Long, Int)].collect().toSet
+      val want = rows
+        .groupBy { case (_, t) => t.take(blockLen) }.values.flatMap { blk =>
+          val sorted = blk.sortBy { case (id, t) => (t.take(keyLen), id) }
+          for {
+            (a, ia) <- sorted.zipWithIndex
+            i <- 1 to window
+            if ia + i < sorted.size
+            b = sorted(ia + i)
+            d = lev(a._2.take(verifyLen), b._2.take(verifyLen))
+            if d <= maxDist
+          } yield (a._1, b._1, d)
+        }.toSet
+      assert(got == want, s"seed $seedNo: got ${got.size} want ${want.size}")
+    }
+  }
 }
