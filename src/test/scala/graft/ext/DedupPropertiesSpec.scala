@@ -177,4 +177,47 @@ class DedupPropertiesSpec extends SparkSpec {
       assert(got == want, s"seed $seedNo: got ${got.size} want ${want.size}")
     }
   }
+
+  test("containmentPairs matches a set-containment reference (5 seeds)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // messy whitespace and mixed case exercise the normalize contract;
+    // short docs (< n tokens) must contribute NO grams and thus no pairs
+    val genDoc2: Gen[String] = Gen.chooseNum(1, 12).flatMap(k =>
+      Gen.listOfN(k, for {
+        w <- Gen.oneOf(vocab.take(6))
+        up <- Gen.oneOf(false, true)
+        ws <- Gen.oneOf(" ", "  ", "\t", " \n ")
+      } yield (if (up) w.toUpperCase else w) + ws).map(_.mkString))
+    val n = 3
+    (1L to 5L).foreach { seedNo =>
+      val texts = Gen.listOfN(14, genDoc2)
+        .pureApply(Gen.Parameters.default, Seed(seedNo))
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val allPairs = for {
+        a <- rows.indices; b <- rows.indices if a < b
+      } yield (a.toLong, b.toLong)
+      val got = Dedup.containmentPairs(rows.toDF("doc_id", "text"),
+          allPairs.toDF("doc_a", "doc_b"), n = n)
+        .select("doc_a", "doc_b", "containment_a", "containment_b")
+        .as[(Long, Long, Double, Double)].collect().toSet
+      Dedup.releaseScratch()
+      def grams(t: String): Set[String] = {
+        val toks = t.toLowerCase.replaceAll("\\s+", " ").trim.split(" ").toSeq
+        if (toks.size < n) Set.empty
+        else toks.sliding(n).map(_.mkString(" ")).toSet
+      }
+      val g = rows.map { case (i, t) => i -> grams(t) }.toMap
+      val want = (for {
+        (a, b) <- allPairs
+        ga = g(a); gb = g(b)
+        if ga.nonEmpty && gb.nonEmpty
+        inter = (ga & gb).size
+        if inter > 0
+        ca = inter.toDouble / ga.size; cb = inter.toDouble / gb.size
+        if math.max(ca, cb) >= 0.5
+      } yield (a, b, ca, cb)).toSet
+      assert(got == want, s"seed $seedNo: got ${got.size} want ${want.size}")
+    }
+  }
 }
