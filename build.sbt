@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Collector pin, matching tools/bench.sh: ParallelGC beats G1 by
+  // ~11 s warm / ~30 s cold on the full 221-query suite at the 8g heap
+  // (A/B in SCALE.md bench methodology). Without this, sbt-launched runs
+  // (`sbt "runMain graft.Bench"`, forked tests) default to G1 and pay
+  // that tax. Env-overridable like SPARK_DRIVER_MEM — e.g. SPARK_GC=G1GC
+  // reproduces the old collector for comparison runs.
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GC", "ParallelGC")}",
 )

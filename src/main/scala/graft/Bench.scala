@@ -141,9 +141,13 @@ object Bench {
     // JVM actually ran — a cross-GC bench_diff is visible, not silent.
     val gc = {
       import scala.jdk.CollectionConverters._
-      java.lang.management.ManagementFactory
+      val names = java.lang.management.ManagementFactory
         .getGarbageCollectorMXBeans.asScala.map(_.getName)
-        .mkString("\"", "; ", "\"")
+        .mkString("; ")
+      // JSON-escape: an exotic collector name containing a quote or
+      // backslash must not corrupt the whole record (parseCommittedWarm
+      // would silently swallow the parse failure and drop the baseline).
+      "\"" + names.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"retimed":$retimedJs,"canary_cold":${arr(canaryCold)},"canary_warm":${arr(canaryWarm)},"queries":${js(results)},"queries_warm":${js(warm)},"sf":"$sfDir","jvm_gc":$gc}"""
     println(line)
