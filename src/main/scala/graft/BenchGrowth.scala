@@ -57,6 +57,27 @@ object BenchGrowth {
   private def tmpRoot: String =
     tmpRootFor(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
 
+  /** Remove superseded staging universes: any /tmp/graft-growth* sibling
+    * that is not the CURRENT (recipeVersion, sfDir) root — old recipe
+    * versions, other sfDir hashes, and the pre-versioning
+    * /tmp/graft-growth — so multi-GB replicated corpora don't accumulate
+    * across recipe bumps. Only the current root's parquet is reusable
+    * (the staged() _SUCCESS check), so deleting the rest is always safe. */
+  private[graft] def cleanStaleRoots(current: String): Seq[String] = {
+    val cur = new java.io.File(current)
+    val stale = Option(new java.io.File("/tmp").listFiles()).getOrElse(Array())
+      .filter(f => f.getName.startsWith("graft-growth") && f.isDirectory &&
+        f.getCanonicalPath != cur.getCanonicalPath)
+    stale.foreach(deleteRecursively)
+    stale.map(_.getPath).toSeq
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array()).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   private def noopTime(df: DataFrame): Double = {
     val t0 = System.nanoTime()
     df.write.format("noop").mode("overwrite").save()
@@ -129,6 +150,8 @@ object BenchGrowth {
   def main(args: Array[String]): Unit = {
     val which = if (args.isEmpty) "all" else args(0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cleanStaleRoots(tmpRoot).foreach(p =>
+      System.err.println(s"[growth] removed stale staging root $p"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
