@@ -116,9 +116,17 @@ object Ivf {
   def searchPruned(index: Index, queries: DataFrame, k: Int = 5,
                    nprobe: Int = 2, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
-    val probed = probedCells(index, queries, nprobe, idCol, vecCol)
-    val cells = probed.select("cell").distinct()
-      .collect().map(_.get(0)).toSeq
+    // Materialize the probe ranking ONCE: the collect below already pays
+    // for the query×centroid scoring pass, so the scoring join reuses the
+    // collected rows as a local relation instead of re-running the cross
+    // join + window a second time (the probed set is ≤ nprobe·|queries|
+    // rows — broadcast-sized by construction).
+    val probedDf = probedCells(index, queries, nprobe, idCol, vecCol)
+    val rows = probedDf.collect()
+    val cells = rows.map(_.get(2)).distinct.toSeq
+    val spark = queries.sparkSession
+    val probed = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probedDf.schema)
     scoreProbed(index.assignments.filter(col("cell").isInCollection(cells)),
       probed, k, idCol, vecCol)
   }
