@@ -76,7 +76,12 @@ object Verify {
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
       .master(master)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // overridable (sys.props default) for the same reason as adaptive
+      // below: the memory-pressure sweep axis raises partition counts
+      // under a constrained heap, and a hard-coded value here would
+      // silently nullify that -D
+      .config("spark.sql.shuffle.partitions",
+        sys.props.getOrElse("spark.sql.shuffle.partitions", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       // default-on, but overridable: builder .config BEATS -D system
       // properties in Spark's precedence, so a hard-coded value here would
@@ -111,7 +116,15 @@ object Verify {
       " objectHashAgg=" +
       spark.conf.get("spark.sql.execution.useObjectHashAggregateExec") +
       " vecParquet=" +
-      spark.conf.get("spark.sql.parquet.enableVectorizedReader"))
+      spark.conf.get("spark.sql.parquet.enableVectorizedReader") +
+      " shufflePartitions=" +
+      spark.conf.get("spark.sql.shuffle.partitions") +
+      " memoryFraction=" + spark.conf.get("spark.memory.fraction", "0.6") +
+      " forceSpillThreshold=" +
+      spark.conf.get("spark.shuffle.spill.numElementsForceSpillThreshold",
+        "none") +
+      " maxHeapMb=" +
+      (Runtime.getRuntime.maxMemory() / (1024 * 1024)))
     // one materialization of the shared enriched frame for the whole run;
     // never fatal — queries that don't touch it must still verify.
     // NonFatal only: an OOM/linkage error must abort the JVM, not cascade
