@@ -111,16 +111,12 @@ object IncrementalQueries extends QueryGroup {
     * recomputes directly over the post-CDC set, so the hash match
     * proves merge(base, +Δ, −Δ) = full(final) — including that a user
     * whose every row retracts drops out of the distinct. */
-  private def incrementalRetract(s: SparkSession, dir: String): DataFrame = {
-    val e = Sources.table(s, dir, "events")
-      .select(col("event_id"), col("event_type"), col("user_id"),
-        col("value").cast("decimal(18,6)").as("v"))
-    val base = e.filter(col("event_id") % 11 =!= 0).withColumn("m", lit(1L))
-    val ins = e.filter(col("event_id") % 11 === 0).withColumn("m", lit(1L))
-    val del = e.filter(col("event_id") % 11 =!= 0 &&
-        col("event_id") % 13 === 0)
-      .withColumn("m", lit(-1L))
-    val deltas = base.unionByName(ins).unionByName(del)
+  /** The retract-merge core, shared by [[incrementalRetract]] and the
+    * randomized CdcPropertiesSpec (retractable merge ≡ post-CDC
+    * recompute on arbitrary delta streams): `deltas` carries
+    * (event_type, user_id, v, m) with multiplicity m ∈ {+1, −1};
+    * output is one row per group with net-positive count. */
+  private[graft] def retractMerge(deltas: DataFrame): DataFrame = {
     val scalars = deltas.groupBy(col("event_type"))
       .agg(sum(col("m")).as("n"), sum(col("m") * col("v")).as("sv"))
     val live = deltas.groupBy(col("event_type"), col("user_id"))
@@ -133,6 +129,18 @@ object IncrementalQueries extends QueryGroup {
         (col("sv").cast("double") / col("n")).as("avg_value"),
         col("live_users"))
       .orderBy("event_type")
+  }
+
+  private def incrementalRetract(s: SparkSession, dir: String): DataFrame = {
+    val e = Sources.table(s, dir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value").cast("decimal(18,6)").as("v"))
+    val base = e.filter(col("event_id") % 11 =!= 0).withColumn("m", lit(1L))
+    val ins = e.filter(col("event_id") % 11 === 0).withColumn("m", lit(1L))
+    val del = e.filter(col("event_id") % 11 =!= 0 &&
+        col("event_id") % 13 === 0)
+      .withColumn("m", lit(-1L))
+    retractMerge(base.unionByName(ins).unionByName(del))
   }
 
   private val incrementalRetractOracle: String =
