@@ -10,11 +10,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * the tool itself only runs where python3 exists. */
 class BenchDiffToolSpec extends AnyFunSuite {
 
-  test("bench_diff per-phase demotion and 0/1/2 strict-exit contract") {
+  private def runPyTest(path: String): Unit = {
     val py = Seq("/usr/bin/python3", "/usr/local/bin/python3")
       .find(p => new java.io.File(p).canExecute)
       .orElse(Some("python3"))
-    val script = new java.io.File("tools/test_bench_diff.py")
+    val script = new java.io.File(path)
     assume(script.exists, "run from the repo root")
     val pb = new ProcessBuilder(py.get, script.getPath)
     pb.redirectErrorStream(true)
@@ -25,7 +25,16 @@ class BenchDiffToolSpec extends AnyFunSuite {
       }
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
     val rc = proc.waitFor()
-    assert(rc == 0, s"test_bench_diff.py failed (exit $rc):\n$out")
+    assert(rc == 0, s"$path failed (exit $rc):\n$out")
     assert(out.contains("all assertions passed"), out)
+  }
+
+  test("bench_diff per-phase demotion and 0/1/2 strict-exit contract") {
+    runPyTest("tools/test_bench_diff.py")
+  }
+
+  test("arbitrate flag re-derivation, steady-vs-pass1 verdicts, and " +
+      "record stamping") {
+    runPyTest("tools/test_arbitrate.py")
   }
 }

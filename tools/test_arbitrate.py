@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""Unit coverage for tools/arbitrate.py: flag re-derivation must match
+bench_diff's thresholds (including the streaming RESTATED carve-out),
+the verdict math must judge warm flags on the steady median and cold
+flags on pass 1, and the stamped record must stay a parseable JSON line
+with the original fields intact. bench_one is monkeypatched — no JVMs
+here. Plain asserts, no pytest; run directly:
+
+    python3 tools/test_arbitrate.py
+
+Invoked from sbt test via BenchDiffToolSpec alongside test_bench_diff.
+"""
+import json
+import os
+import sys
+import tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+import arbitrate  # noqa: E402
+
+
+def record(queries, queries_warm):
+    return {
+        "metric": "total", "value": sum(queries.values()),
+        "warm_total": sum(queries_warm.values()),
+        "queries": queries, "queries_warm": queries_warm,
+        "canary_cold": [0.1] * 4, "canary_warm": [0.1] * 4,
+        "failed": [], "retimed": [], "sf": "/root/testdata/sf0.1",
+    }
+
+
+def write(d, name, rec):
+    p = os.path.join(d, name)
+    with open(p, "w") as f:
+        json.dump(rec, f)
+    return p
+
+
+def run_main(argv, fake_series):
+    calls = []
+
+    def fake_bench_one(query, passes, sf_dir):
+        calls.append((query, passes, sf_dir))
+        return fake_series[query]
+
+    orig, arbitrate.bench_one = arbitrate.bench_one, fake_bench_one
+    orig_argv, sys.argv = sys.argv, ["arbitrate.py"] + argv
+    try:
+        rc = arbitrate.main()
+    finally:
+        arbitrate.bench_one = orig
+        sys.argv = orig_argv
+    return rc, calls
+
+
+def test_flags_match_bench_diff_thresholds():
+    with tempfile.TemporaryDirectory() as d:
+        old = record({"a": 1.0, "b": 1.0}, {"a": 1.0, "streaming_x": 0.07})
+        # a: cold 1.0->1.4 (1.4x, under ratio) not flagged;
+        # b: cold 1.0->2.0 flagged; a warm 1.0->3.0 flagged;
+        # streaming_x warm 0.07->2.0 is the RESTATED carve-out, skipped
+        new = record({"a": 1.4, "b": 2.0},
+                     {"a": 3.0, "streaming_x": 2.0})
+        np_, op = write(d, "new.json", new), write(d, "old.json", old)
+        flags = arbitrate.flags_from_diff(np_, op)
+        assert sorted((p, q) for p, q, *_ in flags) == [
+            ("queries", "b"), ("queries_warm", "a")], flags
+
+
+def test_warm_steady_vs_cold_pass1_verdicts():
+    with tempfile.TemporaryDirectory() as d:
+        old = record({"c": 1.0}, {"w": 1.0})
+        new = record({"c": 3.0}, {"w": 3.0})
+        np_, op = write(d, "new.json", new), write(d, "old.json", old)
+        # w: flagged warm at 3.0 but fresh steady median(1.1,1.0,1.2)=1.1
+        #    -> jitter; c: flagged cold, fresh pass1 2.9 -> confirmed
+        rc, calls = run_main(
+            [np_, "--old", op],
+            {"w": [9.0, 1.1, 1.0, 1.2], "c": [2.9, 1.0, 1.0, 1.0]})
+        assert rc == 1, rc  # one confirmed flag -> nonzero
+        assert all(p == arbitrate.PASSES for _, p, _ in calls), calls
+        with open(np_) as f:
+            stamped = json.load(f)
+        arb = stamped["arbitration"]
+        assert arb["w"]["verdict"] == "jitter", arb
+        assert abs(arb["w"]["steady"] - 1.1) < 1e-9, arb
+        assert arb["c"]["verdict"] == "confirmed", arb
+        assert arb["c"]["passes"][0] == 2.9, arb
+        # original record fields survive the stamp
+        assert stamped["queries"] == new["queries"], stamped
+
+
+def test_forced_query_prefers_warm_and_all_jitter_exits_zero():
+    with tempfile.TemporaryDirectory() as d:
+        old = record({"q": 1.0}, {"q": 1.0})
+        new = record({"q": 1.0}, {"q": 1.0})  # nothing flagged
+        np_, op = write(d, "new.json", new), write(d, "old.json", old)
+        rc, calls = run_main([np_, "--old", op, "--passes", "3", "q"],
+                             {"q": [2.0, 1.0, 1.1]})
+        assert rc == 0, rc
+        assert calls == [("q", 3, "/root/testdata/sf0.1")], calls
+        with open(np_) as f:
+            arb = json.load(f)["arbitration"]["q"]
+        assert arb["phase"] == "queries_warm", arb
+        assert arb["verdict"] == "jitter", arb
+
+
+def test_no_flags_leaves_record_untouched():
+    with tempfile.TemporaryDirectory() as d:
+        old = record({"q": 1.0}, {"q": 1.0})
+        new = record({"q": 1.0}, {"q": 1.0})
+        np_, op = write(d, "new.json", new), write(d, "old.json", old)
+        before = open(np_).read()
+        rc, calls = run_main([np_, "--old", op], {})
+        assert rc == 0 and calls == [], (rc, calls)
+        assert open(np_).read() == before
+
+
+if __name__ == "__main__":
+    test_flags_match_bench_diff_thresholds()
+    test_warm_steady_vs_cold_pass1_verdicts()
+    test_forced_query_prefers_warm_and_all_jitter_exits_zero()
+    test_no_flags_leaves_record_untouched()
+    print("all assertions passed")
