@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * cost, pass 2 is the steady-state signal).
   *
   * Usage: `BenchGrowth
-  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|all]`
+  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|skew|all]`
   * with SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
   */
 object BenchGrowth {
@@ -138,6 +138,52 @@ object BenchGrowth {
           (x, s) => x * s).as("embedding"))
     }.reduce(_ unionAll _)
 
+  /** The shared body of the adversarial hot class: ~120 tokens drawn
+    * from a 37-word vocabulary, identical across ALL copies (deliberately
+    * NOT letter-rotated — the class must span copies). */
+  private[graft] val hotBody: String =
+    (0 until 120).map(i => s"hotword${i % 37}").mkString(" ")
+
+  /** [[replicateDocs]] with one GLOBAL pathological key: 10% of every
+    * copy's docs (within-copy id ≡ 7 mod 10; the copy offsets are
+    * multiples of 10, so the selector is copy-stable) get [[hotBody]]
+    * plus a doc-unique numeric tail. Near-identical but pairwise
+    * DISTINCT: exact dedup cannot collapse the class, the ~3 tail
+    * shingles rarely win a MinHash min over the ~120 shared ones, and
+    * the simhash majority vote moves by at most a few bits — so MinHash
+    * band buckets, simhash byte-band keys, and LSH buckets all
+    * concentrate m = 0.1·N ids on one key. Deterministic (pure column
+    * functions of doc_id), recipe-versioned via [[staged]] like every
+    * other corpus. */
+  private[graft] def replicateDocsSkewed(base: DataFrame,
+                                         copies: Int): DataFrame =
+    replicateDocs(base, copies).withColumn("text",
+      when(pmod(col("doc_id"), lit(10)) === 7,
+        concat(lit(hotBody), lit(" tail "), col("doc_id").cast("string")))
+        .otherwise(col("text")))
+
+  /** [[replicateEmb]] with the embedding-space twin of
+    * [[replicateDocsSkewed]]: 10% of every copy's vectors become one
+    * fixed template vector plus a per-id epsilon (≤1e-4, far below any
+    * component, in dimension vec_id % dims) — pairwise-distinct vectors
+    * (so nearDupLsh's distinct-vector grain CANNOT collapse them: each
+    * is its own representative) with pairwise cosine ≈ 1 that share
+    * every sign-LSH table's signature: one hot bucket of m = 0.1·N
+    * representatives, the case the hot-bucket block-chunking exists
+    * for. */
+  private[graft] def replicateEmbSkewed(base: DataFrame, copies: Int,
+                                        dims: Int): DataFrame = {
+    val hotVec = array((0 until dims).map(d =>
+      lit(0.05f + 0.003f * (d % 17))): _*)
+    val eps = pmod(col("vec_id"), lit(997)).cast("float") * lit(1e-7f)
+    replicateEmb(base, copies, dims).withColumn("embedding",
+      when(pmod(col("vec_id"), lit(10)) === 7,
+        transform(hotVec, (x, i) =>
+          x + when(i === pmod(col("vec_id"), lit(dims)).cast("int"), eps)
+            .otherwise(lit(0f))))
+        .otherwise(col("embedding")))
+  }
+
   private[graft] def replicateEvents(base: DataFrame, copies: Int): DataFrame =
     (0 until copies).map { c =>
       base.select(
@@ -161,6 +207,19 @@ object BenchGrowth {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_GROWTH_STAGES=1: print each stage's id/name/callsite on
+    // submission — the triage hook for task-level failures (an OOM log
+    // names only "stage N"; this maps N back to the operator).
+    if (sys.env.contains("GRAFT_GROWTH_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageSubmitted(
+              e: org.apache.spark.scheduler.SparkListenerStageSubmitted)
+              : Unit =
+            System.err.println(s"[stage ${e.stageInfo.stageId}] " +
+              s"${e.stageInfo.name} :: " +
+              e.stageInfo.details.linesIterator.take(3).mkString(" | "))
+        })
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     def report(s: String): Unit = { println(s); lines += s }
 
@@ -364,6 +423,64 @@ object BenchGrowth {
         }
         report(f"simhash docs=$rows%d sig=${sig(0)}%.2f/${sig(1)}%.2f " +
           f"pairs=${pairs(0)}%.2f/${pairs(1)}%.2f")
+      }
+    }
+
+    if (which == "all" || which == "skew") {
+      // Adversarial-skew growth (round-11 prescription): one GLOBAL
+      // pathological key. The uniform letter-rotation corpora spread
+      // bucket keys evenly; here 10% of EVERY copy collapses onto one
+      // hot band-bucket of m = 0.1·N near-identical-but-distinct members
+      // (see replicateDocsSkewed). Candidate enumeration over a
+      // duplicate class is inherently Θ(m²) — the class's true pair set
+      // IS m²/2 rows — so the counts pin the quadratic term and the
+      // times verify the CONSTANT: does the Σ|bucket|² stage
+      // parallelize, or does one core eat the hot bucket? The hot
+      // fraction is 10%, not the 30–50% worst case, because the output
+      // itself is the bound: at 40%×16× the answer set is ~288M pairs,
+      // which no enumeration dodges — the 100 TB mitigation for classes
+      // that size is collapsing them BEFORE banding (exactGroups for
+      // exact dups; cluster-and-keep-representatives otherwise), and the
+      // quadratic math extrapolates from these rows without paying for
+      // that run.
+      for (n <- Seq(1, 4, 16)) {
+        val d = staged(spark, s"docs_skew_x$n")(replicateDocsSkewed(docs1, n))
+        val rows = d.count()
+        var nCand = -1L
+        val mh = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          nCand = ext.Dedup.minhashCandidates(d).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          ext.Dedup.releaseScratch(); t
+        }
+        var nSh = -1L
+        val sh = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          nSh = ext.Dedup.simhashPairs(d).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          ext.Dedup.releaseScratch(); t
+        }
+        report(f"skew docs=$rows%d minhashCand=$nCand%d " +
+          f"mh=${mh(0)}%.2f/${mh(1)}%.2f simhashPairs=$nSh%d " +
+          f"sh=${sh(0)}%.2f/${sh(1)}%.2f")
+      }
+    }
+
+    if (which == "all" || which == "skew" || which == "skewemb") {
+      val embSk = io.Sources.table(spark, sfDir, "embeddings")
+      for (n <- Seq(1, 4, 16)) {
+        val e = staged(spark, s"emb_skew_x$n")(
+          replicateEmbSkewed(embSk, n, dims = 64))
+        val rows = e.count()
+        var nNd = -1L
+        val nd = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          nNd = ext.Similarity.nearDupLsh(e, dims = 64).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          ext.Dedup.releaseScratch(); t
+        }
+        report(f"skew emb=$rows%d neardupPairs=$nNd%d " +
+          f"nd=${nd(0)}%.2f/${nd(1)}%.2f")
       }
     }
 

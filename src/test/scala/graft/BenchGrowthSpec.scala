@@ -122,4 +122,60 @@ class BenchGrowthSpec extends SparkSpec {
     // non-id columns untouched
     assert(rep.select("event_type").distinct().count() == 2)
   }
+
+  test("replicateDocsSkewed: one global near-identical hot class, " +
+      "exact-dedup-proof, 10% of every copy") {
+    val base = (0L until 20L).map(i => (i, s"doc body $i unique", "en"))
+      .toDF("doc_id", "text", "lang")
+    val rep = BenchGrowth.replicateDocsSkewed(base, 4).cache()
+    try {
+      assert(rep.count() == 80)
+      val hot = rep.filter($"text".startsWith(BenchGrowth.hotBody))
+      // exactly 10% per copy: ids 7 and 17 in each of the 4 copies
+      assert(hot.count() == 8)
+      assert(hot.groupBy(($"doc_id" / 10000000L).cast("long")).count()
+        .select("count").as[Long].collect().toSeq == Seq.fill(4)(2L))
+      // the class spans copies (the body is NOT rotated) but every
+      // member is pairwise distinct (the doc-unique tail): exactGroups
+      // cannot collapse it
+      assert(hot.select("text").distinct().count() == 8)
+      // non-hot rows keep the rotation recipe untouched
+      assert(rep.filter(!$"text".startsWith("hotword"))
+        .count() == 72)
+    } finally rep.unpersist()
+  }
+
+  test("replicateEmbSkewed: hot vectors pairwise distinct with " +
+      "cosine ~= 1 and shared LSH signature") {
+    val dims = 8
+    val base = (0L until 20L).map { i =>
+      (i, Array.tabulate(dims)(d => ((i + d + 1) % 7).toFloat - 3f))
+    }.toDF("vec_id", "embedding")
+    val rep = BenchGrowth.replicateEmbSkewed(base, 3, dims).cache()
+    try {
+      assert(rep.count() == 60)
+      val hot = rep.filter(pmod($"vec_id", lit(10)) === 7)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      assert(hot.length == 6) // ids 7, 17 in each of 3 copies
+      // pairwise distinct (per-id epsilon) — the distinct-vector grain
+      // of nearDupLsh keeps every member as its own representative
+      assert(hot.map(_._2.toSeq).distinct.length == 6)
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+        dot / (na * nb)
+      }
+      for (i <- hot.indices; j <- i + 1 until hot.length)
+        assert(cos(hot(i)._2, hot(j)._2) > 0.999999,
+          s"hot pair ${hot(i)._1},${hot(j)._1}")
+      // all six land in ONE sign-LSH bucket per table
+      val sigs = graft.ext.Similarity.signLshBanded(
+        rep.filter(pmod($"vec_id", lit(10)) === 7),
+        tables = 4, planesPerTable = 8, dims = dims)
+        .groupBy("table").agg(countDistinct($"sig").as("n"))
+        .select("n").as[Long].collect()
+      assert(sigs.forall(_ == 1L), sigs.toSeq.toString)
+    } finally rep.unpersist()
+  }
 }
