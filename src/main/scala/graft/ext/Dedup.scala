@@ -132,20 +132,31 @@ object Dedup {
     * is O(bucket²) pairs exactly like the self-join (inherent to the
     * semantics); a duplicate-heavy corpus with a huge bucket degrades to
     * many medium rows, not one unallocatable giant row. */
+  /** A bucket whose pair expansion should leave the bucket's partition:
+    * below this, the in-partition two-explode path is both memory-bounded
+    * (the per-input-row expansion whole-stage codegen BUFFERS is
+    * ≤ hotBucketSize · |ids| bytes) and cheap enough not to matter. */
+  private[ext] val hotBucketSize = 512
+
+  /** Grid block width for hot-bucket self-joins: a bucket of m sorted
+    * positions becomes a (m/blk)² upper-triangular grid of cells, each an
+    * independent join key — the unit of pair-stage parallelism. */
+  private[ext] val gridBlk = 256
+
   private[ext] def candidatesFromSignatures(sigRaw: DataFrame, idCol: String,
       bucketKeys: Seq[String] = Seq("band", "sig")): DataFrame = {
     val keys = bucketKeys.map(col)
-    val buckets = sigRaw
+    val buckets = persistScratch(sigRaw
       .groupBy(keys: _*)
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1))
     // Explicit fixed-N repartition before the pair explode (the
     // nearDupLsh precedent, round 9): bucket rows are few BYTES but carry
     // Σ|bucket|² of downstream work, and AQE's size-based coalescing
     // would fold the whole explode onto one reducer. The exchange moves
     // only the compact bucket lists.
     val n = sigRaw.sparkSession.sessionState.conf.numShufflePartitions
-    buckets
+    val small = buckets.filter(size(col("ids")) < hotBucketSize)
       .repartition(n, keys: _*)
       // stage 1: one row per (list, position). posexplode is 0-based.
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "doc_a")))
@@ -154,7 +165,40 @@ object Dedup {
       // tail after 0-based index i starts at i + 2.
       .select(col("doc_a"), explode(
         slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("doc_b"))
-      .distinct()
+    // A HOT bucket (a duplicate class most of the corpus collapses into)
+    // would run its whole m²/2 expansion on one core — and, worse, the
+    // two-explode shape with `ids` retained per row makes whole-stage
+    // codegen buffer O(m·|ids|) bytes of one input row's expansion in the
+    // stage's append list (measured OOM at m≈3200 for the struct-element
+    // twin in nearDupLsh, round 11). Hot buckets instead run a blocked
+    // GRID self-join: each element row (exploded ONCE, no array retained)
+    // is tagged with its position chunk and replicated to the grid cells
+    // of the upper triangle it participates in (~m/blk light rows per
+    // element), and the pair stage is an equi-join on (bucket, ca, cb) —
+    // every cell an independent key, so the m² work hash-spreads across
+    // the cluster, per-task memory stays O(blk), and pair output STREAMS
+    // out of the join instead of materializing. The explicit fixed-N
+    // repartition on both sides pins co-partitioning so AQE cannot
+    // byte-coalesce the compact inputs onto one reducer.
+    val hotEl = buckets.filter(size(col("ids")) >= hotBucketSize)
+      .select(keys ++ Seq(
+        ((size(col("ids")) - 1) / gridBlk).cast("int").as("mc"),
+        posexplode(col("ids")).as(Seq("i", "id"))): _*)
+      .withColumn("c", (col("i") / gridBlk).cast("int"))
+    val gridKeys = bucketKeys.map(col) ++ Seq(col("ca"), col("cb"))
+    val hotA = hotEl
+      .select(keys ++ Seq(col("c").as("ca"),
+        explode(sequence(col("c"), col("mc"))).as("cb"),
+        col("i").as("ia"), col("id").as("doc_a")): _*)
+      .repartition(n, gridKeys: _*)
+    val hotB = hotEl
+      .select(keys ++ Seq(explode(sequence(lit(0), col("c"))).as("ca"),
+        col("c").as("cb"), col("i").as("ib"), col("id").as("doc_b")): _*)
+      .repartition(n, gridKeys: _*)
+    val hot = hotA.join(hotB, bucketKeys ++ Seq("ca", "cb"))
+      .filter(col("ia") < col("ib")) // strict upper triangle (diagonal cells)
+      .select(col("doc_a"), col("doc_b"))
+    small.unionByName(hot).distinct()
   }
 
   /** LSH candidate pairs: docs agreeing on any band's signature. */

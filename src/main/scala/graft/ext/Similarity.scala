@@ -349,15 +349,21 @@ object Similarity {
     // A HOT bucket (a signature most of the corpus collapses into — e.g.
     // low-dim all-positive vectors agree with most hyperplanes) would run
     // its entire |bucket|² pair scan on one core no matter how buckets
-    // are spread. Buckets past `hotBucket` elements therefore emit their
-    // partner tails as ≤`blk`-element BLOCK rows first, and the blocks
-    // round-robin across the cluster before the pair explode + cosine —
-    // the expensive per-pair stage parallelizes; what stays bucket-local
-    // is only the O(|bucket|²/blk · blk) slice memcpy. Small buckets keep
-    // the direct two-explode path (no block shuffle: for healthy banding
-    // it would add a ~corpus-sized exchange for nothing). Measured on the
-    // adversarial stub-feature corpus (one ~2.8k-element bucket, ~4M
-    // pairs): the pair stage drops from ~3 s single-core to sub-second.
+    // are spread — and the two-explode shape is worse than slow there:
+    // whole-stage codegen BUFFERS one input row's whole expansion in the
+    // stage's append list, O(m·|elems|) bytes for a bucket row (the r10
+    // block-row variant of this path OOMed an 8 g heap at m≈3200 in the
+    // round-11 adversarial-skew growth run — ~41k buffered block rows of
+    // ~70 KB from ONE bucket row). Hot buckets therefore run a blocked
+    // GRID self-join: explode to element rows ONCE (no array retained —
+    // per-input expansion is one light row), tag each element with its
+    // position chunk, replicate it to the ~m/blk upper-triangle grid
+    // cells it participates in, and join on (table, sig, ca, cb) — every
+    // cell an independent hash key, so the m² cosine work spreads across
+    // the cluster, per-task memory is O(blk), and pairs STREAM out of
+    // the join. Small buckets keep the direct two-explode path (bounded
+    // by hotBucket·|elems| per buffered row; no extra exchange — for
+    // healthy banding the grid would add a shuffle for nothing).
     val hotBucket = 512
     val blk = 256
     val direct = buckets.filter(size(col("elems")) < hotBucket)
@@ -365,16 +371,23 @@ object Similarity {
       .select(col("elems"), posexplode(col("elems")).as(Seq("i", "a")))
       .select(col("a"), explode(
         slice(col("elems"), col("i") + lit(2), size(col("elems")))).as("b"))
-    val chunked = buckets.filter(size(col("elems")) >= hotBucket)
-      .select(col("elems"), posexplode(col("elems")).as(Seq("i", "a")))
-      // the last element has no partner tail; sequence(start > stop, +step)
-      // THROWS in Spark (it is not an empty array), so drop it here
-      .filter(col("i") + lit(2) <= size(col("elems")))
-      .select(col("a"), explode(expr(
-        s"transform(sequence(i + 2, size(elems), $blk)," +
-          s" s -> slice(elems, s, $blk))")).as("blk"))
-      .repartition(n)
-      .select(col("a"), explode(col("blk")).as("b"))
+    val hotEl = buckets.filter(size(col("elems")) >= hotBucket)
+      .select(col("table"), col("sig"),
+        ((size(col("elems")) - 1) / blk).cast("int").as("mc"),
+        posexplode(col("elems")).as(Seq("i", "e")))
+      .withColumn("c", (col("i") / blk).cast("int"))
+    val gridKeys = Seq(col("table"), col("sig"), col("ca"), col("cb"))
+    val hotA = hotEl.select(col("table"), col("sig"), col("c").as("ca"),
+        explode(sequence(col("c"), col("mc"))).as("cb"),
+        col("i").as("ia"), col("e").as("a"))
+      .repartition(n, gridKeys: _*)
+    val hotB = hotEl.select(col("table"), col("sig"),
+        explode(sequence(lit(0), col("c"))).as("ca"),
+        col("c").as("cb"), col("i").as("ib"), col("e").as("b"))
+      .repartition(n, gridKeys: _*)
+    val chunked = hotA.join(hotB, Seq("table", "sig", "ca", "cb"))
+      .filter(col("ia") < col("ib")) // strict upper triangle (diag cells)
+      .select(col("a"), col("b"))
     val repPairs = pairCosine(direct).unionByName(pairCosine(chunked))
       .distinct()
     val cross = repPairs

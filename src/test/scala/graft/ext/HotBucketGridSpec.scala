@@ -1,0 +1,81 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Differential coverage for the hot-bucket GRID self-join paths added in
+  * round 11 (candidatesFromSignatures and nearDupLsh): a bucket at or
+  * past `hotBucketSize` must produce EXACTLY the pair set the small-
+  * bucket two-explode path defines — the full strict upper triangle of
+  * the sorted member list — including the boundary sizes around the
+  * threshold and buckets spanning several grid blocks, mixed with small
+  * buckets in the same run (both branches of the union live). The
+  * existing oracle fixtures never build a bucket past ~tens of members,
+  * so without this the hot branch would be dead code under `sbt test`.
+  */
+class HotBucketGridSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def expectedPairs(ids: Seq[Long]): Set[(Long, Long)] = {
+    val s = ids.sorted
+    (for (i <- s.indices; j <- i + 1 until s.size) yield (s(i), s(j))).toSet
+  }
+
+  test("candidatesFromSignatures: hot grid pairs equal the full upper " +
+      "triangle, mixed with small buckets") {
+    // hot bucket: hotBucketSize + 37 members spanning 3 grid blocks;
+    // boundary bucket: exactly hotBucketSize - 1 (largest small bucket);
+    // plus two tiny buckets and a shared-id overlap across buckets
+    val hot = (0L until (Dedup.hotBucketSize + 37L)).map(i =>
+      (i, 0, "H"))
+    val boundary = (10000L until (10000L + Dedup.hotBucketSize - 1L))
+      .map(i => (i, 0, "B"))
+    val tiny = Seq((20000L, 1, "T"), (20001L, 1, "T"),
+      (20000L, 1, "U"), (20002L, 1, "U")) // overlap: 20000 in two buckets
+    val sig = (hot ++ boundary ++ tiny).toDF("doc_id", "band", "sig")
+    val got = Dedup.candidatesFromSignatures(sig, "doc_id")
+      .as[(Long, Long)].collect().toSet
+    try {
+      val want = expectedPairs(hot.map(_._1)) ++
+        expectedPairs(boundary.map(_._1)) ++
+        expectedPairs(Seq(20000L, 20001L)) ++
+        expectedPairs(Seq(20000L, 20002L))
+      assert(got.size == want.size, s"${got.size} vs ${want.size}")
+      assert(got == want)
+    } finally Dedup.releaseScratch()
+  }
+
+  test("candidatesFromSignatures: bucket exactly at hotBucketSize takes " +
+      "the grid path and stays exact") {
+    val ids = (0L until Dedup.hotBucketSize.toLong).map(i => (i * 7L, 0, "X"))
+    val got = Dedup.candidatesFromSignatures(
+      ids.toDF("doc_id", "band", "sig"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    try assert(got == expectedPairs(ids.map(_._1)))
+    finally Dedup.releaseScratch()
+  }
+
+  test("nearDupLsh: a hot near-identical class yields every pair once " +
+      "with cosine ~= 1") {
+    val dims = 8
+    val m = 600 // > hotBucket: the grid branch carries the class
+    val base = Array.tabulate(dims)(d => 0.5f + 0.01f * d)
+    val emb = (0L until m.toLong).map { i =>
+      // per-id epsilon in one dimension: pairwise distinct, cosine ~= 1,
+      // same sign-LSH signature in every table
+      val v = base.clone()
+      v((i % dims).toInt) += (i % 97) * 1e-6f
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupLsh(emb, threshold = 0.9, dims = dims)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)]
+      .collect().toSet
+    try {
+      assert(got == expectedPairs(0L until m.toLong),
+        s"got ${got.size} pairs")
+      // and every cosine is high (near-identical class)
+      val minCos = pairs.agg(min("cosine")).head().getDouble(0)
+      assert(minCos >= 0.999999, s"min cosine $minCos")
+    } finally Dedup.releaseScratch()
+  }
+}
