@@ -123,7 +123,8 @@ object Ivf {
     // rows — broadcast-sized by construction).
     val probedDf = probedCells(index, queries, nprobe, idCol, vecCol)
     val rows = probedDf.collect()
-    val cells = rows.map(_.get(2)).distinct.toSeq
+    val cellIdx = probedDf.schema.fieldIndex("cell")
+    val cells = rows.map(_.get(cellIdx)).distinct.toSeq
     val spark = queries.sparkSession
     val probed = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), probedDf.schema)
