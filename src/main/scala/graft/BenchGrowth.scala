@@ -68,14 +68,8 @@ object BenchGrowth {
     val stale = Option(new java.io.File("/tmp").listFiles()).getOrElse(Array())
       .filter(f => f.getName.startsWith("graft-growth") && f.isDirectory &&
         f.getCanonicalPath != cur.getCanonicalPath)
-    stale.foreach(deleteRecursively)
+    stale.foreach(graft.io.LocalFs.deleteRecursively)
     stale.map(_.getPath).toSeq
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array()).foreach(deleteRecursively)
-    f.delete(); ()
   }
 
   private def noopTime(df: DataFrame): Double = {

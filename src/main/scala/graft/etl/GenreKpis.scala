@@ -45,10 +45,12 @@ object GenreKpis {
 
   /** A1-A3 aggregate (no top-track columns). */
   def aggregate(enriched: DataFrame, c: Cols = Cols(),
-                mean: Mean = defaultMean): DataFrame =
+                mean: Mean = defaultMean): DataFrame = {
+    val aggs = aggExprs(c, mean)
     Enrich.dropNullKeys(enriched, c.genre, c.date)
       .groupBy(col(c.date), col(c.genre))
-      .agg(aggExprs(c, mean).head, aggExprs(c, mean).tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** The A4/W1 argmax as a MAX-THEN-TIEBREAK, never a fact-table window.
     *

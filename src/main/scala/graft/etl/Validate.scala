@@ -59,20 +59,26 @@ object Validate {
     * Scale: each rule is a conditional sum inside a single scan's
     * aggregate — adding rules adds columns, never passes. A NULL rule
     * result counts as a violation (an expectation that cannot be
-    * evaluated is not satisfied). The per-rule rows come from one
-    * stack() unpivot of the single aggregate row, same shape as the
-    * one-pass profiler. */
+    * evaluated is not satisfied); on a ZERO-ROW input every rule passes
+    * vacuously (n_violations 0, not the NULL a bare sum would give). The
+    * per-rule rows come from one explode-of-structs unpivot of the single
+    * aggregate row; rule names travel as literal DATA, never as column
+    * names or spliced SQL text, so any name — spaces, quotes, dots — is
+    * fine. */
   def dqChecks(df: DataFrame, rules: Seq[DqRule]): DataFrame = {
     require(rules.nonEmpty, "dqChecks needs at least one rule")
     val aggs = count(lit(1)).as("n_rows") +:
-      rules.map(r => sum(when(coalesce(r.ok, lit(false)), 0L).otherwise(1L))
-        .as(s"v_${r.name}"))
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = rules
-      .map(r => s"'${r.name}', v_${r.name}").mkString(", ")
-    one.selectExpr("n_rows",
-        s"stack(${rules.size}, $stackArgs) AS (rule, n_violations)")
-      .select(col("rule"), col("n_rows"), col("n_violations"),
-        (col("n_violations") === 0L).as("pass"))
+      rules.zipWithIndex.map { case (r, i) =>
+        coalesce(sum(when(coalesce(r.ok, lit(false)), 0L).otherwise(1L)),
+          lit(0L)).as(s"_v$i")
+      }
+    val pairs = rules.zipWithIndex.map { case (r, i) =>
+      struct(lit(r.name).as("rule"), col(s"_v$i").as("n_violations"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(pairs: _*)).as("_kv"))
+      .select(col("_kv.rule").as("rule"), col("n_rows"),
+        col("_kv.n_violations").as("n_violations"),
+        (col("_kv.n_violations") === 0L).as("pass"))
   }
 }

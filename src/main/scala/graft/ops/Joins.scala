@@ -135,21 +135,37 @@ object Joins {
     * at most once per containing interval (it lives in one bucket).
     * Choose bucketWidth ≈ typical interval span: replication factor is
     * 1 + span/width while bucket selectivity improves with smaller widths.
-    */
+    *
+    * `maxSpanBuckets` fail-fasts (clear in-plan error naming the row's
+    * span) on intervals that would replicate pathologically — one
+    * open-ended sentinel like hi = Long.MaxValue would otherwise ask
+    * sequence() for billions of elements and kill the job with an opaque
+    * array-size error (or OOM a task first). A row that trips it means
+    * the width is wrong for the data or the data is malformed; both
+    * should surface, not burn the cluster. */
   def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
                         pointCol: String, loCol: String, hiCol: String,
-                        bucketWidth: Long, keys: Seq[String] = Nil)
+                        bucketWidth: Long, keys: Seq[String] = Nil,
+                        maxSpanBuckets: Long = 1L << 20)
       : DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxSpanBuckets > 0,
+      s"maxSpanBuckets must be positive, got $maxSpanBuckets")
+    val loBkt = floor(col(loCol) / lit(bucketWidth))
+    val hiBkt = floor(col(hiCol) / lit(bucketWidth))
     val p2 = points
       .filter(col(pointCol).isNotNull)
       .withColumn("_bkt", floor(col(pointCol) / lit(bucketWidth)))
     val i2 = intervals
       .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
         col(loCol) <= col(hiCol))
-      .withColumn("_bkt", explode(sequence(
-        floor(col(loCol) / lit(bucketWidth)),
-        floor(col(hiCol) / lit(bucketWidth)))))
+      .withColumn("_bkt", explode(sequence(loBkt,
+        when(hiBkt - loBkt < lit(maxSpanBuckets), hiBkt)
+          .otherwise(raise_error(format_string(
+            s"rangeJoinBucketed: interval [%s, %s] spans %s buckets of " +
+              s"width $bucketWidth (max $maxSpanBuckets); widen " +
+              "bucketWidth or clean the interval",
+            col(loCol), col(hiCol), hiBkt - loBkt + lit(1)))))))
     p2.join(i2, keys :+ "_bkt")
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("_bkt")

@@ -87,6 +87,10 @@ object RunningCounts {
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
     try {
+      // nanos-vintage fixtures need this even though `ts` is never
+      // selected: the schema probe itself rejects TIMESTAMP(NANOS)
+      // columns otherwise (PARQUET_TYPE_ILLEGAL) — see Sources.table
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
       implicit val inEnc: Encoder[(Long, String)] =
         Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
@@ -186,6 +190,8 @@ object RunningCounts {
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
     try {
+      // see runTypesAvailableNow: the schema probe needs the nanos conf
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(s"$dir/events.parquet").schema
       implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
       val users = spark.readStream.schema(schema).parquet(s"$dir/events.*")

@@ -115,9 +115,6 @@ object StreamingKpis {
     val root = java.nio.file.Files
       .createTempDirectory("graft_upsert_replay").toFile
     val target = new java.io.File(root, "state").toString
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
     def runOnce(): Unit = {
       val q = eventStream(spark, dir).writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -147,7 +144,7 @@ object StreamingKpis {
       val rows = out.collect().toSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
         out.schema)
-    } finally rm(root)
+    } finally graft.io.LocalFs.deleteRecursively(root)
   }
 
   /** Retractable streaming aggregate with EXACTLY-ONCE delivery to a
@@ -171,9 +168,6 @@ object StreamingKpis {
     val root = java.nio.file.Files
       .createTempDirectory("graft_stream_retract").toFile
     val target = new java.io.File(root, "state").toString
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
     def runOnce(): Unit = {
       val q = eventStream(spark, dir).writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -216,7 +210,7 @@ object StreamingKpis {
       val rows = out.collect().toSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
         out.schema)
-    } finally rm(root)
+    } finally graft.io.LocalFs.deleteRecursively(root)
   }
 
   /** The events parquet directory as a file-source stream. `ts` is

@@ -139,4 +139,26 @@ class JoinsSpec extends SparkSpec {
       .select("iv").as[String].collect().toSeq
     assert(out == Seq("ok"))
   }
+
+  test("rangeJoinBucketed fail-fasts on a pathological interval span") {
+    // an open-ended sentinel would ask sequence() for ~2^61 buckets; the
+    // guard must turn that into a clear named error, not an opaque
+    // array-size crash or an OOM'd task
+    val points = Seq(5L).toDF("p")
+    val intervals = Seq((0L, Long.MaxValue, "open")).toDF("lo", "hi", "iv")
+    val e = intercept[Exception] {
+      Joins.rangeJoinBucketed(points, intervals, "p", "lo", "hi",
+        bucketWidth = 4).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        messages(x.getCause))
+    assert(messages(e).exists(_.contains("rangeJoinBucketed")),
+      s"expected the guard's message, got: $e")
+    // a wide-but-allowed span still works when the cap is raised
+    val ok = Joins.rangeJoinBucketed(points,
+      Seq((0L, 100L, "w")).toDF("lo", "hi", "iv"), "p", "lo", "hi",
+      bucketWidth = 1, maxSpanBuckets = 1000)
+    assert(ok.count() == 1)
+  }
 }

@@ -212,6 +212,37 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("non-late bridging event merges two still-open sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    // 4h lateness: after batch 1 (max event +50) the watermark sits hours
+    // BEFORE both events, so neither session is sealed yet and the +25
+    // bridge in batch 2 is fully in-watermark — streaming must produce the
+    // single 3-event session the batch formulation derives, not close the
+    // +0 singleton early and leave a [25, 50] remnant
+    val stream = mem.toDF().toDF("user_id", "ts")
+      .withWatermark("ts", "4 hours")
+      .as[Sessionize.SessionEvent]
+    val q = Sessionize.streaming(stream, gapMs).writeStream
+      .format("memory").queryName("graft_sessions_bridge")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      mem.addData(Seq((6L, ts(0)), (6L, ts(50)))) // two sessions, gap 50' > 30'
+      q.processAllAvailable()
+      mem.addData(Seq((6L, ts(25)))) // bridges them: 25-0 and 50-25 ≤ gap
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts(10000))))
+      q.processAllAvailable()
+      mem.addData(Seq((99L, ts(20000))))
+      q.processAllAvailable()
+      val streamed = spark.table("graft_sessions_bridge")
+        .filter($"user_id" === 6L)
+        .select("session_start_ms", "session_end_ms", "n_events")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(streamed == Seq((ts(0).getTime, ts(50).getTime, 3L)))
+    } finally q.stop()
+  }
+
   test("out-of-order event in a later batch extends the session backward") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
