@@ -255,13 +255,25 @@ object Dedup {
     * gram count of its left doc — the dominant shuffle at corpus scale).
     * Pairs sharing no gram are omitted (as the join formulation would). */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame,
-                   idCol: String = "doc_id", n: Int = 3): DataFrame = {
+                   idCol: String = "doc_id", n: Int = 3): DataFrame =
+    gramIntersections(docs, pairs, idCol, n)
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_inter").cast("double") /
+          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
+
+  /** Shared core of [[ngramJaccard]] and [[containmentPairs]]: each doc's
+    * distinct gram set built ONCE (groupBy, persisted scratch — consumed
+    * twice by the doc_a / doc_b sides; released by the runner via
+    * releaseScratch() after the action), candidate pairs joined to both
+    * sides, intersection sized. Columns: doc_a, doc_b, na, nb, n_inter
+    * (pairs sharing no gram are omitted, as a gram-grain join would). */
+  private def gramIntersections(docs: DataFrame, pairs: DataFrame,
+                                idCol: String, n: Int): DataFrame = {
     val sets = wordNgrams(docs, idCol, n)
       .groupBy(col(idCol))
       .agg(collect_set(col("gram")).as("grams"))
       .select(col(idCol), col("grams"), size(col("grams")).as("n_grams"))
-      .transform(persistScratch) // consumed twice (doc_a / doc_b sides);
-      // released by the runner via releaseScratch() after the action
+      .transform(persistScratch)
     pairs
       .join(sets.select(col(idCol).as("doc_a"), col("grams").as("ga"),
         col("n_grams").as("na")), Seq("doc_a"))
@@ -269,9 +281,6 @@ object Dedup {
         col("n_grams").as("nb")), Seq("doc_b"))
       .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
       .filter(col("n_inter") > 0)
-      .select(col("doc_a"), col("doc_b"),
-        (col("n_inter").cast("double") /
-          (col("na") + col("nb") - col("n_inter"))).as("jaccard"))
   }
 
   /** Exact n-gram CONTAINMENT for candidate pairs: |A∩B|/|A| and
@@ -282,25 +291,13 @@ object Dedup {
     * larger side, so either direction of nesting qualifies a pair. */
   def containmentPairs(docs: DataFrame, pairs: DataFrame,
                        idCol: String = "doc_id", n: Int = 3,
-                       minContainment: Double = 0.5): DataFrame = {
-    val sets = wordNgrams(docs, idCol, n)
-      .groupBy(col(idCol))
-      .agg(collect_set(col("gram")).as("grams"))
-      .select(col(idCol), col("grams"), size(col("grams")).as("n_grams"))
-      .transform(persistScratch) // consumed twice; runner releases
-    pairs
-      .join(sets.select(col(idCol).as("doc_a"), col("grams").as("ga"),
-        col("n_grams").as("na")), Seq("doc_a"))
-      .join(sets.select(col(idCol).as("doc_b"), col("grams").as("gb"),
-        col("n_grams").as("nb")), Seq("doc_b"))
-      .withColumn("n_inter", size(array_intersect(col("ga"), col("gb"))))
-      .filter(col("n_inter") > 0)
+                       minContainment: Double = 0.5): DataFrame =
+    gramIntersections(docs, pairs, idCol, n)
       .select(col("doc_a"), col("doc_b"),
         (col("n_inter").cast("double") / col("na")).as("containment_a"),
         (col("n_inter").cast("double") / col("nb")).as("containment_b"))
       .filter(greatest(col("containment_a"), col("containment_b")) >=
         minContainment)
-  }
 
   /** 32-bit SimHash per document: each token votes ±1 on every bit of its
     * 32-bit hash (first 8 hex chars of md5); sign of the per-bit sum sets the

@@ -75,10 +75,20 @@ object Layout {
     * one contributes no high bits, and the z-order degenerates to
     * single-column order on the wider dimension. Production z-order
     * writers (Delta, Iceberg) do exactly this kind of per-dimension
-    * normalization (range- or rank-based) before interleaving. */
-  def normalize16(c: Column, lo: Long, hi: Long): Column =
-    ((c.cast("long") - lit(lo)) * lit(65535L) / lit(math.max(hi - lo, 1L)))
+    * normalization (range- or rank-based) before interleaving.
+    *
+    * Inputs are CLAMPED to [lo, hi] first: a value past the stated range
+    * would otherwise scale beyond 16 bits and wrap through the
+    * interleave masks — the largest value sorting as the smallest z-key,
+    * silently landing in the wrong range partition and breaking min/max
+    * file skipping (extreme values could even hit an ANSI multiply
+    * overflow). Out-of-range rows cluster at the range edge instead,
+    * which keeps the layout correct, merely less selective for them. */
+  def normalize16(c: Column, lo: Long, hi: Long): Column = {
+    val clamped = least(greatest(c.cast("long"), lit(lo)), lit(hi))
+    ((clamped - lit(lo)) * lit(65535L) / lit(math.max(hi - lo, 1L)))
       .cast("long")
+  }
 
   /** Range-cluster a frame by the 2-D z-key of (x, y) into `numFiles`
     * output partitions — the write-side half of z-order data skipping.

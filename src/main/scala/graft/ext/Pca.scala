@@ -40,7 +40,10 @@ object Pca {
       : Model = {
     val nPairs = dims * (dims + 1) / 2
     val rows = emb.select(col(vecCol).cast("array<double>"))
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dims &&
+        // a null ELEMENT would unbox to an executor NPE in the seqOp;
+        // exclude malformed vectors the same way null arrays are
+        !exists(col(vecCol), _.isNull))
       .rdd.map(_.getSeq[Double](0))
     // (count, Σq_i, Σ q_i·q_j upper-triangular row-major)
     val zero = (0L, new Array[Long](dims), new Array[Long](nPairs))

@@ -29,7 +29,11 @@ object Similarity {
 
   /** Local-then-global top-k: rank within (query, scan partition), keep k,
     * re-rank globally per query. Results identical to a single global
-    * window, but the global step only sees survivors. */
+    * window, but the global step only sees survivors. Null scores (null
+    * or zero-norm embeddings) are excluded BEFORE ranking — desc ordering
+    * alone would still admit them when a query has < k scoreable
+    * candidates, diverging from [[topKViaAggregator]], which filters
+    * them. */
   private def twoPhaseTopK(scored: DataFrame, k: Int,
                            scoreCol: String = "cosine"): DataFrame = {
     val local = Window
@@ -38,6 +42,7 @@ object Similarity {
     val global = Window.partitionBy(col("query_id"))
       .orderBy(col(scoreCol).desc, col("vec_id").asc)
     scored
+      .filter(col(scoreCol).isNotNull)
       .withColumn("lrn", row_number().over(local)).filter(col("lrn") <= k)
       .withColumn("rank", row_number().over(global)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col(scoreCol))
@@ -225,8 +230,14 @@ object Similarity {
               vecCol: String = "embedding", dims: Int = -1): DataFrame = {
     // one long holds the signature; `1L << p` would silently alias past 63
     require(planes >= 1 && planes <= 64, s"planes must be 1..64, got $planes")
-    val d = if (dims > 0) dims
-      else emb.select(size(col(vecCol))).head().getInt(0)
+    val d = if (dims > 0) dims else {
+      val probe = emb
+        .select(size(col(vecCol)).as("_d")).filter(col("_d") > 0)
+        .head(1)
+      require(probe.nonEmpty, s"signLsh: cannot infer dims — no row with " +
+        s"a non-empty '$vecCol' array; pass dims explicitly")
+      probe(0).getInt(0)
+    }
     val sigBits = planeWeights(planes, d).zipWithIndex.map { case (w, p) =>
       val dot = aggregate(
         zip_with(col(vecCol).cast("array<double>"),
@@ -364,8 +375,10 @@ object Similarity {
     // the join. Small buckets keep the direct two-explode path (bounded
     // by hotBucket·|elems| per buffered row; no extra exchange — for
     // healthy banding the grid would add a shuffle for nothing).
-    val hotBucket = 512
-    val blk = 256
+    // shared with the signature-bucket path: tuning the hot threshold or
+    // chunk width must move both implementations together
+    val hotBucket = Dedup.hotBucketSize
+    val blk = Dedup.gridBlk
     val direct = buckets.filter(size(col("elems")) < hotBucket)
       .repartition(n, col("table"), col("sig"))
       .select(col("elems"), posexplode(col("elems")).as(Seq("i", "a")))

@@ -135,7 +135,10 @@ object TextAnalysis {
         expr(TextAnalysis.langScoreSql.find(_._1 == "en").get._2))
     base.select(col(idCol), col("n_tokens"), col("n_chars"),
       (col("stop_hits") / col("n_tokens")).as("stopword_ratio"),
-      expr("length(regexp_replace(norm, '[a-z ]', '')) / length(norm)")
+      // try_divide: an empty/whitespace-only doc has length(norm) = 0 and
+      // must score NULL (DuckDB's x/0), not kill the stage under ANSI
+      expr("try_divide(length(regexp_replace(norm, '[a-z ]', '')), " +
+          "length(norm))")
         .as("nonalpha_ratio"),
       (least(col("n_tokens") / lit(100.0), lit(1.0)) * lit(0.5) +
         least(col("stop_hits") / col("n_tokens") * lit(5.0), lit(1.0)) *
@@ -305,6 +308,11 @@ object TextAnalysis {
       .select(col(idCol), col("tok"), col("df"),
         (col("tf") * round(log(col("_n") / col("df")) * scale))
           .cast("long").as("w"))
+      // zero weights (df == N, or idf rounding to 0) contribute nothing to
+      // dot or norm — dropping them is lossless AND prevents an all-zero
+      // doc from reaching the cosine with n2 = 0 (ANSI 0/0 would kill the
+      // stage; DuckDB's NULL cosine fails >= minCosine the same way)
+      .filter(col("w") =!= 0)
       .withColumn("n2",
         sum(col("w") * col("w")).over(Window.partitionBy(col(idCol))))
     val postings = wts.filter(col("df") >= 2)

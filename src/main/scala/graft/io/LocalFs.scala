@@ -7,12 +7,15 @@ package graft.io
 object LocalFs {
 
   /** Recursive delete, tolerant of concurrent removal (a vanished child
-    * lists as null and is skipped). Does NOT follow symlinks into their
-    * targets: `listFiles` of a symlinked dir returns its entries, but the
-    * scratch dirs this cleans are created by this process and contain
-    * none. */
+    * lists as null and is skipped). Does NOT follow symlinks: a symlinked
+    * directory is unlinked, never recursed into (`File.isDirectory` would
+    * resolve the link and `listFiles` would return the TARGET's entries —
+    * a stray symlink inside a scratch dir must not delete its target's
+    * contents). */
   def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory)
+    val isRealDir = java.nio.file.Files.isDirectory(
+      f.toPath, java.nio.file.LinkOption.NOFOLLOW_LINKS)
+    if (isRealDir)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(); ()
   }

@@ -254,10 +254,26 @@ object Sinks {
     * drop below ~100 MB, and compaction restores scan bandwidth without
     * changing a single row. Round-robin repartition (no shuffle key) is
     * deliberate: compaction must be layout-neutral; callers wanting
-    * clustering compose with [[graft.ext.Layout.clusterByZ2]] instead. */
+    * clustering compose with [[graft.ext.Layout.clusterByZ2]] instead.
+    *
+    * Hive-PARTITIONED locations are rejected: the flat read would fold
+    * `col=value` directories into data columns and the rewrite would
+    * swap in an UNPARTITIONED layout — partition pruning silently
+    * degrading to full scans is worse than a refused compaction. Compact
+    * partitioned tables per-partition (pass the leaf directory). */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFiles: Int): Unit =
+      targetFiles: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitionDirs = fs.listStatus(p).filter(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
+    require(partitionDirs.isEmpty,
+      s"compact: $path is hive-partitioned (${partitionDirs.head.getPath
+        .getName}, ...) — compacting would flatten the layout; " +
+        "compact each leaf partition directory instead")
     writeAndSwap(spark.read.parquet(path).repartition(targetFiles), path)
+  }
 
   /** S7-S9 — JDBC sink. Covers the reference's CREATE TABLE + batched
     * executemany (reference: users_to_rds.py:33-60, songs_to_rds.py:48-92) and

@@ -103,6 +103,18 @@ class LayoutSpec extends SparkSpec {
     assert(hitsX(z, 57) <= files / 2, s"zXHits=${hitsX(z, 57)}")
   }
 
+  test("normalize16 clamps out-of-range values to the range edges") {
+    import spark.implicits._
+    // unclamped, hi+1 would scale past 16 bits and WRAP through the
+    // interleave masks — the largest value z-sorting as the smallest
+    val rows = Seq(-5L, 0L, 50L, 100L, 101L, 1000000L).toDF("c")
+      .select(Layout.normalize16(col("c"), 0L, 100L).as("n"))
+      .as[Long].collect().toSeq
+    assert(rows == Seq(0L, 0L, 32767L, 65535L, 65535L, 65535L))
+    // monotone: out-of-range rows cluster at the edge, never invert
+    assert(rows == rows.sorted)
+  }
+
   test("hilbert walk: a bijection whose consecutive cells are adjacent") {
     import spark.implicits._
     // full 16x16 grid at bits=4: d must visit every cell exactly once

@@ -42,6 +42,20 @@ class SimilaritySpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("unscoreable (zero-norm) corpus vectors never pad a short top-k") {
+    // 3-vector corpus, one zero-norm → each query has only 2 scoreable
+    // candidates; with k = 5 the window path must return 2 ranked rows
+    // (as the aggregator path does), not a rank-3 row with NULL cosine
+    val tiny = Seq(
+      (1L, 0, Array(1f, 0f)), (2L, 0, Array(0.9f, 0.1f)),
+      (3L, 0, Array(0f, 0f)),
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity.bruteForceTopK(tiny.filter($"vec_id" === 1L), tiny,
+      k = 5)
+    assert(out.filter($"cosine".isNull).count() == 0)
+    assert(out.count() == 1) // vec 2 only: vec 3 is unscoreable
+  }
+
   test("aggregator top-k equals the window formulation") {
     import graft.functions.VectorFunctions
     val queries = corpus.filter($"vec_id" < 3)

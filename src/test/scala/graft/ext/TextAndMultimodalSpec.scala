@@ -38,6 +38,31 @@ class TextAndMultimodalSpec extends SparkSpec {
     assert(byId(1L) > byId(3L)) // English stopword-dense text scores higher
   }
 
+  test("qualityScore survives empty and whitespace-only docs (ANSI)") {
+    // length(norm) = 0 → nonalpha_ratio must be NULL (DuckDB's x/0), not
+    // a DIVIDE_BY_ZERO stage failure poisoning the whole corpus
+    val withEmpty = docs.unionByName(Seq(
+      (4L, "en", ""), (5L, "en", "   \t  ")).toDF("doc_id", "lang", "text"))
+    val rows = TextAnalysis.qualityScore(withEmpty).collect()
+    assert(rows.length == 5)
+    val empties = rows.filter(r => r.getLong(0) >= 4L)
+    assert(empties.forall(_.isNullAt(empties.head.fieldIndex(
+      "nonalpha_ratio"))))
+    // and the quality gate must simply drop them, not crash (an empty
+    // norm still splits to one "" token, so gate on token count)
+    assert(TextAnalysis.filterByQuality(withEmpty, minScore = 0.0,
+      minTokens = 2).filter($"doc_id" >= 4L).count() == 0)
+  }
+
+  test("sparseCosinePairs survives an all-identical corpus (ANSI)") {
+    // every token has df = N → all weights round to 0 → without the w>0
+    // prune both docs would reach the cosine with n2 = 0 and ANSI would
+    // kill the stage on 0/0; the correct answer is simply no pairs
+    val same = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.sparseCosinePairs(same, maxDf = 50).count() == 0)
+  }
+
   test("fingerprint: identical normalized docs share fingerprints") {
     val two = Seq((1L, "same same same same text body here"),
       (2L, "SAME   same same same text body here"))

@@ -40,4 +40,22 @@ class CompactionSpec extends SparkSpec {
     assert(parquetFiles(dir).size === 4)
     assert(spark.read.parquet(dir).count() === 10000)
   }
+
+  test("compact refuses a hive-partitioned location instead of flattening") {
+    val dir = Files.createTempDirectory("graft_compact_part").toString + "/t"
+    spark.range(0, 100)
+      .select(col("id"), (col("id") % 3).as("cell"))
+      .write.partitionBy("cell").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compact(spark, dir, 2)
+    }
+    assert(e.getMessage.contains("hive-partitioned"))
+    // the layout must be untouched: partition dirs still present
+    assert(Option(new java.io.File(dir).listFiles()).get
+      .count(f => f.isDirectory && f.getName.startsWith("cell=")) == 3)
+    // and compacting one LEAF partition dir still works
+    Sinks.compact(spark, dir + "/cell=0", 1)
+    assert(parquetFiles(dir + "/cell=0").size === 1)
+    assert(spark.read.parquet(dir).count() === 100)
+  }
 }
