@@ -72,11 +72,14 @@ object CoreQueries extends QueryGroup {
       |    ON e.user_id = c.c_custkey)
       |""".stripMargin
 
-  private val genreCols = GenreKpis.Cols(date = "date", genre = "c_mktsegment",
-    track = "event_type", duration = "value", popularity = "c_acctbal",
-    rowId = "event_id")
-  private val hourlyCols = HourlyKpis.Cols(date = "date", hour = "hour",
-    user = "user_id", track = "event_type", artist = "c_name")
+  /** Shared with [[OperatorQueries]]: the isolated-operator queries must
+    * verify against oracles built on the SAME column mapping as the fused
+    * flagships, so there is exactly one copy. */
+  private[queries] val genreCols = GenreKpis.Cols(date = "date",
+    genre = "c_mktsegment", track = "event_type", duration = "value",
+    popularity = "c_acctbal", rowId = "event_id")
+  private[queries] val hourlyCols = HourlyKpis.Cols(date = "date",
+    hour = "hour", user = "user_id", track = "event_type", artist = "c_name")
 
   /** Flagship: daily genre KPIs, fused single-shuffle plan (A1-A4 + W1). */
   def genreKpis(s: SparkSession, dir: String): DataFrame =
@@ -241,10 +244,8 @@ object CoreQueries extends QueryGroup {
       .orderBy("event_id")
 
   /** F5 — row count. */
-  private def f5Count(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private def f5Count(s: SparkSession, dir: String): DataFrame =
     Sources.table(s, dir, "events").agg(count(lit(1)).as("n"))
-  }
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("genre_kpis", genreKpis, Some(genreKpisOracle)),

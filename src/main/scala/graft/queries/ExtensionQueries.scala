@@ -116,13 +116,53 @@ object ExtensionQueries extends QueryGroup {
       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
       |""".stripMargin
 
-  /** DuckDB cosine over DOUBLE[] lists, rounded to 4 dp (the cross-engine
-    * contract; see VectorFunctions). */
-  private def cosSql(a: String, b: String): String =
+  /** DuckDB twin of Dedup.gramIntersections: distinct word-3-grams per
+    * doc (g), per-doc gram counts (gs), and candidate-pair intersection
+    * sizes (inter), assuming CTEs `d(doc_id, norm)` and
+    * `cand(doc_a, doc_b)` are in scope — the single source of the gram
+    * definition for the jaccard / containment / incremental-ingest
+    * oracles (they must stay in lockstep with Dedup.wordNgrams). */
+  private val gramInterCtes: String =
+    """, g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
+      |        FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM d)
+      |        WHERE len(toks) >= 3))
+      |, gs AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
+      |, inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+      |  FROM cand p
+      |  JOIN g ga ON ga.doc_id = p.doc_a
+      |  JOIN g gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+      |  GROUP BY p.doc_a, p.doc_b)
+      |""".stripMargin
+
+  /** DuckDB `sig` CTE body for banded sign-LSH: `tables` SELECTs over
+    * relation `src(idCol, v DOUBLE[dims])`, each bit-packing the
+    * per-plane dot signs exactly like Similarity.signLsh. The SINGLE
+    * source of the hyperplane constants for every LSH oracle — the
+    * tails (pair join, delta join, thresholds) differ per query, the
+    * signature math must not. */
+  private def lshSigSelects(src: String, idCol: String, dims: Int,
+                            tables: Int = 4, b: Int = 8): String = {
+    val planes = Similarity.planeWeights(tables * b, dims)
+    (0 until tables).map { t =>
+      val bits = (0 until b).map { j =>
+        val w = planes(t * b + j).mkString("[", ",", "]")
+        s"CASE WHEN list_dot_product(v, ${w}::DOUBLE[]) > 0 " +
+          s"THEN ${1L << j} ELSE 0 END"
+      }.mkString(" + ")
+      s"SELECT $idCol, $t AS tbl, $bits AS sig, v FROM $src"
+    }.mkString("\nUNION ALL\n")
+  }
+
+  /** DuckDB cosine over DOUBLE[] lists, rounded to `dp` decimals (4 is
+    * the cross-engine ranking contract, see VectorFunctions; the trained
+    * IVF probe ranks centroids at 6 to mirror Ivf.probedCells). */
+  private def cosSql(a: String, b: String, dp: Int = 4): String =
     s"""round(list_aggregate(list_transform(list_zip($a, $b),
        |        z -> z[1] * z[2]), 'sum') /
        |  (sqrt(list_aggregate(list_transform($a, x -> x * x), 'sum')) *
-       |   sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum'))), 4)
+       |   sqrt(list_aggregate(list_transform($b, x -> x * x), 'sum'))), $dp)
        |""".stripMargin
 
   private val eCte: String =
@@ -236,18 +276,8 @@ object ExtensionQueries extends QueryGroup {
       """, cand AS (SELECT DISTINCT d.doc_id AS doc_a, b.doc_id AS doc_b
         |    FROM sig d JOIN sig b ON d.band = b.band AND d.sig = b.sig
         |    WHERE d.doc_id % 3 = 0 AND b.doc_id % 3 <> 0)
-        |, g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
-        |  FROM (SELECT doc_id, toks,
-        |          unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
-        |        FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM d)
-        |        WHERE len(toks) >= 3))
-        |, gs AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
-        |, inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
-        |  FROM cand p
-        |  JOIN g ga ON ga.doc_id = p.doc_a
-        |  JOIN g gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
-        |  GROUP BY p.doc_a, p.doc_b)
-        |, jac AS (SELECT i.doc_a, i.doc_b,
+        |""".stripMargin + gramInterCtes +
+      """, jac AS (SELECT i.doc_a, i.doc_b,
         |    CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter)
         |      AS jaccard
         |  FROM inter i
@@ -296,16 +326,7 @@ object ExtensionQueries extends QueryGroup {
   }
 
   private val incrementalIngestEmbOracle: String = {
-    val tables = 4; val b = 8; val dims = 64
-    val planes = Similarity.planeWeights(tables * b, dims)
-    val sigSelects = (0 until tables).map { t =>
-      val bits = (0 until b).map { j =>
-        val w = planes(t * b + j).mkString("[", ",", "]")
-        s"CASE WHEN list_dot_product(v, ${w}::DOUBLE[]) > 0 " +
-          s"THEN ${1L << j} ELSE 0 END"
-      }.mkString(" + ")
-      s"SELECT vec_id, $t AS tbl, $bits AS sig, v FROM e"
-    }.mkString("\nUNION ALL\n")
+    val sigSelects = lshSigSelects("e", "vec_id", dims = 64)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
        |""".stripMargin +
       s""", sig AS (\n$sigSelects)
@@ -446,13 +467,11 @@ object ExtensionQueries extends QueryGroup {
     centsAsgSql(cents) +
     s""", q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10)
        |, pr AS (SELECT query_id, qv, cell,
-       |    ${cosSql("qv", "c")} AS c_sim
+       |    ${cosSql("qv", "c", dp = 6)} AS c_sim6
        |  FROM q CROSS JOIN cents)
-       |, pr6 AS (SELECT query_id, qv, cell, round(c_sim, 6) AS c_sim6
-       |          FROM pr)
        |, probe AS (SELECT query_id, qv, cell FROM (
-       |    SELECT pr6.*, ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY c_sim6 DESC, cell ASC) AS crn FROM pr6)
+       |    SELECT pr.*, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY c_sim6 DESC, cell ASC) AS crn FROM pr)
        |  WHERE crn <= 2)
        |, scored AS (SELECT p.query_id, a.vec_id,
        |    ${cosSql("p.qv", "a.v")} AS cosine
@@ -583,16 +602,7 @@ object ExtensionQueries extends QueryGroup {
     * engines bucket on the same planes; per-table signatures pack the
     * per-plane dot signs exactly like the Spark bit extraction. */
   private val nearDupLshOracle: String = {
-    val tables = 4; val b = 8; val dims = 64
-    val planes = Similarity.planeWeights(tables * b, dims)
-    val sigSelects = (0 until tables).map { t =>
-      val bits = (0 until b).map { j =>
-        val w = planes(t * b + j).mkString("[", ",", "]")
-        s"CASE WHEN list_dot_product(v, ${w}::DOUBLE[]) > 0 " +
-          s"THEN ${1L << j} ELSE 0 END"
-      }.mkString(" + ")
-      s"SELECT vec_id, $t AS tbl, $bits AS sig, v FROM e"
-    }.mkString("\nUNION ALL\n")
+    val sigSelects = lshSigSelects("e", "vec_id", dims = 64)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
        |""".stripMargin +
       s""", sig AS (\n$sigSelects)
@@ -1020,16 +1030,7 @@ object ExtensionQueries extends QueryGroup {
     * replicates banded sign-LSH with the hyperplane constants embedded as
     * literals, then the exact rounded-cosine filter on candidates. */
   private def nearDupLshOracle(fCte: String): String = {
-    val tables = 4; val b = 8; val dims = 8
-    val planes = Similarity.planeWeights(tables * b, dims)
-    val sigSelects = (0 until tables).map { t =>
-      val bits = (0 until b).map { j =>
-        val w = planes(t * b + j).mkString("[", ",", "]")
-        s"CASE WHEN list_dot_product(v, ${w}::DOUBLE[]) > 0 " +
-          s"THEN ${1L << j} ELSE 0 END"
-      }.mkString(" + ")
-      s"SELECT media_id, $t AS tbl, $bits AS sig, v FROM f"
-    }.mkString("\nUNION ALL\n")
+    val sigSelects = lshSigSelects("f", "media_id", dims = 8)
     fCte +
       s""", sig AS (\n$sigSelects)
          |, cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
@@ -1668,20 +1669,8 @@ object ExtensionQueries extends QueryGroup {
       dCte + shCte + sigCte + candSql + "ORDER BY doc_a, doc_b")),
     QueryDef("dedup_ngram_jaccard", dedupJaccard, Some(
       dCte + shCte + sigCte +
-        """, cand AS (""".stripMargin + candSql + ")" +
-        """
-          |, g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
-          |  FROM (SELECT doc_id, toks,
-          |          unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
-          |        FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM d)
-          |        WHERE len(toks) >= 3))
-          |, gs AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
-          |, inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
-          |  FROM cand p
-          |  JOIN g ga ON ga.doc_id = p.doc_a
-          |  JOIN g gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
-          |  GROUP BY p.doc_a, p.doc_b)
-          |SELECT i.doc_a, i.doc_b,
+        """, cand AS (""".stripMargin + candSql + ")\n" + gramInterCtes +
+        """SELECT i.doc_a, i.doc_b,
           |  CAST(n_inter AS DOUBLE) / (sa.n_grams + sb.n_grams - n_inter)
           |    AS jaccard
           |FROM inter i
@@ -1690,20 +1679,8 @@ object ExtensionQueries extends QueryGroup {
           |ORDER BY doc_a, doc_b""".stripMargin)),
     QueryDef("dedup_containment_pairs", dedupContainment, Some(
       dCte + shCte + sigCte +
-        """, cand AS (""".stripMargin + candSql + ")" +
-        """
-          |, g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS gram
-          |  FROM (SELECT doc_id, toks,
-          |          unnest(range(1, greatest(len(toks)-2, 0)+1)) AS i
-          |        FROM (SELECT doc_id, string_split(norm, ' ') AS toks FROM d)
-          |        WHERE len(toks) >= 3))
-          |, gs AS (SELECT doc_id, COUNT(*) AS n_grams FROM g GROUP BY doc_id)
-          |, inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
-          |  FROM cand p
-          |  JOIN g ga ON ga.doc_id = p.doc_a
-          |  JOIN g gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
-          |  GROUP BY p.doc_a, p.doc_b)
-          |SELECT * FROM (SELECT i.doc_a, i.doc_b,
+        """, cand AS (""".stripMargin + candSql + ")\n" + gramInterCtes +
+        """SELECT * FROM (SELECT i.doc_a, i.doc_b,
           |  CAST(n_inter AS DOUBLE) / sa.n_grams AS containment_a,
           |  CAST(n_inter AS DOUBLE) / sb.n_grams AS containment_b
           |FROM inter i

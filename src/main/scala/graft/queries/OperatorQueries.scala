@@ -13,11 +13,8 @@ import CoreQueries.{enrichedEvents, enrichedSql}
   * correctness gate pins its semantics, not just the fused pipelines. */
 object OperatorQueries extends QueryGroup {
 
-  private val genreCols = GenreKpis.Cols(date = "date", genre = "c_mktsegment",
-    track = "event_type", duration = "value", popularity = "c_acctbal",
-    rowId = "event_id")
-  private val hourlyCols = HourlyKpis.Cols(date = "date", hour = "hour",
-    user = "user_id", track = "event_type", artist = "c_name")
+  private val genreCols = CoreQueries.genreCols
+  private val hourlyCols = CoreQueries.hourlyCols
 
   /** S1 — the input probe as a query: did the stream location contain data?
     * Runs the REAL Hadoop-FS glob probe against the events parquet; the

@@ -28,37 +28,8 @@ object ProfilingQueries extends QueryGroup {
   /** Frame-level body of [[profileColumns]] — public so the corpus-growth
     * harness ([[graft.BenchGrowth]]) times the identical shape on
     * replicated corpora. */
-  def profileExact(e: DataFrame): DataFrame = {
-    def nulls(c: String) =
-      sum(when(col(c).isNull, 1L).otherwise(0L))
-    val one = e.agg(
-      count(lit(1)).as("n_rows"),
-      nulls("event_id").as("null_event_id"),
-      countDistinct(col("event_id")).as("dist_event_id"),
-      min(col("event_id")).cast("string").as("min_event_id"),
-      max(col("event_id")).cast("string").as("max_event_id"),
-      nulls("user_id").as("null_user_id"),
-      countDistinct(col("user_id")).as("dist_user_id"),
-      min(col("user_id")).cast("string").as("min_user_id"),
-      max(col("user_id")).cast("string").as("max_user_id"),
-      nulls("event_type").as("null_event_type"),
-      countDistinct(col("event_type")).as("dist_event_type"),
-      min(col("event_type")).as("min_event_type"),
-      max(col("event_type")).as("max_event_type"),
-      nulls("value").as("null_value"),
-      countDistinct(col("value")).as("dist_value"),
-      min(col("value")).cast("decimal(18,2)").cast("string").as("min_value"),
-      max(col("value")).cast("decimal(18,2)").cast("string").as("max_value"))
-    one.selectExpr("n_rows", s"""stack(4,
-        'event_id',  null_event_id,  dist_event_id,  min_event_id,  max_event_id,
-        'user_id',   null_user_id,   dist_user_id,   min_user_id,   max_user_id,
-        'event_type',null_event_type,dist_event_type,min_event_type,max_event_type,
-        'value',     null_value,     dist_value,     min_value,     max_value
-      ) AS (column_name, n_null, n_distinct, min_s, max_s)""")
-      .select(col("column_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("min_s"), col("max_s"))
-      .orderBy("column_name")
-  }
+  def profileExact(e: DataFrame): DataFrame =
+    profile(e, c => countDistinct(col(c)))
 
   /** The PRODUCTION sketch-only profiler: identical output shape to
     * [[profileExact]] but distinct counts come from HLL++ sketches
@@ -70,10 +41,19 @@ object ProfilingQueries extends QueryGroup {
     * instead pins each sketch within 5% of exact. The corpus-growth
     * harness ([[graft.BenchGrowth]]) measures the exact-vs-sketch
     * crossover with this shape. */
-  def profileSketch(e: DataFrame): DataFrame = {
+  def profileSketch(e: DataFrame): DataFrame =
+    profile(e, c => approx_count_distinct(col(c), 0.02))
+
+  /** Shared body of [[profileExact]] / [[profileSketch]]: the two differ
+    * ONLY in the distinct-count aggregator, so the profiled column set
+    * and the unpivot layout cannot drift between the audit and
+    * production shapes (BenchGrowth's exact-vs-sketch crossover depends
+    * on them timing the same shape). */
+  private def profile(e: DataFrame,
+                      dist: String => org.apache.spark.sql.Column)
+      : DataFrame = {
     def nulls(c: String) =
       sum(when(col(c).isNull, 1L).otherwise(0L))
-    def dist(c: String) = approx_count_distinct(col(c), 0.02)
     val one = e.agg(
       count(lit(1)).as("n_rows"),
       nulls("event_id").as("null_event_id"),

@@ -115,8 +115,12 @@ object QualityQueries extends QueryGroup {
     Sources.table(s, dir, "events")
       .select(col("event_id"),
         regexp_extract(input_file_name(), "([^/]+)$", 1).as("source_file"),
-        md5(concat_ws("|", col("event_id").cast("string"),
-          col("user_id").cast("string"), col("event_type"))
+        // concat, NOT concat_ws: the fingerprint must null-propagate
+        // like the oracle's `||` (concat_ws silently drops a NULL field
+        // AND its separator, colliding 'a|view' with a null-user row) —
+        // a NULL fingerprint says "cannot reconcile", never a collision
+        md5(concat(col("event_id").cast("string"), lit("|"),
+          col("user_id").cast("string"), lit("|"), col("event_type"))
           .cast("binary")).as("row_fp"))
       .orderBy("event_id")
 

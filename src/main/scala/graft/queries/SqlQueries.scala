@@ -122,6 +122,12 @@ object SqlQueries extends QueryGroup {
     * oracle-verified `w_rolling_distinct` value); only engine-stable
     * columns are emitted. */
   private def hllRolling(s: SparkSession, dir: String): DataFrame = {
+    // exact_7d must stay formulation-identical to WarehouseQueries
+    // .rollingDistinct (same null filter, day grain, -6..0 range): the
+    // 5% bound below is only meaningful against the series that
+    // w_rolling_distinct pins. Not shared as code because this plan
+    // fuses the sketch and the exact set into ONE per-day aggregate —
+    // reusing rollingDistinct would split that into two scans.
     val ev = Sources.table(s, dir, "events")
       .filter(col("user_id").isNotNull)
       .select(col("event_type"),
