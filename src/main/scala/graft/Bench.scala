@@ -6,6 +6,14 @@ package graft
   * sink — `count()` would let Catalyst prune projections and under-report;
   * noop executes the complete plan including all output columns. */
 object Bench {
+  /** Quote + escape a string for embedding in the one-line JSON record —
+    * used for every free-text field (collector names, env-fed paths): a
+    * quote or backslash must not corrupt the record, because
+    * parseCommittedWarm swallows parse failures and would silently drop
+    * the committed warm baseline. */
+  private def jsonEsc(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = HarnessSession.build()
@@ -31,21 +39,31 @@ object Bench {
     // per-run streaming checkpoints piled up). Canary runs are OUTSIDE the
     // per-query timings.
     val canaryEvery = 25
-    def canaryOnce(): Double = {
+    def canaryOnce(): Option[Double] = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries("q1_agg")(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case scala.util.control.NonFatal(_) => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        SparkEntry.queries("q1_agg")(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // a failed canary must not record its time-to-failure as a
+          // healthy-looking sample (a fast-flat canary series would read
+          // as "session fine" when the session is broken)
+          System.err.println(s"[bench] canary failed: ${e.getMessage}")
+          None
+      }
     }
     def runAll(): (Seq[(String, Double)], Seq[Double]) = {
       val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
       val timings = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
         .map { case ((name, fn), i) =>
-          if (i % canaryEvery == 0) canaries += canaryOnce()
+          if (i % canaryEvery == 0) canaries ++= canaryOnce()
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case e: Throwable =>
+          catch { case scala.util.control.NonFatal(e) =>
+            // NonFatal ONLY: an OOM/linkage error must abort the JVM, not
+            // cascade into misleading failures for every later query
             // record the failure in the JSON too: a broken query must not
             // masquerade as a fast pass in round-over-round comparisons
             failed += name
@@ -62,7 +80,7 @@ object Bench {
           }
           name -> (System.nanoTime() - t0) / 1e9
         }
-      canaries += canaryOnce()
+      canaries ++= canaryOnce()
       (timings, canaries.toSeq)
     }
     // Pass 1 (cold) is the headline `value`; pass 2 (warm) strips one-time
@@ -147,9 +165,9 @@ object Bench {
       // JSON-escape: an exotic collector name containing a quote or
       // backslash must not corrupt the whole record (parseCommittedWarm
       // would silently swallow the parse failure and drop the baseline).
-      "\"" + names.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      jsonEsc(names)
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"retimed":$retimedJs,"canary_cold":${arr(canaryCold)},"canary_warm":${arr(canaryWarm)},"queries":${js(results)},"queries_warm":${js(warm)},"sf":"$sfDir","jvm_gc":$gc}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"retimed":$retimedJs,"canary_cold":${arr(canaryCold)},"canary_warm":${arr(canaryWarm)},"queries":${js(results)},"queries_warm":${js(warm)},"sf":${jsonEsc(sfDir)},"jvm_gc":$gc}"""
     println(line)
     // The driver's artifact retains only a stdout tail, which loses most
     // per-query timings; also write the complete line to a committed file

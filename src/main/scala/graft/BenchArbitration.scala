@@ -27,7 +27,10 @@ object BenchArbitration {
   /** Parse a committed BENCH_full.json line into per-query warm
     * expectations. Returns empty when the record's `sf` differs from this
     * run's `sfDir` (stale-corpus guard) or the text is not a bench record
-    * — callers then fall back to the run's own cold readings. */
+    * — callers then fall back to the run's own cold readings. Queries in
+    * the record's `failed` array are EXCLUDED: their recorded warm is a
+    * time-to-failure (near zero), and using it as the expectation would
+    * force a pointless retime of the next healthy run's genuine timing. */
   def parseCommittedWarm(txt: String, sfDir: String): Map[String, Double] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
@@ -35,10 +38,18 @@ object BenchArbitration {
       val node = root.get("queries_warm")
       if (node == null || recSf != sfDir) Map.empty
       else {
+        val failed: Set[String] = Option(root.get("failed")) match {
+          case Some(arr) if arr.isArray =>
+            val it = arr.elements(); val b = Set.newBuilder[String]
+            while (it.hasNext) b += it.next().asText()
+            b.result()
+          case _ => Set.empty
+        }
         val it = node.properties().iterator()
         val b = Map.newBuilder[String, Double]
         while (it.hasNext) { val e = it.next()
-          b += e.getKey -> e.getValue.asDouble() }
+          if (!failed.contains(e.getKey))
+            b += e.getKey -> e.getValue.asDouble() }
         b.result()
       }
     } catch { case scala.util.control.NonFatal(_) => Map.empty }

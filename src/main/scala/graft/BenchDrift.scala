@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{GraftShims, SparkSession}
+import org.apache.spark.sql.GraftShims
 
 /** Session-degradation repro harness: `BenchDrift [rounds] [cleanup]`.
   *
@@ -20,19 +20,13 @@ import org.apache.spark.sql.{GraftShims, SparkSession}
   */
 object BenchDrift {
   def main(args: Array[String]): Unit = {
-    val rounds = args.headOption.filter(_.forall(_.isDigit)).map(_.toInt)
+    // toIntOption, not isDigit+toInt: "" passes forall-isDigit and a
+    // too-long digit string overflows — both should fall back, not crash
+    val rounds = args.headOption.flatMap(_.toIntOption).filter(_ > 0)
       .getOrElse(6)
     val cleanup = args.contains("cleanup")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = HarnessSession.build()
     val qs = SparkEntry.queries
     val streaming = qs.keys.filter(_.startsWith("streaming_")).toSeq.sorted
 

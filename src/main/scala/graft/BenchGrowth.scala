@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * cost, pass 2 is the steady-state signal).
   *
   * Usage: `BenchGrowth
-  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|skew|all]`
+  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|skew|skewemb|all]`
   * with SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
   */
 object BenchGrowth {
@@ -187,20 +187,22 @@ object BenchGrowth {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionAll _)
 
+  private val axes = Set("all", "dsir", "textops", "sq8ivf", "profile",
+    "graph", "sparsecos", "simhash", "pairs", "skew", "skewemb")
+
   def main(args: Array[String]): Unit = {
     val which = if (args.isEmpty) "all" else args(0)
+    // a typo'd axis must be loud: silently running ZERO sections and
+    // exiting 0 reads as success to any scripted table regeneration
+    require(axes.contains(which),
+      s"unknown axis '$which'; one of ${axes.toSeq.sorted.mkString("|")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cleanStaleRoots(tmpRoot).foreach(p =>
       System.err.println(s"[growth] removed stale staging root $p"))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // shared harness builder: honors SPARK_GRAFT_MASTER (local-cluster
+    // growth runs) like Bench/Verify; 32-thread default matches the
+    // committed growth tables
+    val spark = HarnessSession.build(defaultCpus = "32")
     // GRAFT_GROWTH_STAGES=1: print each stage's id/name/callsite on
     // submission — the triage hook for task-level failures (an OOM log
     // names only "stage N"; this maps N back to the operator).
@@ -285,9 +287,15 @@ object BenchGrowth {
         // region is the sq8IvfTopK search alone.
         val t0 = System.nanoTime()
         val idx = ext.Ivf.build(e, cells = cells)
+        val trainS = (System.nanoTime() - t0) / 1e9
+        // staging OUTSIDE the timed region (the staging-not-timed rule
+        // every other section follows): on a fresh /tmp this writes the
+        // multi-GB celled corpus once, and charging that I/O to `train`
+        // made the committed train= column incomparable between cold- and
+        // warm-staging runs. build() is eager (KMeans.fit), so trainS is
+        // the real quantizer-training cost.
         val celled = staged(spark, s"emb_cells_x$n")(
           idx.assignments.withColumnRenamed("cell", "label"))
-        val trainS = (System.nanoTime() - t0) / 1e9
         idx.release()
         val q = celled.filter(col("vec_id") < 10)
         val ts = (1 to 2).map(_ =>

@@ -10,8 +10,11 @@ import org.apache.spark.sql.SparkSession
   * extrapolation `local[*]` cannot measure (there, broadcast handoff is a
   * same-classloader reference and "shuffle" is an in-heap array move). */
 object HarnessSession {
-  def build(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+  /** `defaultCpus` is the fallback when SPARK_GRAFT_CPUS is unset — the
+    * arbiters default small (4), the growth harness to the full box (32,
+    * matching its committed tables). */
+  def build(defaultCpus: String = "4"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
       .master(master)

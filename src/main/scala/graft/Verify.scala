@@ -40,9 +40,12 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     qs.foreach { case (name, fn) =>
+      // NonFatal ONLY (same policy as warmShared below): an OOM/linkage
+      // error must abort the JVM, not be recorded and cascade into ~70
+      // misleading failures on a corrupted session with exit 0
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
         System.err.println(s"[verify] $name failed: $msg")
         failures(name) = msg

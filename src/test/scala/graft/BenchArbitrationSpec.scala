@@ -22,6 +22,19 @@ class BenchArbitrationSpec extends AnyFunSuite {
       .parseCommittedWarm(record, "/root/testdata/sf0.01").isEmpty)
   }
 
+  test("a failed query's warm time never becomes the retime expectation") {
+    // a committed record where q2 threw stores its TIME-TO-FAILURE
+    // (near zero) in queries_warm; using that as the expectation would
+    // force a pointless retime of the next healthy run's genuine timing
+    val withFailed =
+      """{"metric":"total","value":10.0,"sf":"/d",
+        |"failed":["q2_broken"],
+        |"queries_warm":{"q1_agg":1.5,"q2_broken":0.001}}"""
+        .stripMargin.replace("\n", "")
+    assert(BenchArbitration.parseCommittedWarm(withFailed, "/d") ==
+      Map("q1_agg" -> 1.5))
+  }
+
   test("records without sf or queries_warm, and garbage, yield no baseline") {
     assert(BenchArbitration
       .parseCommittedWarm("""{"queries_warm":{"q":1.0}}""", "x").isEmpty)
