@@ -39,26 +39,48 @@ object Bench {
     // per-run streaming checkpoints piled up). Canary runs are OUTSIDE the
     // per-query timings.
     val canaryEvery = 25
-    def canaryOnce(): Option[Double] = {
+    def canaryTimed(df: => org.apache.spark.sql.DataFrame, label: String)
+        : Option[Double] = {
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries("q1_agg")(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+        df.write.format("noop").mode("overwrite").save()
         Some((System.nanoTime() - t0) / 1e9)
       } catch {
         case scala.util.control.NonFatal(e) =>
           // a failed canary must not record its time-to-failure as a
           // healthy-looking sample (a fast-flat canary series would read
           // as "session fine" when the session is broken)
-          System.err.println(s"[bench] canary failed: ${e.getMessage}")
+          System.err.println(s"[bench] canary ($label) failed: ${e.getMessage}")
           None
       }
     }
-    def runAll(): (Seq[(String, Double)], Seq[Double]) = {
+    def canaryOnce(): Option[Double] =
+      canaryTimed(SparkEntry.queries("q1_agg")(spark, sfDir), "repeat")
+    // Compile-sensitive twin: the repeat canary re-runs an IDENTICAL query,
+    // so Spark's codegen cache (keyed by generated source) absorbs the
+    // Janino compile — it measures execution health but is BLIND to
+    // per-query plan/compile cost shifts (r11 finding: a host-level
+    // single-core slowdown added ~0.5 s of compile to every UNIQUE query
+    // while the repeat canary stayed flat). A fresh literal per invocation
+    // forces a fresh codegen source, so this series moves with the
+    // per-query constant the suite actually pays.
+    var canarySeq = 0
+    def canaryUniqOnce(): Option[Double] = {
+      canarySeq += 1
+      val tag = canarySeq
+      canaryTimed(SparkEntry.queries("q1_agg")(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("sum_qty") =!=
+          org.apache.spark.sql.functions.lit(-1000000L - tag)), s"uniq $tag")
+    }
+    def runAll(): (Seq[(String, Double)], Seq[Double], Seq[Double]) = {
       val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val canariesUniq = scala.collection.mutable.ArrayBuffer.empty[Double]
       val timings = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
         .map { case ((name, fn), i) =>
-          if (i % canaryEvery == 0) canaries ++= canaryOnce()
+          if (i % canaryEvery == 0) {
+            canaries ++= canaryOnce()
+            canariesUniq ++= canaryUniqOnce()
+          }
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case scala.util.control.NonFatal(e) =>
@@ -81,12 +103,13 @@ object Bench {
           name -> (System.nanoTime() - t0) / 1e9
         }
       canaries ++= canaryOnce()
-      (timings, canaries.toSeq)
+      canariesUniq ++= canaryUniqOnce()
+      (timings, canaries.toSeq, canariesUniq.toSeq)
     }
     // Pass 1 (cold) is the headline `value`; pass 2 (warm) strips one-time
     // JVM/codegen-compile costs — the stabler round-over-round signal.
-    val (results, canaryCold) = runAll()
-    val (warm0, canaryWarm) = runAll()
+    val (results, canaryCold, canaryUniqCold) = runAll()
+    val (warm0, canaryWarm, canaryUniqWarm) = runAll()
     // Jitter-resistant warm record: a single warm sample per query carries
     // seconds of box noise (the r7 driver run flagged 59 queries >2x the
     // committed record; every one arbitrated to jitter by BenchOne). So any
@@ -167,7 +190,7 @@ object Bench {
       // would silently swallow the parse failure and drop the baseline).
       jsonEsc(names)
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"retimed":$retimedJs,"canary_cold":${arr(canaryCold)},"canary_warm":${arr(canaryWarm)},"queries":${js(results)},"queries_warm":${js(warm)},"sf":${jsonEsc(sfDir)},"jvm_gc":$gc}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"retimed":$retimedJs,"canary_cold":${arr(canaryCold)},"canary_warm":${arr(canaryWarm)},"canary_uniq_cold":${arr(canaryUniqCold)},"canary_uniq_warm":${arr(canaryUniqWarm)},"queries":${js(results)},"queries_warm":${js(warm)},"sf":${jsonEsc(sfDir)},"jvm_gc":$gc}"""
     println(line)
     // The driver's artifact retains only a stdout tail, which loses most
     // per-query timings; also write the complete line to a committed file

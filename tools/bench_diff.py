@@ -78,6 +78,20 @@ def main() -> int:
                        if bad
                        else f"flat (medians {med_h:.2f}s -> {med_t:.2f}s)")
             canary_lines.append(f"canary {key[7:]}: {verdict}")
+    # Compile-sensitive canary (r11): the repeat canary hits Spark's codegen
+    # cache and is blind to per-query plan/compile cost shifts (a host-level
+    # single-core slowdown shows as N uniform per-query regressions with a
+    # flat repeat canary). The uniq series forces a fresh compile per sample;
+    # compare ITS medians against the committed record's to attribute a mass
+    # uniform shift to the box, not the code.
+    for key in ("canary_uniq_cold", "canary_uniq_warm"):
+        series = new.get(key) or []
+        old_series = old.get(key) or []
+        if len(series) >= 2:
+            line = f"canary {key[7:]}: median {median(series):.2f}s"
+            if len(old_series) >= 2:
+                line += f" (committed {median(old_series):.2f}s)"
+            canary_lines.append(line)
     # Cross-collector comparisons are apples-to-oranges (r10 A/B: ParallelGC
     # runs ~11s warm / ~30s cold faster than G1 on the full suite), so name
     # the mismatch up front — per-query flags below may be pure GC delta.
