@@ -28,7 +28,14 @@ series against the old record with bench_diff's own thresholds
 Verdicts land in the record as
   "arbitration": {"<q>": {"phase": "...", "old": s, "flagged": s,
                           "passes": [...], "steady": s,
-                          "verdict": "jitter|confirmed"}, ...}
+                          "verdict": "jitter|confirmed|box"}, ...}
+
+A `box` verdict fires when BOTH records carry the compile-sensitive
+canary_uniq_* series (r11) and its median shifted by enough to explain
+the query's own shift: a host-level slowdown inflates every unique
+query's plan/compile constant uniformly, and re-running the query on the
+same degraded box would "confirm" what is really an environment change
+(the r11 code-control experiment; see SCALE.md).
 (parseCommittedWarm and bench_diff ignore unknown fields, so the stamp
 is backward-compatible with every reader of the record.)
 """
@@ -138,6 +145,18 @@ def main() -> int:
         print("arbitrate: no flags to arbitrate; record left untouched")
         return 0
 
+    # Box-shift detector: ratio of compile-sensitive canary medians
+    # between the two records (None when either record predates the field).
+    def uniq_median(rec):
+        xs = (rec.get("canary_uniq_cold") or []) + \
+             (rec.get("canary_uniq_warm") or [])
+        return median(xs) if len(xs) >= 2 else None
+    m_new, m_old = uniq_median(record), uniq_median(prev)
+    box_ratio = (m_new / m_old) if (m_new and m_old and m_old > 0) else None
+    if box_ratio is not None:
+        print(f"arbitrate: uniq-canary medians {m_old:.2f}s -> {m_new:.2f}s "
+              f"(box ratio {box_ratio:.2f})")
+
     verdicts = record.setdefault("arbitration", {})
     for phase, q, t_old, t_new in targets:
         series = bench_one(q, passes, sf_dir)
@@ -145,10 +164,15 @@ def main() -> int:
         sample = series[0] if phase == "queries" else steady
         confirmed = sample >= t_old * RATIO and sample - t_old >= ABS_FLOOR
         verdict = "confirmed" if confirmed else "jitter"
+        if confirmed and box_ratio is not None and box_ratio > 1.1 \
+                and sample <= t_old * box_ratio * 1.2:
+            # the uniq-canary medians moved old->new by box_ratio: a shift
+            # the canary explains is the HOST's, not the query's
+            verdict = "box"
         label = "cold" if phase == "queries" else "warm"
         note = (" [memo-shared cold: isolated pass pays the family head — "
                 "confirm via family sum]"
-                if confirmed and phase == "queries" else "")
+                if verdict == "confirmed" and phase == "queries" else "")
         print(f"ARBITRATED {label} {q}: old {t_old:.2f}s, flagged "
               f"{t_new:.2f}s, fresh-JVM "
               f"[{', '.join(f'{t:.2f}' for t in series)}] -> "

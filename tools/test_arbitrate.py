@@ -117,9 +117,44 @@ def test_no_flags_leaves_record_untouched():
         assert open(np_).read() == before
 
 
+def test_box_verdict_when_uniq_canary_explains_the_shift():
+    with tempfile.TemporaryDirectory() as d:
+        old = record({"a": 1.0}, {"a": 1.0, "b": 1.0})
+        old["canary_uniq_cold"] = [1.0, 1.0]
+        old["canary_uniq_warm"] = [1.0, 1.0]
+        # both queries 1.0 -> 1.8 (>=1.5x, >=0.5s): flagged; the uniq
+        # canary medians also moved 1.0 -> 1.8, so a fresh-JVM series that
+        # re-measures ~1.8 must stamp `box`, not `confirmed`
+        new = record({"a": 1.8}, {"a": 1.8, "b": 1.8})
+        new["canary_uniq_cold"] = [1.8, 1.8]
+        new["canary_uniq_warm"] = [1.8, 1.8]
+        new_p = write(d, "new.json", new)
+        old_p = write(d, "old.json", old)
+        rc, _ = run_main([new_p, "--old", old_p],
+                         {"a": [5.0, 1.8, 1.8, 1.8],
+                          "b": [5.0, 1.8, 1.8, 1.8]})
+        assert rc == 0, rc
+        got = json.load(open(new_p))["arbitration"]
+        assert got["a"]["verdict"] == "box", got
+        assert got["b"]["verdict"] == "box", got
+        # without the canary fields in the OLD record, the same series
+        # stays `confirmed` (no baseline to attribute the shift to)
+        old2 = record({"a": 1.0}, {"a": 1.0})
+        new2 = record({"a": 1.8}, {"a": 1.8})
+        new2["canary_uniq_cold"] = [1.8, 1.8]
+        new2_p = write(d, "new2.json", new2)
+        old2_p = write(d, "old2.json", old2)
+        rc2, _ = run_main([new2_p, "--old", old2_p],
+                          {"a": [5.0, 1.8, 1.8, 1.8]})
+        assert rc2 == 1, rc2  # confirmed regressions exit 1
+        got2 = json.load(open(new2_p))["arbitration"]
+        assert got2["a"]["verdict"] == "confirmed", got2
+
+
 if __name__ == "__main__":
     test_flags_match_bench_diff_thresholds()
     test_warm_steady_vs_cold_pass1_verdicts()
     test_forced_query_prefers_warm_and_all_jitter_exits_zero()
     test_no_flags_leaves_record_untouched()
+    test_box_verdict_when_uniq_canary_explains_the_shift()
     print("all assertions passed")
