@@ -45,8 +45,13 @@ def load(src: str) -> dict:
 def main() -> int:
     argv = [a for a in sys.argv[1:] if a != "--strict"]
     strict = "--strict" in sys.argv
-    new = load(argv[0] if argv else "BENCH_full.json")
-    old = load(argv[1] if len(argv) > 1 else "HEAD")
+    try:
+        new = load(argv[0] if argv else "BENCH_full.json")
+        old = load(argv[1] if len(argv) > 1 else "HEAD")
+    except (OSError, json.JSONDecodeError) as e:
+        # a mistyped path must be a diagnostic, not a traceback
+        print(f"bench_diff: cannot load record: {e}")
+        return 2
     if not old:
         print("bench_diff: no previous BENCH_full.json at HEAD; baseline run")
         return 0
@@ -134,9 +139,13 @@ def main() -> int:
         print(f"{label} {phase[8:] or 'cold'} {q}: "
               f"{t_old:.2f}s -> {t_new:.2f}s ({t_new / t_old:.1f}x)")
     regress = [r for r in regress if not degraded_phase[r[0]]]
-    gone = set(old.get("queries", {})) - set(new.get("queries", {}))
-    for q in sorted(gone):
-        print(f"MISSING {q}: present at HEAD, absent now")
+    # check BOTH phases: a warm pass that aborted partway writes a full
+    # cold dict but a short warm one — cold-only diffing reads as clean
+    gone = set()
+    for phase, label in (("queries", "cold"), ("queries_warm", "warm")):
+        for q in sorted(set(old.get(phase, {})) - set(new.get(phase, {}))):
+            print(f"MISSING {label} {q}: present at HEAD, absent now")
+            gone.add((label, q))
     for line in canary_lines:
         print(line)
     retimed = new.get("retimed") or []

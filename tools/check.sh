@@ -31,5 +31,13 @@ java $ADD_OPENS -Xmx8g ${GRAFT_EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
   graft.Verify "$SF_DIR" "$OUT" "$PATTERN" 1>&2
-python3 tools/oracle_types.py "$SF_DIR" "$OUT/oracle_sql.json"
+# Oracle-type lint is a deliberate fail-fast gate (a HUGEINT-summing or
+# DESCRIBE-erroring oracle would make the compare below lie), but its
+# failure must be unmistakable: without the marker, the last stdout line
+# is the lint's own tally and a sweep/tail -1 reader could mistake it
+# for a differential verdict.
+if ! python3 tools/oracle_types.py "$SF_DIR" "$OUT/oracle_sql.json"; then
+  echo "== ORACLE LINT FAILED — differential compare NOT run"
+  exit 1
+fi
 python3 tools/compare.py "$SF_DIR" "$OUT" "$PATTERN"

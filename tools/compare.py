@@ -77,11 +77,21 @@ def main() -> int:
         for c in g.columns:
             a, b = g[c], w[c]
             if str(a.dtype) != str(b.dtype):
-                try:
-                    b = b.astype(a.dtype)
-                except Exception:
-                    bad.append(f"{c}: dtype {a.dtype} vs {w[c].dtype}")
-                    continue
+                # numeric mismatch: promote BOTH to the common supertype.
+                # Casting the oracle to the Spark dtype was lossy (float64
+                # -> int64 truncates), so a Spark result equal to the
+                # FLOOR of the oracle's float compared as a false PASS.
+                if pd.api.types.is_numeric_dtype(a) and \
+                        pd.api.types.is_numeric_dtype(b):
+                    import numpy as np
+                    common = np.promote_types(a.dtype, b.dtype)
+                    a, b = a.astype(common), b.astype(common)
+                else:
+                    try:
+                        b = b.astype(a.dtype)
+                    except Exception:
+                        bad.append(f"{c}: dtype {a.dtype} vs {w[c].dtype}")
+                        continue
             eq = (a == b) | (a.isna() & b.isna())
             if not eq.all():
                 i = (~eq).idxmax()

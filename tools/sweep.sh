@@ -10,8 +10,17 @@ SF="${1:-/root/testdata/sf0.01}"
 run() {
   local label="$1"; shift
   echo "=== SWEEP $label start $(date +%T)"
-  "$@" tools/check.sh "$SF" 2>/tmp/graft_sweep_err.log | tail -1 \
-    | sed "s/^/=== SWEEP $label RESULT: /"
+  # a crashed leg (compile failure, OOM'd JVM, oracle lint) must print a
+  # loud FAILED marker, not silently omit its RESULT line from the matrix
+  local out rc
+  out="$("$@" tools/check.sh "$SF" 2>/tmp/graft_sweep_err.log | tail -1)"
+  rc=$?
+  if [ "$rc" -ne 0 ]; then
+    echo "=== SWEEP $label RESULT: FAILED (exit $rc) — see stderr log"
+    tail -5 /tmp/graft_sweep_err.log | sed 's/^/    /'
+  else
+    echo "=== SWEEP $label RESULT: $out"
+  fi
   grep "effective modes" /tmp/graft_sweep_err.log | head -1
 }
 run default        env

@@ -80,7 +80,8 @@ def main():
     # 6. missing query -> exit 1 even when everything else is clean
     rc, out = run(record({"qa": 1.0}, {"qa": 0.5}), old)
     assert rc == 1, (rc, out)
-    assert "MISSING qb" in out, out
+    assert "MISSING cold qb" in out, out
+    assert "MISSING warm qb" in out, out
 
     # 7. non-strict mode is informational: exit 0 despite regressions
     rc, out = run(record({"qa": 3.0, "qb": 1.0}, {"qa": 2.0, "qb": 0.5}),
