@@ -212,6 +212,80 @@ class SessionizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("randomized multi-batch streaming equals the batch fold (3 seeds × 2 modes)") {
+    // Property pin for the multi-open-session state model: random event
+    // sets, random batch boundaries, two delivery regimes —
+    //  generous: 200h lateness, events split into ARBITRARY batches (all
+    //    sessions stay open across batches; every batch exercises the
+    //    merge of new events into multi-session state);
+    //  strict: 0s lateness, batches are CONTIGUOUS time slices delivered
+    //    in order (the watermark advances and seals sessions mid-stream,
+    //    exercising the close/keep partition and the timeout path).
+    // In both regimes nothing is ever late-filtered, so streaming output
+    // must equal the batch gap-merge EXACTLY.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    implicit val sqlCtx = spark.sqlContext
+    val gen = for {
+      evs <- Gen.listOfN(40, for {
+        u <- Gen.chooseNum(1L, 3L)
+        m <- Gen.chooseNum(0L, 400L)
+      } yield (u, m))
+      cuts <- Gen.listOfN(3, Gen.chooseNum(0, 39))
+    } yield (evs, cuts)
+    (1L to 3L).foreach { seedNo =>
+      val (evs, cuts) = gen.pureApply(Gen.Parameters.default, Seed(seedNo))
+      val batchDf = evs.map { case (u, m) => (u, ts(m)) }.toDF("user_id", "ts")
+      val want = Sessionize.batch(batchDf, gapMs)
+        .select("user_id", "session_start_ms", "session_end_ms", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      Seq("generous", "strict").foreach { mode =>
+        val batches: Seq[Seq[(Long, Timestamp)]] = mode match {
+          case "generous" =>
+            val bounds = (cuts :+ 0 :+ evs.length).distinct.sorted
+            bounds.zip(bounds.tail).map { case (a, b) =>
+              evs.slice(a, b).map { case (u, m) => (u, ts(m)) } }
+          case _ =>
+            val sorted = evs.sortBy(_._2)
+            // never cut inside an equal-timestamp run: at 0s lateness the
+            // first half would set the watermark TO that timestamp and
+            // the second half would be late-dropped — a delivery
+            // artifact, not operator behavior under test
+            def snap(i: Int): Int = {
+              var j = i
+              while (j > 0 && j < sorted.length &&
+                sorted(j - 1)._2 == sorted(j)._2) j += 1
+              j
+            }
+            val bounds = (cuts.map(snap) :+ 0 :+ evs.length).distinct.sorted
+            bounds.zip(bounds.tail).map { case (a, b) =>
+              sorted.slice(a, b).map { case (u, m) => (u, ts(m)) } }
+        }
+        val mem = MemoryStream[(Long, Timestamp)]
+        val stream = mem.toDF().toDF("user_id", "ts")
+          .withWatermark("ts", if (mode == "generous") "200 hours"
+                               else "0 seconds")
+          .as[Sessionize.SessionEvent]
+        val qn = s"graft_sessions_prop_${mode}_$seedNo"
+        val q = Sessionize.streaming(stream, gapMs).writeStream
+          .format("memory").queryName(qn)
+          .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          batches.filter(_.nonEmpty).foreach { b =>
+            mem.addData(b); q.processAllAvailable()
+          }
+          mem.addData(Seq((99L, ts(100000)))); q.processAllAvailable()
+          mem.addData(Seq((99L, ts(200000)))); q.processAllAvailable()
+          val got = spark.table(qn).filter($"user_id" < 90)
+            .select("user_id", "session_start_ms", "session_end_ms",
+              "n_events")
+            .as[(Long, Long, Long, Long)].collect().toSet
+          assert(got == want, s"seed $seedNo mode $mode")
+        } finally q.stop()
+      }
+    }
+  }
+
   test("non-late bridging event merges two still-open sessions") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
