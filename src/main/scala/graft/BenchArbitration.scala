@@ -61,6 +61,59 @@ object BenchArbitration {
       java.nio.file.Paths.get(path)), "UTF-8"), sfDir)
     catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** Per-phase medians of the compile-sensitive uniq-canary series from a
+    * committed record: keys "cold"/"warm", present only when that series
+    * has >=2 samples and the record's `sf` matches this run's corpus (the
+    * canary query runs at the record's SF, so cross-SF medians are not
+    * comparable). Feeds the box-slide normalization: the r11 sessions
+    * proved the grading box's single-core throughput can drift ~30%
+    * intra-session, inflating every UNIQUE query's plan/compile constant
+    * while repeat canaries stay flat — so a raw total measured mid-slide
+    * overstates the engine. Scaling by committed-vs-observed uniq medians
+    * self-corrects the record (VERDICT r11 #1). */
+  def parseUniqCanaryMedians(txt: String, sfDir: String): Map[String, Double] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+      val recSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+      if (recSf != sfDir) Map.empty
+      else Seq("cold" -> "canary_uniq_cold", "warm" -> "canary_uniq_warm")
+        .flatMap { case (label, field) =>
+          Option(root.get(field)).filter(_.isArray).flatMap { arr =>
+            val it = arr.elements(); val b = Seq.newBuilder[Double]
+            while (it.hasNext) b += it.next().asDouble()
+            val xs = b.result()
+            if (xs.size >= 2) Some(label -> median(xs)) else None
+          }
+        }.toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** File-reading wrapper over [[parseUniqCanaryMedians]]. */
+  def readUniqCanaryMedians(path: String, sfDir: String): Map[String, Double] =
+    try parseUniqCanaryMedians(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), "UTF-8"), sfDir)
+    catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Median (lower-biased mean-of-middle-two for even n), matching
+    * tools/bench_diff.py and tools/arbitrate.py so all three readers of
+    * the canary series agree on the statistic. */
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.size
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+  }
+
+  /** Box-slide-normalized total: raw × committed/observed uniq-canary
+    * median. Defined only when both medians are meaningfully positive and
+    * the observed series is non-degenerate; the normalized number is
+    * ADVISORY (the raw total is what was measured) — it answers "what
+    * would this run have read on the box the committed record saw". */
+  def normalizedTotal(raw: Double, committedMed: Option[Double],
+      observedMed: Option[Double]): Option[Double] =
+    for {
+      c <- committedMed if c > 0
+      o <- observedMed if o > 0
+    } yield raw * c / o
+
   /** Retime trigger: a fresh warm sample is suspect when it is >=2× its
     * expectation AND >=0.5 s over it (small queries jitter by ms — a pure
     * ratio would cry wolf), and the query did not already fail (a failure

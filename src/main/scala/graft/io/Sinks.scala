@@ -266,6 +266,10 @@ object Sinks {
     import org.apache.hadoop.fs.Path
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Probe existence first: listStatus on a missing/mistyped path throws a
+    // raw Hadoop FileNotFoundException; fail with the same require-style
+    // message shape as the partitioned-layout guard instead.
+    require(fs.exists(p), s"compact: $path does not exist")
     val partitionDirs = fs.listStatus(p).filter(s =>
       s.isDirectory && s.getPath.getName.contains("="))
     require(partitionDirs.isEmpty,

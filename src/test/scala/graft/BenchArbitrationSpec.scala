@@ -54,6 +54,45 @@ class BenchArbitrationSpec extends AnyFunSuite {
     assert(BenchArbitration.benchOutPath(_ => None) == "BENCH_full.json")
   }
 
+  test("uniq-canary medians: sf guard, short-series guard, per-phase keys") {
+    val rec =
+      """{"metric":"total","value":10.0,"sf":"/d",
+        |"canary_uniq_cold":[1.0,2.0,4.0],
+        |"canary_uniq_warm":[0.5,0.7]}""".stripMargin.replace("\n", "")
+    assert(BenchArbitration.parseUniqCanaryMedians(rec, "/d") ==
+      Map("cold" -> 2.0, "warm" -> 0.6))
+    // cross-SF medians are not comparable (canary runs at the record's SF)
+    assert(BenchArbitration.parseUniqCanaryMedians(rec, "/other").isEmpty)
+    // a single sample is no median; the other phase still parses
+    val short =
+      """{"sf":"/d","canary_uniq_cold":[1.0],"canary_uniq_warm":[1.0,3.0]}"""
+    assert(BenchArbitration.parseUniqCanaryMedians(short, "/d") ==
+      Map("warm" -> 2.0))
+    assert(BenchArbitration.parseUniqCanaryMedians("not json{", "/d").isEmpty)
+    assert(BenchArbitration
+      .readUniqCanaryMedians("/nonexistent/BENCH.json", "/d").isEmpty)
+  }
+
+  test("median matches bench_diff/arbitrate (mean-of-middle-two on even n)") {
+    assert(BenchArbitration.median(Seq(3.0, 1.0, 2.0)) == 2.0)
+    assert(BenchArbitration.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)
+  }
+
+  test("normalized total scales by committed/observed; degenerate -> None") {
+    // observed box 30% slower than the committed record's: a 190s raw warm
+    // reads back as ~146s on the committed box
+    val n = BenchArbitration.normalizedTotal(190.0, Some(1.0), Some(1.3))
+    assert(n.exists(v => math.abs(v - 190.0 / 1.3) < 1e-9))
+    // identical boxes: normalization is the identity
+    assert(BenchArbitration.normalizedTotal(100.0, Some(0.8), Some(0.8))
+      .contains(100.0))
+    // missing or non-positive medians: no advisory number, never a crash
+    assert(BenchArbitration.normalizedTotal(100.0, None, Some(1.0)).isEmpty)
+    assert(BenchArbitration.normalizedTotal(100.0, Some(1.0), None).isEmpty)
+    assert(BenchArbitration.normalizedTotal(100.0, Some(0.0), Some(1.0)).isEmpty)
+    assert(BenchArbitration.normalizedTotal(100.0, Some(1.0), Some(0.0)).isEmpty)
+  }
+
   test("retime trigger needs 2x ratio AND 0.5s excess AND a non-failed run") {
     val n = BenchArbitration.needsRetime _
     assert(n(2.0, 0.9, false))          // 2.2x, +1.1s

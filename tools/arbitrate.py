@@ -38,6 +38,14 @@ same degraded box would "confirm" what is really an environment change
 (the r11 code-control experiment; see SCALE.md).
 (parseCommittedWarm and bench_diff ignore unknown fields, so the stamp
 is backward-compatible with every reader of the record.)
+
+Exit codes (mirroring bench_diff --strict's three-valued contract):
+  0  every arbitrated flag resolved to jitter (or nothing to arbitrate)
+  1  one or more `confirmed` verdicts — a real regression
+  2  no confirmations, but one or more `box` verdicts — the run is
+     environment-tainted; re-arbitrate on a healthy box before trusting
+     (the box heuristic can absorb a genuine regression slightly smaller
+     than the host-wide canary shift, so a box run must not read as clean)
 """
 import json
 import re
@@ -158,6 +166,13 @@ def main() -> int:
               f"(box ratio {box_ratio:.2f})")
 
     verdicts = record.setdefault("arbitration", {})
+    # The record keys arbitration entries by query name; a query flagged in
+    # BOTH phases would otherwise have its second verdict overwrite the
+    # first (a warm `box` silently burying a cold `confirmed`). Keep the
+    # more severe entry, and tally exits from the per-target verdicts so
+    # nothing is lost to the overwrite.
+    severity = {"jitter": 0, "box": 1, "confirmed": 2}
+    n_conf = n_box = 0
     for phase, q, t_old, t_new in targets:
         series = bench_one(q, passes, sf_dir)
         steady = median(series[1:]) if len(series) > 1 else series[0]
@@ -178,20 +193,33 @@ def main() -> int:
               f"[{', '.join(f'{t:.2f}' for t in series)}] -> "
               f"{'pass1' if phase == 'queries' else 'steady'} "
               f"{sample:.2f}s: {verdict.upper()}{note}")
-        verdicts[q] = {
-            "phase": phase, "old": round(t_old, 3),
-            "flagged": round(t_new, 3),
-            "passes": [round(t, 3) for t in series],
-            "steady": round(steady, 3), "verdict": verdict,
-        }
+        n_conf += verdict == "confirmed"
+        n_box += verdict == "box"
+        prior = verdicts.get(q)
+        if prior is None or severity[verdict] >= severity[prior["verdict"]]:
+            verdicts[q] = {
+                "phase": phase, "old": round(t_old, 3),
+                "flagged": round(t_new, 3),
+                "passes": [round(t, 3) for t in series],
+                "steady": round(steady, 3), "verdict": verdict,
+            }
 
     with open(record_path, "w") as f:
         json.dump(record, f, separators=(",", ":"))
         f.write("\n")
-    n_conf = sum(1 for v in verdicts.values() if v["verdict"] == "confirmed")
     print(f"arbitrate: {len(targets)} run(s) stamped into {record_path} "
-          f"({n_conf} confirmed)")
-    return 1 if n_conf else 0
+          f"({n_conf} confirmed, {n_box} box)")
+    # Three-valued exit, mirroring bench_diff --strict: 1 = confirmed
+    # regressions; 2 = no confirmations but >=1 `box` verdict — the
+    # box-attribution heuristic can absorb a genuine regression that is
+    # slightly smaller than a host-wide uniq-canary shift, so CI must
+    # surface the run for re-arbitration on a healthy box rather than
+    # read it as clean; 0 = all-jitter.
+    if n_conf:
+        return 1
+    if n_box:
+        return 2
+    return 0
 
 
 if __name__ == "__main__":

@@ -140,12 +140,15 @@ def main() -> int:
               f"{t_old:.2f}s -> {t_new:.2f}s ({t_new / t_old:.1f}x)")
     regress = [r for r in regress if not degraded_phase[r[0]]]
     # check BOTH phases: a warm pass that aborted partway writes a full
-    # cold dict but a short warm one — cold-only diffing reads as clean
+    # cold dict but a short warm one — cold-only diffing reads as clean.
+    # The tally counts DISTINCT query names (a query absent from both
+    # phases is one missing query, not two); the per-phase MISSING lines
+    # keep the phase detail.
     gone = set()
     for phase, label in (("queries", "cold"), ("queries_warm", "warm")):
         for q in sorted(set(old.get(phase, {})) - set(new.get(phase, {}))):
             print(f"MISSING {label} {q}: present at HEAD, absent now")
-            gone.add((label, q))
+            gone.add(q)
     for line in canary_lines:
         print(line)
     retimed = new.get("retimed") or []
@@ -153,6 +156,20 @@ def main() -> int:
         print(f"retimed ({len(retimed)} warm samples arbitrated in-run): "
               + ", ".join(sorted(retimed)))
     nw, ow = new.get("warm_total", 0), old.get("warm_total", 0)
+    # Box-normalized totals lead the verdict when the record carries them
+    # (r12): Bench rescales its raw totals by committed-vs-observed
+    # uniq-canary medians, so a snapshot taken mid-host-slide self-corrects
+    # in the record instead of in prose. Raw totals stay printed below —
+    # the normalized number is advisory, the raw one is what was measured.
+    nwn = new.get("warm_total_normalized")
+    ncn = new.get("value_normalized")
+    if nwn is not None and ncn is not None:
+        brc = new.get("box_ratio_cold")
+        brw = new.get("box_ratio_warm")
+        brs = (f" (box ratio cold {brc:.2f} / warm {brw:.2f} vs committed)"
+               if brc is not None and brw is not None else "")
+        print("NORMALIZED totals (box-slide corrected): "
+              f"cold {ncn:.1f}s, warm {nwn:.1f}s{brs}")
     print(f"totals: cold {old.get('value', 0):.1f}s -> "
           f"{new.get('value', 0):.1f}s, warm {ow:.1f}s -> {nw:.1f}s, "
           f"queries {len(old.get('queries', {}))} -> "

@@ -119,12 +119,13 @@ def test_no_flags_leaves_record_untouched():
 
 def test_box_verdict_when_uniq_canary_explains_the_shift():
     with tempfile.TemporaryDirectory() as d:
-        old = record({"a": 1.0}, {"a": 1.0, "b": 1.0})
+        # cold a unchanged (1.8 -> 1.8, no flag); warm a and b 1.0 -> 1.8
+        # (>=1.5x, >=0.5s): flagged. The uniq canary medians also moved
+        # 1.0 -> 1.8, so a fresh-JVM series that re-measures ~1.8 must
+        # stamp `box`, not `confirmed`
+        old = record({"a": 1.8}, {"a": 1.0, "b": 1.0})
         old["canary_uniq_cold"] = [1.0, 1.0]
         old["canary_uniq_warm"] = [1.0, 1.0]
-        # both queries 1.0 -> 1.8 (>=1.5x, >=0.5s): flagged; the uniq
-        # canary medians also moved 1.0 -> 1.8, so a fresh-JVM series that
-        # re-measures ~1.8 must stamp `box`, not `confirmed`
         new = record({"a": 1.8}, {"a": 1.8, "b": 1.8})
         new["canary_uniq_cold"] = [1.8, 1.8]
         new["canary_uniq_warm"] = [1.8, 1.8]
@@ -133,7 +134,10 @@ def test_box_verdict_when_uniq_canary_explains_the_shift():
         rc, _ = run_main([new_p, "--old", old_p],
                          {"a": [5.0, 1.8, 1.8, 1.8],
                           "b": [5.0, 1.8, 1.8, 1.8]})
-        assert rc == 0, rc
+        # box verdicts exit 2 (not 0): the heuristic can absorb a genuine
+        # regression coinciding with a host-wide shift, so CI must surface
+        # the run for re-arbitration on a healthy box
+        assert rc == 2, rc
         got = json.load(open(new_p))["arbitration"]
         assert got["a"]["verdict"] == "box", got
         assert got["b"]["verdict"] == "box", got
@@ -151,10 +155,33 @@ def test_box_verdict_when_uniq_canary_explains_the_shift():
         assert got2["a"]["verdict"] == "confirmed", got2
 
 
+def test_confirmed_verdict_survives_a_same_query_box_verdict():
+    with tempfile.TemporaryDirectory() as d:
+        # q flagged in BOTH phases: the cold fresh-JVM pass1 (5.0) is far
+        # beyond what the 1.8x box shift explains -> confirmed; the warm
+        # steady (1.8) matches the shift -> box. The record is keyed by
+        # query name, so the later warm entry must NOT bury the confirmed
+        # cold one, and the exit must be 1 (a real regression), not 2.
+        old = record({"q": 1.0}, {"q": 1.0})
+        old["canary_uniq_cold"] = [1.0, 1.0]
+        old["canary_uniq_warm"] = [1.0, 1.0]
+        new = record({"q": 5.0}, {"q": 1.8})
+        new["canary_uniq_cold"] = [1.8, 1.8]
+        new["canary_uniq_warm"] = [1.8, 1.8]
+        new_p = write(d, "new.json", new)
+        old_p = write(d, "old.json", old)
+        rc, _ = run_main([new_p, "--old", old_p],
+                         {"q": [5.0, 1.8, 1.8, 1.8]})
+        assert rc == 1, rc
+        got = json.load(open(new_p))["arbitration"]["q"]
+        assert got["verdict"] == "confirmed" and got["phase"] == "queries", got
+
+
 if __name__ == "__main__":
     test_flags_match_bench_diff_thresholds()
     test_warm_steady_vs_cold_pass1_verdicts()
     test_forced_query_prefers_warm_and_all_jitter_exits_zero()
     test_no_flags_leaves_record_untouched()
     test_box_verdict_when_uniq_canary_explains_the_shift()
+    test_confirmed_verdict_survives_a_same_query_box_verdict()
     print("all assertions passed")

@@ -77,11 +77,14 @@ def main():
     assert "SUSPECT (canary-degraded session) cold qa" in out, out
     assert "REGRESS warm qa" in out, out
 
-    # 6. missing query -> exit 1 even when everything else is clean
+    # 6. missing query -> exit 1 even when everything else is clean; the
+    #    tally counts DISTINCT query names (qb absent from both phases is
+    #    ONE missing query), the per-phase lines keep the detail
     rc, out = run(record({"qa": 1.0}, {"qa": 0.5}), old)
     assert rc == 1, (rc, out)
     assert "MISSING cold qb" in out, out
     assert "MISSING warm qb" in out, out
+    assert "1 missing" in out and "2 missing" not in out, out
 
     # 7. non-strict mode is informational: exit 0 despite regressions
     rc, out = run(record({"qa": 3.0, "qb": 1.0}, {"qa": 2.0, "qb": 0.5}),
@@ -100,6 +103,25 @@ def main():
     assert "GC MISMATCH" in out, out
     rc, out = run(new_gc, old)  # old record predates the field
     assert "GC MISMATCH" not in out, out
+
+    # 9. box-normalized totals lead the verdict when the record carries
+    #    them (stamped by Bench against the committed uniq-canary medians);
+    #    absent fields -> no NORMALIZED line (pre-r12 records)
+    normed = record({"qa": 1.0, "qb": 1.1}, {"qa": 0.5, "qb": 0.6})
+    normed["value_normalized"] = 1.6
+    normed["warm_total_normalized"] = 0.85
+    normed["box_ratio_cold"] = 1.31
+    normed["box_ratio_warm"] = 1.29
+    rc, out = run(normed, old)
+    assert rc == 0, (rc, out)
+    assert ("NORMALIZED totals (box-slide corrected): cold 1.6s, warm 0.8s"
+            " (box ratio cold 1.31 / warm 1.29 vs committed)") in out, out
+    lines = [ln for ln in out.splitlines() if ln.startswith(("NORMALIZED",
+                                                             "totals:"))]
+    assert lines and lines[0].startswith("NORMALIZED"), out
+    rc, out = run(record({"qa": 1.0, "qb": 1.1}, {"qa": 0.5, "qb": 0.6}),
+                  old)
+    assert "NORMALIZED" not in out, out
 
     print("test_bench_diff: all assertions passed")
 
