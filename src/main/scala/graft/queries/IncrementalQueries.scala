@@ -25,21 +25,32 @@ object IncrementalQueries extends QueryGroup {
     * without re-touching history. (countDistinct would NOT merge; the
     * sketch is what buys mergeability, its 5% bound pinned as data like
     * a_approx_distinct.) */
+  /** One batch's ALGEBRAIC partials over (event_type, user_id, v): count,
+    * decimal sum, HLL sketch. Shared with IvmPropertiesSpec, which pins
+    * merge(partial(A), partial(B)) ≡ full(A ∪ B) on random splits. */
+  private[graft] def kpiPartial(batch: DataFrame): DataFrame = batch
+    .groupBy(col("event_type"))
+    .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+      hll_sketch_agg(col("user_id")).as("sk"))
+
+  /** Merge of per-batch partials: counts and sums add, sketches union —
+    * the algebra that makes the view maintainable without re-touching
+    * history. */
+  private[graft] def kpiMerge(partials: Seq[DataFrame]): DataFrame =
+    partials.reduce(_ unionByName _)
+      .groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
+        hll_union_agg(col("sk")).as("sk"))
+
   private def incrementalKpis(s: SparkSession, dir: String): DataFrame = {
     val e = Sources.table(s, dir, "events")
       .select(col("event_type"), col("user_id"),
         col("value").cast("decimal(18,6)").as("v"),
         (datediff(col("ts").cast("date"), lit("1970-01-01")) % 2 === 0)
           .as("even_day"))
-    def partial(batch: DataFrame): DataFrame = batch
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
-        hll_sketch_agg(col("user_id")).as("sk"))
-    val merged = partial(e.filter(col("even_day")))
-      .unionByName(partial(e.filter(!col("even_day"))))
-      .groupBy(col("event_type"))
-      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"),
-        hll_union_agg(col("sk")).as("sk"))
+    val merged = kpiMerge(Seq(
+      kpiPartial(e.filter(col("even_day"))),
+      kpiPartial(e.filter(!col("even_day")))))
     val exactUsers = Sources.table(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
@@ -75,6 +86,17 @@ object IncrementalQueries extends QueryGroup {
     * identity, not just the plumbing. Deletes are the complement path and
     * flow through the CDC changeset (`etl_snapshot_diff`) + MERGE
     * (`etl_merge_apply`). */
+  /** The insert-only join-view delta: Δ(A⋈B) = (ΔA ⋈ B') ∪ (A_old ⋈ ΔB),
+    * where B' = B_old ∪ ΔB (the ΔA×ΔB pairs ride the first term; keeping
+    * the second term's A-side to A_old keeps the union disjoint). Shared
+    * with IvmPropertiesSpec, which pins Δ ∪ (A_old ⋈ B_old) ≡ A'⋈B' on
+    * random splits — the propagation identity itself, beyond the fixed
+    * fixture the oracle checks. */
+  private[graft] def joinDelta(aOld: DataFrame, deltaA: DataFrame,
+      bNew: DataFrame, deltaB: DataFrame,
+      cond: org.apache.spark.sql.Column): DataFrame =
+    deltaA.join(bNew, cond).unionByName(aOld.join(deltaB, cond))
+
   private def incrementalJoin(s: SparkSession, dir: String): DataFrame = {
     val o = Sources.table(s, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
@@ -83,8 +105,8 @@ object IncrementalQueries extends QueryGroup {
     val deltaA = o.filter(col("o_orderkey") % 10 === 0)
     val aOld = o.filter(col("o_orderkey") % 10 =!= 0)
     val deltaB = c.filter(col("c_custkey") % 7 === 0)
-    deltaA.join(c, col("o_custkey") === col("c_custkey"))
-      .unionByName(aOld.join(deltaB, col("o_custkey") === col("c_custkey")))
+    joinDelta(aOld, deltaA, c, deltaB,
+        col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"))
       .orderBy("o_orderkey", "c_custkey")
   }

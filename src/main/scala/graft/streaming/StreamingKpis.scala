@@ -160,6 +160,44 @@ object StreamingKpis {
     * state must come out bit-identical. Counts and decimal sums
     * retract exactly; live-user distinct = net > 0 — the state design
     * sketches cannot give (they only union). */
+  /** One micro-batch of the retractable fold: derive the signed CDC rows
+    * (base inserts m=+1 per the `etl_incremental_retract` fixture rule,
+    * correction retractions m=−1), partially aggregate to (event_type,
+    * user_id) net/sum, and additively merge into the persistent state at
+    * `target`, fenced by `batchId`. Shared with RetractReplaySpec, which
+    * pins the fold's batch-split invariance and redelivery fence on
+    * random multi-batch streams. */
+  private[graft] def retractFoldBatch(
+      batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      target: String, batchId: Long): Unit = {
+    val e = batch.select(col("event_id"), col("event_type"),
+      col("user_id"), col("value").cast("decimal(18,6)").as("v"))
+    val base = e.filter(col("event_id") % 11 =!= 0)
+      .withColumn("m", lit(1L))
+    val ins = e.filter(col("event_id") % 11 === 0)
+      .withColumn("m", lit(1L))
+    val del = e.filter(col("event_id") % 11 =!= 0 &&
+        col("event_id") % 13 === 0)
+      .withColumn("m", lit(-1L))
+    val partial = base.unionByName(ins).unionByName(del)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(col("m")).as("net"), sum(col("m") * col("v")).as("sv"))
+    graft.io.Sinks.mergeAdditive(partial, target,
+      keys = Seq("event_type", "user_id"), batchId = Some(batchId))
+  }
+
+  /** Read the persistent net-multiplicity state back as the per-type
+    * view: n = Σnet, avg from the retract-exact sums, live users = keys
+    * with net > 0. Shared with RetractReplaySpec. */
+  private[graft] def retractState(spark: SparkSession, target: String)
+      : DataFrame =
+    spark.read.parquet(target)
+      .groupBy(col("event_type"))
+      .agg(sum(col("net")).as("n"),
+        (sum(col("sv")).cast("double") / sum(col("net"))).as("avg_value"),
+        count(when(col("net") > 0, 1)).as("live_users"))
+      .orderBy("event_type")
+
   def runRetractAvailableNow(spark: SparkSession, dir: String)
       : DataFrame = StreamConf.sized(spark) {
     // UNIQUE state dir per invocation: a fixed path would let a
@@ -172,20 +210,7 @@ object StreamingKpis {
       val q = eventStream(spark, dir).writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], batchId: Long) =>
-          val e = batch.select(col("event_id"), col("event_type"),
-            col("user_id"), col("value").cast("decimal(18,6)").as("v"))
-          val base = e.filter(col("event_id") % 11 =!= 0)
-            .withColumn("m", lit(1L))
-          val ins = e.filter(col("event_id") % 11 === 0)
-            .withColumn("m", lit(1L))
-          val del = e.filter(col("event_id") % 11 =!= 0 &&
-              col("event_id") % 13 === 0)
-            .withColumn("m", lit(-1L))
-          val partial = base.unionByName(ins).unionByName(del)
-            .groupBy(col("event_type"), col("user_id"))
-            .agg(sum(col("m")).as("net"), sum(col("m") * col("v")).as("sv"))
-          graft.io.Sinks.mergeAdditive(partial, target,
-            keys = Seq("event_type", "user_id"), batchId = Some(batchId))
+          retractFoldBatch(batch, target, batchId)
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
@@ -201,12 +226,7 @@ object StreamingKpis {
       // pass must leave the state bit-identical (the oracle would fail on
       // any double-application)
       runOnce()
-      val out = spark.read.parquet(target)
-        .groupBy(col("event_type"))
-        .agg(sum(col("net")).as("n"),
-          (sum(col("sv")).cast("double") / sum(col("net"))).as("avg_value"),
-          count(when(col("net") > 0, 1)).as("live_users"))
-        .orderBy("event_type")
+      val out = retractState(spark, target)
       val rows = out.collect().toSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
         out.schema)

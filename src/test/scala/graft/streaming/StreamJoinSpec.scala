@@ -61,6 +61,89 @@ class StreamJoinSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("randomized multi-batch interval join equals the batch join " +
+      "(3 seeds × 2 regimes)") {
+    // Property pin for the interval-join state (the r11 sessionize fix
+    // proved random batch splits find bugs single-split specs miss):
+    // random impression/click sets, random batch boundaries, two
+    // delivery regimes —
+    //  generous: 300h lateness, rows split into ARBITRARY batches (a
+    //    click may precede its impression by whole batches; nothing is
+    //    late-filtered or evicted, so state must hold both sides);
+    //  strict: 0s lateness, batches are CONTIGUOUS time slices in
+    //    order — the watermark advances and EVICTS join state
+    //    mid-stream, but a contiguous in-order delivery can never need
+    //    an evicted row (any click joining an evicted impression lies
+    //    behind the watermark, i.e. in an already-delivered slice).
+    // In both regimes the streamed result must equal the batch join
+    // EXACTLY, as a set of matches.
+    implicit val sqlCtx = spark.sqlContext
+    (1 to 3).foreach { seed =>
+      val rng = new scala.util.Random(500 + seed)
+      val imps = (1 to 35).map { _ =>
+        (1L + rng.nextInt(5), ts(rng.nextInt(240)), s"c${rng.nextInt(3)}")
+      }
+      val clicks = (1 to 35).map { _ =>
+        (1L + rng.nextInt(5), ts(rng.nextInt(240)))
+      }
+      val want = StreamJoin.attributeClicks(
+          imps.toDF("user_id", "ts", "campaign"),
+          clicks.toDF("user_id", "ts"), windowMs)
+        .as[(Long, String, Timestamp, Timestamp)].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      Seq(true, false).foreach { generous =>
+        val delay = if (generous) "300 hours" else "0 seconds"
+        val k = 2 + rng.nextInt(3)
+        // generous: arbitrary assignment; strict: contiguous time slices
+        // (slice index grows with ts) delivered in order
+        def sliceOf[A](tsOf: A => Timestamp)(xs: Seq[A]): Seq[Seq[A]] =
+          if (generous) {
+            val tagged = xs.map(x => rng.nextInt(k) -> x)
+            (0 until k).map(i => tagged.filter(_._1 == i).map(_._2))
+          } else {
+            val cuts = (1 until k)
+              .map(_ => ts(rng.nextInt(240)).getTime).sorted
+            (0 to k - 1).map { i =>
+              val lo = if (i == 0) Long.MinValue else cuts(i - 1)
+              val hi = if (i == k - 1) Long.MaxValue else cuts(i)
+              xs.filter(x => tsOf(x).getTime >= lo && tsOf(x).getTime < hi)
+            }
+          }
+        val impBatches = sliceOf[(Long, Timestamp, String)](_._2)(imps)
+        val clkBatches = sliceOf[(Long, Timestamp)](_._2)(clicks)
+        val impMem = MemoryStream[(Long, Timestamp, String)]
+        val clkMem = MemoryStream[(Long, Timestamp)]
+        val name = s"graft_attrib_prop_${seed}_$generous"
+        val q = StreamJoin.attributeClicks(
+            impMem.toDF().toDF("user_id", "ts", "campaign")
+              .withWatermark("ts", delay),
+            clkMem.toDF().toDF("user_id", "ts").withWatermark("ts", delay),
+            windowMs)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          impBatches.zip(clkBatches).foreach { case (ib, cb) =>
+            impMem.addData(ib)
+            clkMem.addData(cb)
+            q.processAllAvailable()
+          }
+          // heartbeats flush any residual state-backed emission
+          impMem.addData(Seq((99L, ts(100000), "hb")))
+          clkMem.addData(Seq((99L, ts(100000))))
+          q.processAllAvailable()
+          assert(q.exception.isEmpty, s"query died: ${q.exception}")
+          val got = spark.table(name)
+            .filter($"user_id" < 90)
+            .select("user_id", "campaign", "imp_ts", "click_ts")
+            .as[(Long, String, Timestamp, Timestamp)].collect()
+            .groupBy(identity).view.mapValues(_.length).toMap
+          assert(got === want,
+            s"seed $seed ${if (generous) "generous" else "strict"}")
+        } finally q.stop()
+      }
+    }
+  }
+
   test("left-outer interval join emits null rows only after the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val impMem = MemoryStream[(Long, Timestamp, String)]
