@@ -76,12 +76,24 @@ def main() -> int:
             med_h = median(series[: len(series) // 2])
             med_t = median(series[len(series) // 2:])
             bad = med_t >= med_h * 2 and med_t - med_h >= 1.0
+            # Advisory tier below demotion (r12): the early-r12 record's
+            # warm canary climbed 1.34x mid-pass — a real host slide that
+            # inflated 40+ flags — without reaching the 2x demotion bar.
+            # Flags keep REGRESS status (the evidence is not conclusive),
+            # but the climb is named so a mass-flag run reads as suspect.
+            climbing = (not bad and med_t >= med_h * 1.25
+                        and med_t - med_h >= 0.3)
             degraded_phase[phase_of[key]] = bad
             verdict = ("SESSION DEGRADATION suspected — median canary "
                        f"{med_h:.2f}s -> {med_t:.2f}s; treat this phase's "
                        "per-query numbers as suspect"
-                       if bad
-                       else f"flat (medians {med_h:.2f}s -> {med_t:.2f}s)")
+                       if bad else
+                       ("CLIMBING (medians "
+                        f"{med_h:.2f}s -> {med_t:.2f}s) — below the "
+                        "demotion bar, but weigh this phase's flags "
+                        "against the slide"
+                        if climbing
+                        else f"flat (medians {med_h:.2f}s -> {med_t:.2f}s)"))
             canary_lines.append(f"canary {key[7:]}: {verdict}")
     # Compile-sensitive canary (r11): the repeat canary hits Spark's codegen
     # cache and is blind to per-query plan/compile cost shifts (a host-level

@@ -19,6 +19,7 @@ DIFF = os.path.join(HERE, "bench_diff.py")
 
 FLAT = [0.1, 0.1, 0.1, 0.1]
 CLIMB = [0.1, 0.1, 2.5, 2.5]  # tail median 2.5 >= 2*0.1 and +1.0s
+DRIFT = [1.0, 1.0, 1.4, 1.4]  # 1.4x / +0.4s: advisory, below demotion
 
 
 def record(queries, queries_warm, canary_cold=FLAT, canary_warm=FLAT):
@@ -103,6 +104,14 @@ def main():
     assert "GC MISMATCH" in out, out
     rc, out = run(new_gc, old)  # old record predates the field
     assert "GC MISMATCH" not in out, out
+
+    # 8b. a sub-demotion canary climb is named CLIMBING: flags keep their
+    #     REGRESS status and exit 1, but the run self-describes as suspect
+    rc, out = run(record({"qa": 1.0, "qb": 1.0}, {"qa": 2.0, "qb": 0.5},
+                         canary_warm=DRIFT), old)
+    assert rc == 1, (rc, out)
+    assert "canary warm: CLIMBING" in out, out
+    assert "REGRESS warm qa" in out, out
 
     # 9. box-normalized totals lead the verdict when the record carries
     #    them (stamped by Bench against the committed uniq-canary medians);
