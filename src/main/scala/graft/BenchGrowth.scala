@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * cost, pass 2 is the steady-state signal).
   *
   * Usage: `BenchGrowth
-  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|skew|skewemb|all]`
+  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|skew|skewemb|skew30|all]`
   * with SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
   */
 object BenchGrowth {
@@ -149,12 +149,20 @@ object BenchGrowth {
     * concentrate m = 0.1·N ids on one key. Deterministic (pure column
     * functions of doc_id), recipe-versioned via [[staged]] like every
     * other corpus. */
-  private[graft] def replicateDocsSkewed(base: DataFrame,
-                                         copies: Int): DataFrame =
+  private[graft] def replicateDocsSkewed(base: DataFrame, copies: Int,
+                                         hotTenths: Int = 1): DataFrame = {
+    // hotTenths widens the hot class in 10% steps starting at residue 7
+    // (hotTenths = 1 keeps the committed r11 10% corpus bit-identical;
+    // hotTenths = 3 is the skew30 case — residues 7..9). Above 3 the
+    // selector would wrap past residue 9.
+    require(hotTenths >= 1 && hotTenths <= 3,
+      s"hotTenths must be in 1..3: $hotTenths")
+    val r = pmod(col("doc_id"), lit(10))
     replicateDocs(base, copies).withColumn("text",
-      when(pmod(col("doc_id"), lit(10)) === 7,
+      when(r >= 7 && r < 7 + hotTenths,
         concat(lit(hotBody), lit(" tail "), col("doc_id").cast("string")))
         .otherwise(col("text")))
+  }
 
   /** [[replicateEmb]] with the embedding-space twin of
     * [[replicateDocsSkewed]]: 10% of every copy's vectors become one
@@ -166,12 +174,16 @@ object BenchGrowth {
     * representatives, the case the hot-bucket block-chunking exists
     * for. */
   private[graft] def replicateEmbSkewed(base: DataFrame, copies: Int,
-                                        dims: Int): DataFrame = {
+                                        dims: Int,
+                                        hotTenths: Int = 1): DataFrame = {
+    require(hotTenths >= 1 && hotTenths <= 3,
+      s"hotTenths must be in 1..3: $hotTenths")
     val hotVec = array((0 until dims).map(d =>
       lit(0.05f + 0.003f * (d % 17))): _*)
     val eps = pmod(col("vec_id"), lit(997)).cast("float") * lit(1e-7f)
+    val r = pmod(col("vec_id"), lit(10))
     replicateEmb(base, copies, dims).withColumn("embedding",
-      when(pmod(col("vec_id"), lit(10)) === 7,
+      when(r >= 7 && r < 7 + hotTenths,
         transform(hotVec, (x, i) =>
           x + when(i === pmod(col("vec_id"), lit(dims)).cast("int"), eps)
             .otherwise(lit(0f))))
@@ -188,7 +200,7 @@ object BenchGrowth {
     }.reduce(_ unionAll _)
 
   private val axes = Set("all", "dsir", "textops", "sq8ivf", "profile",
-    "graph", "sparsecos", "simhash", "pairs", "skew", "skewemb")
+    "graph", "sparsecos", "simhash", "pairs", "skew", "skewemb", "skew30")
 
   def main(args: Array[String]): Unit = {
     val which = if (args.isEmpty) "all" else args(0)
@@ -484,6 +496,37 @@ object BenchGrowth {
         report(f"skew emb=$rows%d neardupPairs=$nNd%d " +
           f"nd=${nd(0)}%.2f/${nd(1)}%.2f")
       }
+    }
+
+    if (which == "all" || which == "skew30") {
+      // Round-12 prescription: a committed row at the size where the
+      // hot-bucket grid self-join's BLOCKING actually dominates. The
+      // letter-rotation recipe caps copies at 26, so instead of 64× the
+      // hot fraction rises to 30% at 16× (residues 7..9): hot m =
+      // 0.3·80k = 24k docs → ~288M true pairs ((frac·N)²/2 — the output
+      // IS the bound; no enumeration dodges it), grid ≈ (24k/256)²/2 ≈
+      // 4.4k independent cells. The embedding twin: m = 0.3·32k = 9.6k
+      // vectors → ~46M pairs. ONE measured pass per family (the pair
+      // volume amortizes any plan/codegen constant a second pass would
+      // strip), counts printed so the quadratic extrapolation is checked
+      // against the r11 10% rows.
+      val d = staged(spark, "docs_skew30_x16")(
+        replicateDocsSkewed(docs1, 16, hotTenths = 3))
+      val rows = d.count()
+      val t0 = System.nanoTime()
+      val nCand = ext.Dedup.minhashCandidates(d).count()
+      val mh = (System.nanoTime() - t0) / 1e9
+      ext.Dedup.releaseScratch()
+      report(f"skew30 docs=$rows%d minhashCand=$nCand%d mh=$mh%.2f")
+      val embSk30 = io.Sources.table(spark, sfDir, "embeddings")
+      val e = staged(spark, "emb_skew30_x16")(
+        replicateEmbSkewed(embSk30, 16, dims = 64, hotTenths = 3))
+      val eRows = e.count()
+      val t1 = System.nanoTime()
+      val nNd = ext.Similarity.nearDupLsh(e, dims = 64).count()
+      val nd = (System.nanoTime() - t1) / 1e9
+      ext.Dedup.releaseScratch()
+      report(f"skew30 emb=$eRows%d neardupPairs=$nNd%d nd=$nd%.2f")
     }
 
     if (which == "all" || which == "sparsecos") {

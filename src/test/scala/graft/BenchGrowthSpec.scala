@@ -145,6 +145,55 @@ class BenchGrowthSpec extends SparkSpec {
     } finally rep.unpersist()
   }
 
+  test("replicateDocsSkewed hotTenths widens the class in 10% steps " +
+      "and leaves the default corpus bit-identical") {
+    val base = (0L until 20L).map(i => (i, s"doc body $i unique", "en"))
+      .toDF("doc_id", "text", "lang")
+    // hotTenths = 3: residues 7..9 → 30% of every copy (ids 7,8,9,17,18,19)
+    val rep30 = BenchGrowth.replicateDocsSkewed(base, 4, hotTenths = 3)
+      .cache()
+    try {
+      val hot = rep30.filter($"text".startsWith(BenchGrowth.hotBody))
+      assert(hot.count() == 24)
+      assert(hot.groupBy(($"doc_id" / 10000000L).cast("long")).count()
+        .select("count").as[Long].collect().toSeq == Seq.fill(4)(6L))
+      // still pairwise distinct — exactGroups cannot collapse the class
+      assert(hot.select("text").distinct().count() == 24)
+      // the 10% corpus is a strict subset: every default-hot doc is hot
+      // at 30% too, and the default recipe is unchanged (hotTenths = 1
+      // must reproduce the committed r11 corpus exactly)
+      val d1 = BenchGrowth.replicateDocsSkewed(base, 4)
+      val d1Explicit = BenchGrowth.replicateDocsSkewed(base, 4, hotTenths = 1)
+      assert(d1.except(d1Explicit).isEmpty && d1Explicit.except(d1).isEmpty)
+      assert(d1.filter($"text".startsWith(BenchGrowth.hotBody))
+        .count() == 8)
+    } finally rep30.unpersist()
+  }
+
+  test("replicateEmbSkewed hotTenths=3 keeps the hot vectors pairwise " +
+      "distinct across the widened class") {
+    val dims = 8
+    val base = (0L until 20L).map { i =>
+      (i, Array.tabulate(dims)(d => ((i + d + 1) % 7).toFloat - 3f))
+    }.toDF("vec_id", "embedding")
+    val rep = BenchGrowth.replicateEmbSkewed(base, 3, dims, hotTenths = 3)
+      .cache()
+    try {
+      val hot = rep.filter(pmod($"vec_id", lit(10)) >= 7)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+      assert(hot.length == 18) // ids 7,8,9,17,18,19 in each of 3 copies
+      // pairwise distinct: the per-id epsilon must separate EVERY member
+      // of the widened class (nearDupLsh's distinct-vector grain keeps
+      // each as its own representative)
+      assert(hot.map(_._2.toSeq).distinct.length == 18)
+      // default unchanged
+      assert(BenchGrowth.replicateEmbSkewed(base, 3, dims)
+        .filter(pmod($"vec_id", lit(10)) >= 7)
+        .as[(Long, Array[Float])].collect()
+        .count(v => v._2.forall(x => x > 0f && x < 0.11f)) == 6)
+    } finally rep.unpersist()
+  }
+
   test("replicateEmbSkewed: hot vectors pairwise distinct with " +
       "cosine ~= 1 and shared LSH signature") {
     val dims = 8
