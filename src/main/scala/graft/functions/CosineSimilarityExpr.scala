@@ -82,6 +82,10 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val (ta, tb) = (elemType(left), elemType(right))
       val (dot, na, nb, n, i) = (ctx.freshName("dot"), ctx.freshName("na"),
         ctx.freshName("nb"), ctx.freshName("n"), ctx.freshName("i"))
+      // every generated local through freshName: a bare `x`/`y` would be
+      // illegal Java shadowing if this block ever nests inside another
+      // generated scope that declared the same name
+      val (x, y) = (ctx.freshName("x"), ctx.freshName("y"))
       s"""
          |if ($a.numElements() != $b.numElements()) {
          |  ${ev.isNull} = true;
@@ -92,9 +96,9 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
          |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
          |      ${ev.isNull} = true; break;
          |    }
-         |    double x = ${getter(a, i, ta)};
-         |    double y = ${getter(b, i, tb)};
-         |    $dot += x * y; $na += x * x; $nb += y * y;
+         |    double $x = ${getter(a, i, ta)};
+         |    double $y = ${getter(b, i, tb)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |  }
          |  if (!${ev.isNull}) {
          |    if ($na == 0.0 || $nb == 0.0) {
