@@ -40,4 +40,62 @@ class RunningCountsSpec extends SparkSpec {
       } finally q.stop()
     } finally saved.fold(conf.unset(key))(conf.set(key, _))
   }
+
+  test("randomized multi-batch totals and MapState type counts equal " +
+      "the driver fold for any batch split (3 seeds)") {
+    // Property pin for the transformWithState processors: random events,
+    // random batch boundaries — update-mode emissions are cumulative, so
+    // the MAX emitted value per key must equal the plain count of
+    // everything fed, for ANY assignment of events to micro-batches. The
+    // MapState twin must agree per (user, type); both ride RocksDB (the
+    // API's required provider), so the property also exercises state
+    // round-trips through the store across batches.
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = conf.getOption(key)
+    try {
+      conf.set(key, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      implicit val sqlCtx = spark.sqlContext
+      (1 to 3).foreach { seed =>
+        val rng = new scala.util.Random(700 + seed)
+        val events = (1 to 90).map(_ =>
+          (1L + rng.nextInt(6), s"t${rng.nextInt(3)}"))
+        val k = 2 + rng.nextInt(3)
+        val assign = events.map(_ => rng.nextInt(k))
+        val batches = (0 until k).map(i =>
+          events.zip(assign).collect { case (e, a) if a == i => e })
+
+        val mem = MemoryStream[Long]
+        val qn = s"graft_rt_prop_$seed"
+        val q = RunningCounts.runningTotals(mem.toDS()).writeStream
+          .format("memory").queryName(qn)
+          .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          batches.foreach { b => mem.addData(b.map(_._1)); q.processAllAvailable() }
+          val got = spark.table(qn).as[(Long, Long)].collect()
+            .groupBy(_._1).map { case (u, vs) => u -> vs.map(_._2).max }
+          val want = events.groupBy(_._1).map { case (u, es) =>
+            u -> es.size.toLong }
+          assert(got == want, s"seed $seed totals")
+        } finally q.stop()
+
+        val memT = MemoryStream[(Long, String)]
+        val qnT = s"graft_tt_prop_$seed"
+        val qT = RunningCounts.typeTotals(memT.toDS()).writeStream
+          .format("memory").queryName(qnT)
+          .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          batches.foreach { b => memT.addData(b); qT.processAllAvailable() }
+          val got = spark.table(qnT)
+            .as[(Long, String, Long)].collect()
+            .groupBy(r => (r._1, r._2))
+            .map { case (k2, vs) => k2 -> vs.map(_._3).max }
+          val want = events.groupBy(identity)
+            .map { case (k2, es) => k2 -> es.size.toLong }
+          assert(got == want, s"seed $seed type counts")
+        } finally qT.stop()
+      }
+    } finally saved.fold(conf.unset(key))(conf.set(key, _))
+  }
 }
