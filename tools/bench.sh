@@ -26,4 +26,12 @@ java $ADD_OPENS -Xmx8g -XX:+UseParallelGC ${GRAFT_EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
   graft.Bench 2> >(tail -5 >&2) | tail -1 > /dev/null
-python3 tools/bench_diff.py BENCH_full.json HEAD
+# Diff the record Bench actually wrote: under SPARK_GRAFT_BENCH_OUT
+# (e.g. BENCH_lc.json) a hardcoded BENCH_full.json would silently diff
+# the WRONG file against HEAD and report a stale verdict.
+OUT="${SPARK_GRAFT_BENCH_OUT:-BENCH_full.json}"
+if git show "HEAD:$OUT" > /tmp/graft_bench_old.json 2>/dev/null; then
+  python3 tools/bench_diff.py "$OUT" /tmp/graft_bench_old.json
+else
+  echo "bench.sh: no committed $OUT at HEAD; baseline run, diff skipped"
+fi
