@@ -58,4 +58,14 @@ class CompactionSpec extends SparkSpec {
     assert(parquetFiles(dir + "/cell=0").size === 1)
     assert(spark.read.parquet(dir).count() === 100)
   }
+
+  test("compact fails a missing path with a clear message, not a raw " +
+      "Hadoop exception") {
+    val gone = Files.createTempDirectory("graft_compact_gone").toString +
+      "/never_written"
+    val e = intercept[IllegalArgumentException] {
+      Sinks.compact(spark, gone, 2)
+    }
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+  }
 }
