@@ -134,8 +134,15 @@ object Bench {
     // sf0.01 run, or mask regressions in the other direction. On mismatch we
     // fall back to this run's own cold readings. Policy functions live in
     // BenchArbitration (unit-covered by BenchArbitrationSpec).
-    val committedWarm: Map[String, Double] = BenchArbitration
-      .readCommittedWarm(BenchArbitration.benchOutPath(sys.env.get), sfDir)
+    // Baseline text resolved ONCE, preferring the git-committed version of
+    // the record over the working-tree file (which Bench itself overwrites
+    // at the end of every run — two back-to-back uncommitted runs must not
+    // re-baseline the second against the first). Provenance is stamped
+    // into the record below.
+    val (baselineTxt, baselineSource) = BenchArbitration
+      .committedRecordText(BenchArbitration.benchOutPath(sys.env.get))
+    val committedWarm: Map[String, Double] =
+      BenchArbitration.parseCommittedWarm(baselineTxt, sfDir)
     val coldByName = results.toMap
     val qByName = SparkEntry.queries
     val retimed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -178,8 +185,16 @@ object Bench {
     // this run would have measured on the committed record's box". Advisory
     // fields; raw totals remain the measurement. Absent when the committed
     // record predates the canary, its sf differs, or a series is short.
-    val committedUniq = BenchArbitration.readUniqCanaryMedians(
-      BenchArbitration.benchOutPath(sys.env.get), sfDir)
+    val committedUniq =
+      BenchArbitration.parseUniqCanaryMedians(baselineTxt, sfDir)
+    // Repeat-canary twin (r12 VERDICT #2): the uniq ratio models the
+    // COMPILE-constant slide (r11 mode); an execution-path slide (r12
+    // mode) moves the repeat canary instead while the uniq one
+    // under-corrects. Stamping both ratios lets the record self-correct
+    // in either mode; readers compare the two to attribute WHICH path
+    // degraded.
+    val committedRepeat =
+      BenchArbitration.parseRepeatCanaryMedians(baselineTxt, sfDir)
     def obsMed(xs: Seq[Double]): Option[Double] =
       if (xs.size >= 2) Some(BenchArbitration.median(xs)) else None
     val normCold = BenchArbitration.normalizedTotal(
@@ -190,12 +205,39 @@ object Bench {
                              o <- obsMed(canaryUniqCold) } yield o / c
     val boxRatioWarm = for { c <- committedUniq.get("warm") if c > 0
                              o <- obsMed(canaryUniqWarm) } yield o / c
+    val normColdRep = BenchArbitration.normalizedTotal(
+      total, committedRepeat.get("cold"), obsMed(canaryCold))
+    val normWarmRep = BenchArbitration.normalizedTotal(
+      warmTotal, committedRepeat.get("warm"), obsMed(canaryWarm))
+    val boxRatioColdRep = for { c <- committedRepeat.get("cold") if c > 0
+                                o <- obsMed(canaryCold) } yield o / c
+    val boxRatioWarmRep = for { c <- committedRepeat.get("warm") if c > 0
+                                o <- obsMed(canaryWarm) } yield o / c
+    // The baseline medians the normalization actually used, plus where the
+    // baseline text came from — so a record is auditable even when the
+    // working-tree baseline was later replaced (r12 ADVICE: "document in
+    // the record which baseline the normalization used").
+    val normBaselineJs = {
+      val meds = Seq(
+        committedUniq.get("cold").map(v => s""""uniq_cold":$v"""),
+        committedUniq.get("warm").map(v => s""""uniq_warm":$v"""),
+        committedRepeat.get("cold").map(v => s""""repeat_cold":$v"""),
+        committedRepeat.get("warm").map(v => s""""repeat_warm":$v""")
+      ).flatten
+      if (meds.isEmpty) ""
+      else ("," + s""""norm_baseline":{""" + meds.mkString(",") +
+        s""","source":${jsonEsc(baselineSource)}}""")
+    }
     val normJs = Seq(
       normCold.map(v => s""""value_normalized":$v"""),
       normWarm.map(v => s""""warm_total_normalized":$v"""),
       boxRatioCold.map(v => s""""box_ratio_cold":$v"""),
-      boxRatioWarm.map(v => s""""box_ratio_warm":$v""")
-    ).flatten.map("," + _).mkString
+      boxRatioWarm.map(v => s""""box_ratio_warm":$v"""),
+      normColdRep.map(v => s""""value_normalized_repeat":$v"""),
+      normWarmRep.map(v => s""""warm_total_normalized_repeat":$v"""),
+      boxRatioColdRep.map(v => s""""box_ratio_cold_repeat":$v"""),
+      boxRatioWarmRep.map(v => s""""box_ratio_warm_repeat":$v""")
+    ).flatten.map("," + _).mkString + normBaselineJs
     // n_queries/mean_sec make round-over-round totals comparable as the
     // query set grows (a larger total can mean MORE coverage, not less
     // speed).

@@ -61,22 +61,17 @@ object BenchArbitration {
       java.nio.file.Paths.get(path)), "UTF-8"), sfDir)
     catch { case scala.util.control.NonFatal(_) => Map.empty }
 
-  /** Per-phase medians of the compile-sensitive uniq-canary series from a
-    * committed record: keys "cold"/"warm", present only when that series
-    * has >=2 samples and the record's `sf` matches this run's corpus (the
-    * canary query runs at the record's SF, so cross-SF medians are not
-    * comparable). Feeds the box-slide normalization: the r11 sessions
-    * proved the grading box's single-core throughput can drift ~30%
-    * intra-session, inflating every UNIQUE query's plan/compile constant
-    * while repeat canaries stay flat — so a raw total measured mid-slide
-    * overstates the engine. Scaling by committed-vs-observed uniq medians
-    * self-corrects the record (VERDICT r11 #1). */
-  def parseUniqCanaryMedians(txt: String, sfDir: String): Map[String, Double] =
+  /** Per-phase medians of a canary series pair from a committed record:
+    * keys "cold"/"warm", present only when that series has >=2 samples and
+    * the record's `sf` matches this run's corpus (the canary query runs at
+    * the record's SF, so cross-SF medians are not comparable). */
+  private def parseCanaryMedians(txt: String, sfDir: String,
+      fields: Seq[(String, String)]): Map[String, Double] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
       val recSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
       if (recSf != sfDir) Map.empty
-      else Seq("cold" -> "canary_uniq_cold", "warm" -> "canary_uniq_warm")
+      else fields
         .flatMap { case (label, field) =>
           Option(root.get(field)).filter(_.isArray).flatMap { arr =>
             val it = arr.elements(); val b = Seq.newBuilder[Double]
@@ -87,11 +82,63 @@ object BenchArbitration {
         }.toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** Compile-sensitive uniq-canary medians. Feeds the box-slide
+    * normalization: the r11 sessions proved the grading box's single-core
+    * throughput can drift ~30% intra-session, inflating every UNIQUE
+    * query's plan/compile constant while repeat canaries stay flat — so a
+    * raw total measured mid-slide overstates the engine. Scaling by
+    * committed-vs-observed uniq medians self-corrects the record
+    * (VERDICT r11 #1). */
+  def parseUniqCanaryMedians(txt: String, sfDir: String): Map[String, Double] =
+    parseCanaryMedians(txt, sfDir,
+      Seq("cold" -> "canary_uniq_cold", "warm" -> "canary_uniq_warm"))
+
+  /** Execution-sensitive REPEAT-canary medians — the second slide mode
+    * (r12): a degradation of the execution path itself moves the repeat
+    * canary (codegen-cache-hit, zero compile) while the uniq canary
+    * under-corrects (box_ratio_warm read 1.02 while the per-query warm
+    * median ratio was 1.11 — SCALE.md r12 timeline). The repeat-based
+    * ratio is stamped ALONGSIDE the uniq one so both observed slide modes
+    * self-correct in the record (VERDICT r12 #2). */
+  def parseRepeatCanaryMedians(txt: String, sfDir: String)
+      : Map[String, Double] =
+    parseCanaryMedians(txt, sfDir,
+      Seq("cold" -> "canary_cold", "warm" -> "canary_warm"))
+
   /** File-reading wrapper over [[parseUniqCanaryMedians]]. */
   def readUniqCanaryMedians(path: String, sfDir: String): Map[String, Double] =
     try parseUniqCanaryMedians(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), "UTF-8"), sfDir)
     catch { case scala.util.control.NonFatal(_) => Map.empty }
+
+  /** Committed-baseline record text, with provenance. Prefers
+    * `git show HEAD:<path>` so the normalization anchors to the COMMITTED
+    * record even when the working-tree file was just overwritten by a
+    * prior uncommitted run (two back-to-back runs would otherwise
+    * normalize the second against the first, silently re-baselining the
+    * advisory totals — r12 ADVICE). Falls back to the working-tree file
+    * (the forced-demo flow points SPARK_GRAFT_BENCH_OUT at a /tmp COPY of
+    * the committed record, which git cannot see), then to ("", "none").
+    * The provenance string is stamped into the record so a reader knows
+    * which baseline the normalization used. */
+  def committedRecordText(path: String): (String, String) = {
+    val fromGit: Option[String] =
+      try {
+        val pb = new ProcessBuilder("git", "show", s"HEAD:$path")
+        pb.redirectErrorStream(false)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        p.getErrorStream.readAllBytes()
+        if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    fromGit match {
+      case Some(txt) => (txt, "git-HEAD")
+      case None =>
+        try (new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8"), "file")
+        catch { case scala.util.control.NonFatal(_) => ("", "none") }
+    }
+  }
 
   /** Median (lower-biased mean-of-middle-two for even n), matching
     * tools/bench_diff.py and tools/arbitrate.py so all three readers of

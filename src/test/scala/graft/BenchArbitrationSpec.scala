@@ -73,6 +73,50 @@ class BenchArbitrationSpec extends AnyFunSuite {
       .readUniqCanaryMedians("/nonexistent/BENCH.json", "/d").isEmpty)
   }
 
+  test("repeat-canary medians parse the canary_cold/canary_warm series") {
+    // the r12 slide mode: execution-path degradation moves the REPEAT
+    // canary while the compile-sensitive uniq one under-corrects — the
+    // repeat medians feed the second normalization flavor
+    val rec =
+      """{"metric":"total","value":10.0,"sf":"/d",
+        |"canary_cold":[1.0,1.2,1.4],
+        |"canary_warm":[1.0,1.5],
+        |"canary_uniq_cold":[9.0,9.0]}""".stripMargin.replace("\n", "")
+    assert(BenchArbitration.parseRepeatCanaryMedians(rec, "/d") ==
+      Map("cold" -> 1.2, "warm" -> 1.25))
+    // same guards as the uniq flavor: sf mismatch and short series
+    assert(BenchArbitration.parseRepeatCanaryMedians(rec, "/other").isEmpty)
+    assert(BenchArbitration.parseRepeatCanaryMedians(
+      """{"sf":"/d","canary_cold":[1.0]}""", "/d").isEmpty)
+    // the two flavors read DIFFERENT series from the same record
+    assert(BenchArbitration.parseUniqCanaryMedians(rec, "/d") ==
+      Map("cold" -> 9.0))
+  }
+
+  test("committedRecordText prefers git HEAD over the working-tree file") {
+    // Bench overwrites its own baseline file at the end of every run: two
+    // back-to-back uncommitted runs must not re-baseline the second
+    // against the first. This spec runs from the repo root, where
+    // BENCH_full.json is committed — the git-HEAD version must win even
+    // though a (possibly different) working-tree file exists.
+    // worktrees: .git may be a file, not a directory — exists() covers both
+    assume(new java.io.File(".git").exists
+      && new java.io.File("BENCH_full.json").exists)
+    val (txt, source) = BenchArbitration.committedRecordText("BENCH_full.json")
+    assert(source == "git-HEAD", source)
+    assert(txt.contains("\"metric\""), txt.take(80))
+    // an untracked path (the forced-demo /tmp copy flow) falls back to the
+    // file with provenance "file"
+    val tmp = java.nio.file.Files.createTempFile("graft-bench", ".json")
+    java.nio.file.Files.writeString(tmp, """{"metric":"total"}""")
+    val (txt2, source2) = BenchArbitration.committedRecordText(tmp.toString)
+    assert(source2 == "file" && txt2.contains("total"))
+    java.nio.file.Files.delete(tmp)
+    // neither git nor file: empty text, provenance "none", no crash
+    assert(BenchArbitration.committedRecordText("/nonexistent/B.json") ==
+      ("", "none"))
+  }
+
   test("median matches bench_diff/arbitrate (mean-of-middle-two on even n)") {
     assert(BenchArbitration.median(Seq(3.0, 1.0, 2.0)) == 2.0)
     assert(BenchArbitration.median(Seq(4.0, 1.0, 2.0, 3.0)) == 2.5)

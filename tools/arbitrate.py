@@ -5,7 +5,17 @@ so a closing BENCH_full.json carries its own arbitration evidence
 instead of the protocol living in session notes.
 
 Usage: tools/arbitrate.py [record.json] [--old HEAD|old.json]
-                          [--passes N] [query ...]
+                          [--passes N] [--box-ratio R] [query ...]
+
+--box-ratio R overrides the uniq-canary-derived box ratio for THIS
+invocation. The re-arbitration flow exit code 2 prescribes runs on a
+healthy box — but the default ratio is derived from the flagged
+record's own canary series, which a rerun of the same record would just
+recompute (structurally re-stamping `box` for any regression inside the
+envelope). Pass the healthy window's measured ratio (e.g. 1.0 after a
+fresh `tools/bench_one.sh q4_priority_exists 4` reads committed-era
+times) so the box-absorb check reflects the box the reruns actually ran
+on.
 
 With no queries given, arbitrates every REGRESS/SUSPECT flag bench_diff
 reports for `record.json` (default BENCH_full.json) vs `--old` (default
@@ -113,6 +123,7 @@ def main() -> int:
     record_path = "BENCH_full.json"
     old = "HEAD"
     passes = PASSES
+    box_ratio_override = None
     queries = []
     i = 0
     while i < len(args):
@@ -121,6 +132,9 @@ def main() -> int:
             i += 2
         elif args[i] == "--passes":
             passes = int(args[i + 1])
+            i += 2
+        elif args[i] == "--box-ratio":
+            box_ratio_override = float(args[i + 1])
             i += 2
         elif args[i].endswith(".json"):
             record_path = args[i]
@@ -161,7 +175,15 @@ def main() -> int:
         return median(xs) if len(xs) >= 2 else None
     m_new, m_old = uniq_median(record), uniq_median(prev)
     box_ratio = (m_new / m_old) if (m_new and m_old and m_old > 0) else None
-    if box_ratio is not None:
+    if box_ratio_override is not None:
+        # Re-arbitration on a healthy box: the record's own canary series
+        # would just recompute the degraded-window ratio; the override is
+        # the ratio measured on the box the fresh-JVM reruns run on.
+        print(f"arbitrate: box ratio OVERRIDDEN "
+              f"{'%.2f' % box_ratio if box_ratio else 'n/a'} -> "
+              f"{box_ratio_override:.2f} (caller-measured)")
+        box_ratio = box_ratio_override
+    elif box_ratio is not None:
         print(f"arbitrate: uniq-canary medians {m_old:.2f}s -> {m_new:.2f}s "
               f"(box ratio {box_ratio:.2f})")
 
@@ -169,9 +191,13 @@ def main() -> int:
     # The record keys arbitration entries by query name; a query flagged in
     # BOTH phases would otherwise have its second verdict overwrite the
     # first (a warm `box` silently burying a cold `confirmed`). Keep the
-    # more severe entry, and tally exits from the per-target verdicts so
-    # nothing is lost to the overwrite.
+    # more severe entry — but ONLY among verdicts written by THIS
+    # invocation: a fresh arbitration (e.g. the exit-2 "re-run on a healthy
+    # box" flow) must be able to downgrade a stale `box`/`confirmed` stamp
+    # from an earlier run to `jitter`, else the stamped record permanently
+    # contradicts the rerun's own printed output and exit code.
     severity = {"jitter": 0, "box": 1, "confirmed": 2}
+    stamped_this_run = set()
     n_conf = n_box = 0
     for phase, q, t_old, t_new in targets:
         series = bench_one(q, passes, sf_dir)
@@ -195,7 +221,8 @@ def main() -> int:
               f"{sample:.2f}s: {verdict.upper()}{note}")
         n_conf += verdict == "confirmed"
         n_box += verdict == "box"
-        prior = verdicts.get(q)
+        prior = verdicts.get(q) if q in stamped_this_run else None
+        stamped_this_run.add(q)
         if prior is None or severity[verdict] >= severity[prior["verdict"]]:
             verdicts[q] = {
                 "phase": phase, "old": round(t_old, 3),

@@ -173,15 +173,35 @@ def main() -> int:
     # uniq-canary medians, so a snapshot taken mid-host-slide self-corrects
     # in the record instead of in prose. Raw totals stay printed below —
     # the normalized number is advisory, the raw one is what was measured.
-    nwn = new.get("warm_total_normalized")
-    ncn = new.get("value_normalized")
-    if nwn is not None and ncn is not None:
-        brc = new.get("box_ratio_cold")
-        brw = new.get("box_ratio_warm")
-        brs = (f" (box ratio cold {brc:.2f} / warm {brw:.2f} vs committed)"
-               if brc is not None and brw is not None else "")
-        print("NORMALIZED totals (box-slide corrected): "
-              f"cold {ncn:.1f}s, warm {nwn:.1f}s{brs}")
+    # Each phase prints independently: a record where one phase's canary
+    # series was short (or the committed record lacked one phase) must not
+    # suppress the other phase's valid normalization (r12 ADVICE). Two
+    # normalization flavors (r12 VERDICT #2): the uniq canary corrects the
+    # COMPILE-constant slide mode (r11), the repeat canary the
+    # execution-path mode (r12) — when the two ratios disagree, the larger
+    # one names which path the box degraded.
+    for flavor, tot_cold, tot_warm, br_cold, br_warm in (
+        ("uniq-canary", "value_normalized", "warm_total_normalized",
+         "box_ratio_cold", "box_ratio_warm"),
+        ("repeat-canary", "value_normalized_repeat",
+         "warm_total_normalized_repeat",
+         "box_ratio_cold_repeat", "box_ratio_warm_repeat"),
+    ):
+        parts = []
+        for label, tot_key, br_key in (("cold", tot_cold, br_cold),
+                                       ("warm", tot_warm, br_warm)):
+            tot = new.get(tot_key)
+            if tot is None:
+                continue
+            br = new.get(br_key)
+            brs = f" (box ratio {br:.2f})" if br is not None else ""
+            parts.append(f"{label} {tot:.1f}s{brs}")
+        if parts:
+            print(f"NORMALIZED totals ({flavor}, box-slide corrected): "
+                  + ", ".join(parts))
+    src = (new.get("norm_baseline") or {}).get("source")
+    if src:
+        print(f"normalization baseline source: {src}")
     print(f"totals: cold {old.get('value', 0):.1f}s -> "
           f"{new.get('value', 0):.1f}s, warm {ow:.1f}s -> {nw:.1f}s, "
           f"queries {len(old.get('queries', {}))} -> "

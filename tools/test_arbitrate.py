@@ -177,6 +177,54 @@ def test_confirmed_verdict_survives_a_same_query_box_verdict():
         assert got["verdict"] == "confirmed" and got["phase"] == "queries", got
 
 
+def test_rearbitration_can_downgrade_a_stale_stamp():
+    with tempfile.TemporaryDirectory() as d:
+        # the record carries a PRIOR run's `box` stamp for q (the exit-2
+        # "re-run on a healthy box" flow). The healthy-box rerun measures
+        # jitter — the fresh arbitration must REPLACE the stale entry, not
+        # keep it under the more-severe rule (which applies only among
+        # verdicts written in one invocation)
+        old = record({"q": 1.0}, {"q": 1.0})
+        new = record({"q": 1.0}, {"q": 1.8})
+        new["arbitration"] = {"q": {"phase": "queries_warm", "old": 1.0,
+                                    "flagged": 1.8, "passes": [1.8],
+                                    "steady": 1.8, "verdict": "box"}}
+        np_, op = write(d, "new.json", new), write(d, "old.json", old)
+        rc, _ = run_main([np_, "--old", op], {"q": [2.0, 1.0, 1.0, 1.1]})
+        assert rc == 0, rc
+        got = json.load(open(np_))["arbitration"]["q"]
+        assert got["verdict"] == "jitter", got
+
+
+def test_box_ratio_override_replaces_record_derived_ratio():
+    with tempfile.TemporaryDirectory() as d:
+        # both records' uniq canaries moved 1.0 -> 1.8, so the DERIVED
+        # ratio would absorb a genuine 1.8x regression as `box`. The
+        # healthy-box re-arbitration passes --box-ratio 1.0 (measured on
+        # the box the fresh-JVM reruns run on): the same series must now
+        # stamp `confirmed`.
+        old = record({"a": 1.8}, {"a": 1.0})
+        old["canary_uniq_warm"] = [1.0, 1.0]
+        new = record({"a": 1.8}, {"a": 1.8})
+        new["canary_uniq_warm"] = [1.8, 1.8]
+        np_, op = write(d, "new.json", new), write(d, "old.json", old)
+        rc, _ = run_main([np_, "--old", op, "--box-ratio", "1.0"],
+                         {"a": [5.0, 1.8, 1.8, 1.8]})
+        assert rc == 1, rc
+        got = json.load(open(np_))["arbitration"]["a"]
+        assert got["verdict"] == "confirmed", got
+        # and the converse: a derived-ratio-free pair (no canary fields)
+        # with --box-ratio 1.8 attributes the same shift to the box
+        old2 = record({"a": 1.8}, {"a": 1.0})
+        new2 = record({"a": 1.8}, {"a": 1.8})
+        np2, op2 = write(d, "new2.json", new2), write(d, "old2.json", old2)
+        rc2, _ = run_main([np2, "--old", op2, "--box-ratio", "1.8"],
+                          {"a": [5.0, 1.8, 1.8, 1.8]})
+        assert rc2 == 2, rc2
+        got2 = json.load(open(np2))["arbitration"]["a"]
+        assert got2["verdict"] == "box", got2
+
+
 if __name__ == "__main__":
     test_flags_match_bench_diff_thresholds()
     test_warm_steady_vs_cold_pass1_verdicts()
@@ -184,4 +232,6 @@ if __name__ == "__main__":
     test_no_flags_leaves_record_untouched()
     test_box_verdict_when_uniq_canary_explains_the_shift()
     test_confirmed_verdict_survives_a_same_query_box_verdict()
+    test_rearbitration_can_downgrade_a_stale_stamp()
+    test_box_ratio_override_replaces_record_derived_ratio()
     print("all assertions passed")

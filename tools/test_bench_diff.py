@@ -114,7 +114,7 @@ def main():
     assert "REGRESS warm qa" in out, out
 
     # 9. box-normalized totals lead the verdict when the record carries
-    #    them (stamped by Bench against the committed uniq-canary medians);
+    #    them (stamped by Bench against the committed canary medians);
     #    absent fields -> no NORMALIZED line (pre-r12 records)
     normed = record({"qa": 1.0, "qb": 1.1}, {"qa": 0.5, "qb": 0.6})
     normed["value_normalized"] = 1.6
@@ -123,14 +123,44 @@ def main():
     normed["box_ratio_warm"] = 1.29
     rc, out = run(normed, old)
     assert rc == 0, (rc, out)
-    assert ("NORMALIZED totals (box-slide corrected): cold 1.6s, warm 0.8s"
-            " (box ratio cold 1.31 / warm 1.29 vs committed)") in out, out
+    assert ("NORMALIZED totals (uniq-canary, box-slide corrected): "
+            "cold 1.6s (box ratio 1.31), warm 0.8s (box ratio 1.29)"
+            ) in out, out
     lines = [ln for ln in out.splitlines() if ln.startswith(("NORMALIZED",
                                                              "totals:"))]
     assert lines and lines[0].startswith("NORMALIZED"), out
     rc, out = run(record({"qa": 1.0, "qb": 1.1}, {"qa": 0.5, "qb": 0.6}),
                   old)
     assert "NORMALIZED" not in out, out
+
+    # 9b. each phase prints independently: a record with only the WARM
+    #     normalization (short cold canary series) must still print it
+    one_phase = record({"qa": 1.0, "qb": 1.1}, {"qa": 0.5, "qb": 0.6})
+    one_phase["warm_total_normalized"] = 0.9
+    one_phase["box_ratio_warm"] = 1.05
+    rc, out = run(one_phase, old)
+    assert ("NORMALIZED totals (uniq-canary, box-slide corrected): "
+            "warm 0.9s (box ratio 1.05)") in out, out
+    assert "cold" not in [ln for ln in out.splitlines()
+                          if ln.startswith("NORMALIZED")][0], out
+
+    # 9c. repeat-canary flavor prints its own line (the r12 slide mode),
+    #     and the normalization baseline provenance is named when stamped
+    both = record({"qa": 1.0, "qb": 1.1}, {"qa": 0.5, "qb": 0.6})
+    both["value_normalized"] = 1.6
+    both["warm_total_normalized"] = 0.85
+    both["value_normalized_repeat"] = 1.5
+    both["warm_total_normalized_repeat"] = 0.8
+    both["box_ratio_cold_repeat"] = 1.42
+    both["box_ratio_warm_repeat"] = 1.38
+    both["norm_baseline"] = {"uniq_cold": 1.0, "repeat_warm": 1.2,
+                             "source": "git-HEAD"}
+    rc, out = run(both, old)
+    assert ("NORMALIZED totals (repeat-canary, box-slide corrected): "
+            "cold 1.5s (box ratio 1.42), warm 0.8s (box ratio 1.38)"
+            ) in out, out
+    assert "NORMALIZED totals (uniq-canary" in out, out
+    assert "normalization baseline source: git-HEAD" in out, out
 
     print("test_bench_diff: all assertions passed")
 
