@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * cost, pass 2 is the steady-state signal).
   *
   * Usage: `BenchGrowth
-  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|skew|skewemb|skew30|all]`
+  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|skew|skewemb|skew30|textret|media|all]`
   * with SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
   */
 object BenchGrowth {
@@ -200,7 +200,8 @@ object BenchGrowth {
     }.reduce(_ unionAll _)
 
   private val axes = Set("all", "dsir", "textops", "sq8ivf", "profile",
-    "graph", "sparsecos", "simhash", "pairs", "skew", "skewemb", "skew30")
+    "graph", "sparsecos", "simhash", "pairs", "skew", "skewemb", "skew30",
+    "textret", "media")
 
   def main(args: Array[String]): Unit = {
     val which = if (args.isEmpty) "all" else args(0)
@@ -518,6 +519,20 @@ object BenchGrowth {
       val mh = (System.nanoTime() - t0) / 1e9
       ext.Dedup.releaseScratch()
       report(f"skew30 docs=$rows%d minhashCand=$nCand%d mh=$mh%.2f")
+      // collapse-before-banding (r13): identical-signature classes — here
+      // the whole 24k-member hot class — are banded as ONE representative
+      // and expanded back through membership, so the cross-band distinct
+      // that shuffled ~2 rows per hot pair (~576 M pre-distinct, spilling
+      // at -Xmx8g) never runs. The count MUST equal the direct path's
+      // (pair-set equivalence is also spec-pinned at unit scale); the
+      // wall-clock delta is the measured value of the collapse.
+      val t0c = System.nanoTime()
+      val nCandC = ext.Dedup.minhashCandidatesCollapsed(d).count()
+      val mhc = (System.nanoTime() - t0c) / 1e9
+      ext.Dedup.releaseScratch()
+      require(nCandC == nCand,
+        s"collapsed pair count $nCandC != direct $nCand — equivalence broken")
+      report(f"skew30 docs=$rows%d minhashCandCollapsed=$nCandC%d mhc=$mhc%.2f")
       val embSk30 = io.Sources.table(spark, sfDir, "embeddings")
       val e = staged(spark, "emb_skew30_x16")(
         replicateEmbSkewed(embSk30, 16, dims = 64, hotTenths = 3))
@@ -542,6 +557,82 @@ object BenchGrowth {
         val ts = (1 to 2).map(_ => noopTime(
           ext.TextAnalysis.sparseCosinePairs(d)))
         report(f"sparsecos docs=$rows%d pass1=${ts(0)}%.2f pass2=${ts(1)}%.2f")
+      }
+    }
+
+    if (which == "all" || which == "textret") {
+      // Growth rows for the text-retrieval family (r12 VERDICT #5):
+      // tf-idf top-terms (two token aggregates + join, per-doc window at
+      // (doc, term) grain) and BM25 (corpus-side tf/df/len build, then
+      // posting-bounded scoring of a fixed query set — the corpus build
+      // dominates growth; rotated copies leave the literal query terms
+      // matching copy 0 + digit tokens only, which is fine because the
+      // build cost is what grows). Alongside the times, the sparse-cosine
+      // df-prune constant is MEASURED rather than asserted: per size,
+      // the vocabulary, the terms surviving df <= maxDf, the candidate
+      // pair volume Σ C(df,2) the posting expansion actually pays, and
+      // the volume the prune REMOVED (what an unpruned index would pay).
+      // Heaps-law adversary: letter rotation grows the letter vocabulary
+      // ~linearly (per-copy-disjoint postings, df flat) while digit-only
+      // tokens collide across copies (df ~ N) and must be pruned whole.
+      import spark.implicits._
+      val bmQueries = Seq((1L, "spark"), (1L, "join"), (2L, "table"),
+        (2L, "scan"), (3L, "stream"), (3L, "batch"), (3L, "window"))
+        .toDF("qid", "term")
+      val maxDf = 50
+      for (n <- Seq(1, 4, 16)) {
+        val d = staged(spark, s"docs_x$n")(replicateDocs(docs1, n))
+        val rows = d.count()
+        val tfidf = (1 to 2).map(_ =>
+          noopTime(ext.TextAnalysis.tfIdfTopTerms(d)))
+        val bm = (1 to 2).map(_ =>
+          noopTime(ext.TextAnalysis.bm25TopK(d, bmQueries)))
+        val st = d.select(col("doc_id"), explode(ext.TextAnalysis.tokens(
+            ext.TextAnalysis.normalize(col("text")))).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+          .agg(count(lit(1)).as("vocab"),
+            sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("kept"),
+            sum(when(col("df") <= maxDf,
+              col("df") * (col("df") - 1) / 2).otherwise(0L)).as("cand"),
+            sum(when(col("df") > maxDf,
+              col("df") * (col("df") - 1) / 2).otherwise(0L)).as("pruned"))
+          .head()
+        report(f"textret docs=$rows%d tfidf=${tfidf(0)}%.2f/${tfidf(1)}%.2f " +
+          f"bm25=${bm(0)}%.2f/${bm(1)}%.2f vocab=${st.getLong(0)}%d " +
+          f"kept=${st.getLong(1)}%d candPairs=${st.getLong(2)}%d " +
+          f"prunedPairs=${st.getLong(3)}%d")
+      }
+    }
+
+    if (which == "all" || which == "media") {
+      // Content-addressed decode crossover (r12 VERDICT #4): per-row
+      // decodeImages vs decodeImagesDistinct (decode one payload per
+      // content_hash, hash-join back) over staged synthetic-PNG media
+      // corpora at two sizes and three dup factors. The media table is
+      // staged to parquet WITH content_hash (the normal ingest layout the
+      // decodeImagesDistinct scaladoc prescribes), so the timed region is
+      // the decode strategy alone, not payload generation. dup=1 (all
+      // payloads distinct) is the overhead bound — content addressing
+      // pays a dedup aggregate + join for zero decode savings; dup=4 is
+      // the realistic crawl factor; dup=100 is the near-dup fixture shape
+      // (multimodal_neardup_px's seedMod = 50 corpus).
+      for (n <- Seq(1, 16); dup <- Seq(1L, 4L, 100L)) {
+        val ids = staged(spark, s"docs_x$n")(replicateDocs(docs1, n))
+          .select("doc_id")
+        val rows = ids.count()
+        val media = staged(spark, s"media_x${n}_d$dup")(
+          ext.Multimodal.syntheticImageMedia(ids, "doc_id",
+            seedMod = if (dup <= 1) 0L else rows / dup))
+        val perRow = (1 to 2).map(_ =>
+          noopTime(ext.Multimodal.decodeImages(media)))
+        val dist = (1 to 2).map(_ =>
+          noopTime(ext.Multimodal.decodeImagesDistinct(media)))
+        val nDistinct = media.select("content_hash").distinct().count()
+        report(f"media rows=$rows%d dup=$dup%d distinct=$nDistinct%d " +
+          f"perRow=${perRow(0)}%.2f/${perRow(1)}%.2f " +
+          f"distinctDecode=${dist(0)}%.2f/${dist(1)}%.2f")
       }
     }
 

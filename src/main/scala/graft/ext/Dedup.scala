@@ -144,7 +144,8 @@ object Dedup {
   private[ext] val gridBlk = 256
 
   private[ext] def candidatesFromSignatures(sigRaw: DataFrame, idCol: String,
-      bucketKeys: Seq[String] = Seq("band", "sig")): DataFrame = {
+      bucketKeys: Seq[String] = Seq("band", "sig"),
+      dedup: Boolean = true): DataFrame = {
     val keys = bucketKeys.map(col)
     val buckets = persistScratch(sigRaw
       .groupBy(keys: _*)
@@ -198,13 +199,91 @@ object Dedup {
     val hot = hotA.join(hotB, bucketKeys ++ Seq("ca", "cb"))
       .filter(col("ia") < col("ib")) // strict upper triangle (diagonal cells)
       .select(col("doc_a"), col("doc_b"))
-    small.unionByName(hot).distinct()
+    val all = small.unionByName(hot)
+    // `dedup = false` is for callers whose buckets PARTITION the id space
+    // (each id in exactly one bucket — e.g. the signature-class expansion
+    // in [[minhashCandidatesCollapsed]]): every pair is emitted exactly
+    // once by construction, and the cross-band distinct is precisely the
+    // shuffle the collapsed path exists to avoid.
+    if (dedup) all.distinct() else all
   }
 
   /** LSH candidate pairs: docs agreeing on any band's signature. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         k: Int = 8, stride: Int = 4): DataFrame =
     candidatesFromSignatures(minhashSignatures(docs, idCol, k, stride), idCol)
+
+  /** [[minhashCandidates]] with COLLAPSE-BEFORE-BANDING — the scale path
+    * for pathological duplicate rates (r12 skew30 finding: at 30% hot
+    * membership the cross-band `.distinct()` in the direct path shuffles
+    * ~576 M pre-distinct rows — every hot pair arrives once per band —
+    * and spills at -Xmx8g, doubling the per-pair constant).
+    *
+    * The collapse key is the FULL signature vector (every band's sig,
+    * band-ordered), not md5(text): signature equality is exactly the
+    * equivalence candidacy can see — for docs x, y with sig(x) = sig(y),
+    * any z collides with x iff it collides with y, and x, y collide with
+    * each other on every band — so collapsing each signature class to one
+    * representative (min id) is LOSSLESS for the candidate-pair set.
+    * Identical text implies identical signature, so this subsumes the
+    * exactGroups collapse; crucially it ALSO collapses near-identical
+    * classes whose edits never win a minhash min (the skew30 hot class:
+    * pairwise-distinct tails, identical signatures).
+    *
+    * Pair set = (within-class pairs) ∪ (class-pair expansion):
+    *  - within: classes partition the id space, so each pair is emitted
+    *    exactly ONCE by the bucket expansion (dedup = false — no distinct,
+    *    the shuffle this operator exists to avoid); hot classes run the
+    *    same blocked grid self-join as hot band buckets.
+    *  - cross: banding + pairing over one representative per class (the
+    *    direct machinery, at class cardinality), then each rep pair
+    *    expands through both classes' membership. Disjoint classes make
+    *    every expanded pair unique, and least/greatest restores the
+    *    doc_a < doc_b orientation (a larger id can represent a class
+    *    whose members straddle the other side's).
+    * The union is disjoint (within pairs share a class, cross pairs do
+    * not), so NO corpus-scale distinct runs anywhere: the only distinct
+    * left is the direct path's, over representative pairs.
+    *
+    * Equivalence to [[minhashCandidates]] is pinned in DedupSpec on a
+    * corpus with exact dups, near-identical classes, and background docs.
+    * At low dup rates the extra two aggregates make this marginally
+    * slower than the direct path — pick per corpus (SCALE.md skew30). */
+  def minhashCandidatesCollapsed(docs: DataFrame, idCol: String = "doc_id",
+                                 k: Int = 8, stride: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, k, stride)
+    // one row per doc: band-ordered signature list + its string key.
+    // Persisted scratch: consumed by members (expansion sides) and by the
+    // representative-signature rebuild; released by the runner.
+    val perDoc = persistScratch(sigs
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("band"), col("sig"))))
+        .as("sigs"))
+      .withColumn("sigkey",
+        expr("array_join(transform(sigs, s -> s.sig), '|')")))
+    val members = perDoc.select(col("sigkey"), col(idCol))
+    val classInfo = persistScratch(members
+      .groupBy(col("sigkey")).agg(min(col(idCol)).as("rep")))
+    // within-class pairs: sigkey buckets partition the ids — dedup-free
+    val within = candidatesFromSignatures(members, idCol,
+      bucketKeys = Seq("sigkey"), dedup = false)
+    // cross-class pairs: band + pair the representatives only
+    val repSigs = perDoc
+      .join(classInfo.select(col("rep").as(idCol)), idCol)
+      .select(col(idCol), explode(col("sigs")).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val repPairs = candidatesFromSignatures(repSigs, idCol)
+    val cross = repPairs
+      .join(classInfo.select(col("rep").as("doc_a"), col("sigkey").as("ka")),
+        "doc_a")
+      .join(classInfo.select(col("rep").as("doc_b"), col("sigkey").as("kb")),
+        "doc_b")
+      .join(members.select(col("sigkey").as("ka"), col(idCol).as("xa")), "ka")
+      .join(members.select(col("sigkey").as("kb"), col(idCol).as("xb")), "kb")
+      .select(least(col("xa"), col("xb")).as("doc_a"),
+        greatest(col("xa"), col("xb")).as("doc_b"))
+    within.unionByName(cross)
+  }
 
   /** Incremental near-dup candidates: a NEW batch checked against an
     * EXISTING corpus by joining the delta's MinHash band signatures

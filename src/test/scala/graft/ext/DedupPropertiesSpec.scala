@@ -65,6 +65,18 @@ class DedupPropertiesSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(cand.contains((0L, 100L)), s"seed $seedNo: dup 0/100 missed")
       assert(cand.contains((1L, 101L)), s"seed $seedNo: dup 1/101 missed")
+      // collapse-before-banding reproduces the direct candidate set
+      // exactly, with no pair emitted twice (its raw output carries no
+      // corpus-scale distinct)
+      val candCollapsed = Dedup.minhashCandidatesCollapsed(docs)
+        .as[(Long, Long)].collect()
+      Dedup.releaseScratch()
+      assert(candCollapsed.length == candCollapsed.toSet.size,
+        s"seed $seedNo: collapsed path emitted a duplicate pair")
+      assert(candCollapsed.toSet == cand,
+        s"seed $seedNo: collapsed=${candCollapsed.toSet -- cand} " +
+          s"direct=${cand -- candCollapsed.toSet}")
+
       val candRolling = Dedup.minhashCandidatesRolling(docs)
         .as[(Long, Long)].collect().toSet
       assert(candRolling.contains((0L, 100L)) &&

@@ -32,6 +32,39 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated excluded
   }
 
+  test("collapsed candidates equal the direct path, each pair emitted once") {
+    // skew30-shaped corpus: a hot class of pairwise-DISTINCT texts whose
+    // shared body dominates every minhash min (identical signatures — the
+    // case exactGroups cannot collapse), an exact-dup class, and distinct
+    // background docs. The collapsed path must reproduce the direct
+    // candidate set EXACTLY, without a corpus-scale distinct: no pair may
+    // appear twice in its raw output.
+    val hotBody = (0 until 40).map(i => s"hotword${i % 7}").mkString(" ")
+    val hot = (100L until 120L).map(i => (i, s"$hotBody tail $i"))
+    val exact = (200L until 210L).map(i =>
+      (i, "an exactly repeated document body for the exact class test"))
+    val bg = (300L until 330L).map(i =>
+      (i, s"background document number $i with distinct content " +
+        s"about topic${i % 13} and subject${i % 11} material"))
+    val corpus = (hot ++ exact ++ bg).toDF("doc_id", "text")
+    val direct = Dedup.minhashCandidates(corpus)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    Dedup.releaseScratch()
+    val collapsedRows = Dedup.minhashCandidatesCollapsed(corpus)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    Dedup.releaseScratch()
+    assert(collapsedRows.length == collapsedRows.toSet.size,
+      "collapsed path emitted a pair more than once")
+    assert(collapsedRows.toSet == direct,
+      s"collapsed-direct=${collapsedRows.toSet -- direct} " +
+        s"direct-collapsed=${direct -- collapsedRows.toSet}")
+    collapsedRows.foreach { case (a, b) => assert(a < b) }
+    // both dup families present: the hot class (within-class expansion)
+    // and the exact class; the 20-member hot class alone is 190 pairs
+    assert(direct.contains((100L, 101L)) && direct.contains((200L, 201L)))
+    assert(direct.count { case (a, b) => a >= 100L && b < 200L } >= 190)
+  }
+
   test("incremental candidates: delta vs base only, no within-side pairs") {
     val base = docs // ids 1,2 duplicate text; 4 unrelated
     val delta = Seq(
