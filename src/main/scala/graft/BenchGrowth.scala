@@ -572,9 +572,12 @@ object BenchGrowth {
       // the vocabulary, the terms surviving df <= maxDf, the candidate
       // pair volume Σ C(df,2) the posting expansion actually pays, and
       // the volume the prune REMOVED (what an unpruned index would pay).
-      // Heaps-law adversary: letter rotation grows the letter vocabulary
-      // ~linearly (per-copy-disjoint postings, df flat) while digit-only
-      // tokens collide across copies (df ~ N) and must be pruned whole.
+      // Vocab-growth adversary: letter rotation multiplies the vocabulary
+      // by the copy count with per-copy-disjoint postings (df flat), so
+      // the unpruned volume should grow LINEARLY in copies — the measured
+      // law. This fixture's 31-token corpus is all-stopwords at sf0.1
+      // (every df > maxDf → kept = 0): the prune drops the entire index,
+      // the honest extreme of the df-prune discipline.
       import spark.implicits._
       val bmQueries = Seq((1L, "spark"), (1L, "join"), (2L, "table"),
         (2L, "scan"), (3L, "stream"), (3L, "batch"), (3L, "window"))
@@ -594,10 +597,12 @@ object BenchGrowth {
           .groupBy(col("tok")).agg(count(lit(1)).as("df"))
           .agg(count(lit(1)).as("vocab"),
             sum(when(col("df") <= maxDf, 1L).otherwise(0L)).as("kept"),
+            // DIV, not `/`: SQL fractional division would widen the sums
+            // to double (df·(df−1) is always even, so DIV 2 is exact)
             sum(when(col("df") <= maxDf,
-              col("df") * (col("df") - 1) / 2).otherwise(0L)).as("cand"),
+              expr("df * (df - 1) DIV 2")).otherwise(0L)).as("cand"),
             sum(when(col("df") > maxDf,
-              col("df") * (col("df") - 1) / 2).otherwise(0L)).as("pruned"))
+              expr("df * (df - 1) DIV 2")).otherwise(0L)).as("pruned"))
           .head()
         report(f"textret docs=$rows%d tfidf=${tfidf(0)}%.2f/${tfidf(1)}%.2f " +
           f"bm25=${bm(0)}%.2f/${bm(1)}%.2f vocab=${st.getLong(0)}%d " +
@@ -610,7 +615,12 @@ object BenchGrowth {
       // Content-addressed decode crossover (r12 VERDICT #4): per-row
       // decodeImages vs decodeImagesDistinct (decode one payload per
       // content_hash, hash-join back) over staged synthetic-PNG media
-      // corpora at two sizes and three dup factors. The media table is
+      // corpora — bench-SF and 16× sizes, three CONTROLLED dup factors
+      // (unique = true stamps the seed into the payload: exactly rows/dup
+      // distinct payloads; without it the band rule is periodic mod 768
+      // and the knob saturates), and two per-payload decode costs
+      // (pxScale 1 ≈ the tiny fixture PNG, decode ~µs; pxScale 4 ≈ 16×
+      // the pixels, toward real-crawl decode costs). The media table is
       // staged to parquet WITH content_hash (the normal ingest layout the
       // decodeImagesDistinct scaladoc prescribes), so the timed region is
       // the decode strategy alone, not payload generation. dup=1 (all
@@ -618,19 +628,22 @@ object BenchGrowth {
       // pays a dedup aggregate + join for zero decode savings; dup=4 is
       // the realistic crawl factor; dup=100 is the near-dup fixture shape
       // (multimodal_neardup_px's seedMod = 50 corpus).
-      for (n <- Seq(1, 16); dup <- Seq(1L, 4L, 100L)) {
+      for ((n, pxScale) <- Seq((1, 4), (16, 1), (16, 4));
+           dup <- Seq(1L, 4L, 100L)) {
         val ids = staged(spark, s"docs_x$n")(replicateDocs(docs1, n))
           .select("doc_id")
         val rows = ids.count()
-        val media = staged(spark, s"media_x${n}_d$dup")(
+        val media = staged(spark, s"media_x${n}_d${dup}_p$pxScale")(
           ext.Multimodal.syntheticImageMedia(ids, "doc_id",
-            seedMod = if (dup <= 1) 0L else rows / dup))
+            seedMod = if (dup <= 1) 0L else rows / dup,
+            pxScale = pxScale, unique = true))
         val perRow = (1 to 2).map(_ =>
           noopTime(ext.Multimodal.decodeImages(media)))
         val dist = (1 to 2).map(_ =>
           noopTime(ext.Multimodal.decodeImagesDistinct(media)))
         val nDistinct = media.select("content_hash").distinct().count()
-        report(f"media rows=$rows%d dup=$dup%d distinct=$nDistinct%d " +
+        report(f"media rows=$rows%d px=$pxScale%d dup=$dup%d " +
+          f"distinct=$nDistinct%d " +
           f"perRow=${perRow(0)}%.2f/${perRow(1)}%.2f " +
           f"distinctDecode=${dist(0)}%.2f/${dist(1)}%.2f")
       }

@@ -102,11 +102,19 @@ object Multimodal {
     * PNG is lossless and equal-RGB grays survive decode untouched, so a
     * real decoder recovers every band value EXACTLY — which is what lets
     * an external oracle predict pixel-derived features arithmetically. */
-  def syntheticPng(seed: Long): Array[Byte] = {
+  /** `pxScale` multiplies both dimensions (decode-cost knob for the media
+    * growth axis — real crawl images cost ms, these band PNGs cost µs);
+    * `uniquifier >= 0` paints its 8 bytes into the first 8 pixels of row 0
+    * (distinct-payload knob: the band rule alone is periodic in
+    * seed mod lcm(4, 6, 256) = 768, so at most 768 distinct payloads exist
+    * without it). Defaults preserve the historical bytes EXACTLY — the
+    * oracle-checked decode queries predict these pixels arithmetically. */
+  def syntheticPng(seed: Long, pxScale: Int = 1,
+                   uniquifier: Long = -1L): Array[Byte] = {
     val s = java.lang.Math.floorMod(seed, 256L * 256L) // keep the rule total
-    val cellW = ((s % 4) + 1).toInt * 2
+    val cellW = ((s % 4) + 1).toInt * 2 * pxScale
     val width = 8 * cellW
-    val height = ((s % 6) + 4).toInt
+    val height = ((s % 6) + 4).toInt * pxScale
     val img = new java.awt.image.BufferedImage(width, height,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     var x = 0
@@ -117,6 +125,14 @@ object Multimodal {
       var y = 0
       while (y < height) { img.setRGB(x, y, rgb); y += 1 }
       x += 1
+    }
+    if (uniquifier >= 0) {
+      var b = 0
+      while (b < 8 && b < width) {
+        val g = ((uniquifier >> (b * 8)) & 0xff).toInt
+        img.setRGB(b, 0, (g << 16) | (g << 8) | g)
+        b += 1
+      }
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
@@ -129,7 +145,8 @@ object Multimodal {
     * seeds mod that value, making ids that share a residue carry IDENTICAL
     * images — the near-duplicate fixture knob. */
   def syntheticImageMedia(ids: DataFrame, idCol: String = "doc_id",
-                          seedMod: Long = 0L): DataFrame = {
+                          seedMod: Long = 0L, pxScale: Int = 1,
+                          unique: Boolean = false): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType), StructField("png", BinaryType)))
     val enc = RowEncoder.encoderFor(schema)
@@ -144,7 +161,12 @@ object Multimodal {
           val id = r.getLong(0)
           val seed = if (seedMod > 0) java.lang.Math.floorMod(id, seedMod)
                      else id
-          Row(id, syntheticPng(seed))
+          // `unique` stamps the SEED into the payload, so the corpus has
+          // exactly |distinct seeds| distinct payloads — the controlled
+          // dup-factor knob the media growth axis needs (the band rule
+          // alone is periodic mod 768)
+          Row(id, syntheticPng(seed, pxScale,
+            uniquifier = if (unique) seed else -1L))
         }
       }(enc)
     asMedia(raw, "media_id", "png", "image")

@@ -1177,12 +1177,16 @@ object ExtensionQueries extends QueryGroup {
     val media = graft.ext.Multimodal.syntheticImageMedia(
       docs(s, dir).select("doc_id"), "doc_id", seedMod = 50L)
       .localCheckpoint(false)
-    // content-addressed decode: seedMod=50 makes the corpus 100×-duplicated
-    // (the near-dup fixture), exactly the corpus shape decodeImagesDistinct
-    // exists for — 50 codec invocations instead of |docs|. Lazy
-    // localCheckpoint as in multimodalNearDup: nearDupLsh consumes the
-    // features three times; without it the decode re-runs per consumer.
-    val feats = graft.ext.Multimodal.decodeImagesDistinct(media)
+    // PER-ROW decode, a measured r13 decision: the fixture's PNGs are
+    // tiny (µs decode), and the r13 media growth axis shows the
+    // content-addressed path's dedup shuffle + join-back exceeding the
+    // decode it saves at this payload size even at dup = 100 (px=1 row:
+    // per-row 0.30/0.36 s vs distinct 0.62/0.58 s; confirmed on this
+    // query by BenchOne 3.4-4.2 s distinct vs per-row steady below).
+    // decodeImagesDistinct remains the path for real-crawl payloads —
+    // the crossover sits near dup≈4 at ~10k-pixel images (SCALE.md r13
+    // media table); the two are interchangeable (parity spec).
+    val feats = graft.ext.Multimodal.decodeImages(media)
       .select(col("media_id"), col("feature"))
       .localCheckpoint(false)
     Similarity.nearDupLsh(feats,
