@@ -55,6 +55,50 @@ class HotBucketGridSpec extends SparkSpec {
     finally Dedup.releaseScratch()
   }
 
+  test("minhashCandidatesCollapsed: a hot identical-signature class " +
+      "rides the grid path and equals the direct candidate set") {
+    // the r13 collapse-before-banding operator's WITHIN-CLASS expansion
+    // goes through candidatesFromSignatures(dedup = false) keyed on the
+    // signature class; a class past hotBucketSize must take the grid
+    // branch there. skew30 verified this at 24k members full-scale; this
+    // pins it under `sbt test` at 560 members (> hotBucketSize = 512),
+    // mixed with an exact-dup class and background docs so the cross-
+    // class expansion and both union branches are live too.
+    // long shared body (~120 tokens → ~178 shingles) so the per-doc tail
+    // rarely wins a minhash min: the dominant identical-signature class
+    // keeps well over hotBucketSize members (deterministic — fixed hashes)
+    val hotBody = (0 until 120).map(i => s"gridword${i % 23}").mkString(" ")
+    val hot = (0L until (Dedup.hotBucketSize + 150L)).map(i =>
+      (i, s"$hotBody tail $i"))
+    val exact = (50000L until 50004L).map(i => (i, "same exact body here"))
+    val bg = (60000L until 60010L).map(i =>
+      (i, s"background item $i about matter${i % 7} and other content"))
+    val corpus = (hot ++ exact ++ bg).toDF("doc_id", "text")
+    try {
+      val direct = Dedup.minhashCandidates(corpus)
+        .as[(Long, Long)].collect().toSet
+      Dedup.releaseScratch()
+      val collapsed = Dedup.minhashCandidatesCollapsed(corpus)
+        .as[(Long, Long)].collect()
+      assert(collapsed.length == collapsed.toSet.size,
+        "collapsed emitted a duplicate pair")
+      assert(collapsed.toSet == direct,
+        s"sizes ${collapsed.length} vs ${direct.size}")
+      // the grid path really is live (not vacuous): the LARGEST identical-
+      // signature class must exceed hotBucketSize. Checked directly on the
+      // signature table — a handful of tails can win a minhash min and
+      // split off, so the pair count alone can't prove it.
+      val maxClass = Dedup.minhashSignatures(corpus, "doc_id")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("band"), col("sig"))))
+          .as("sigs"))
+        .groupBy(col("sigs")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      assert(maxClass >= Dedup.hotBucketSize,
+        s"largest signature class $maxClass under the grid threshold")
+    } finally Dedup.releaseScratch()
+  }
+
   test("nearDupLsh: a hot near-identical class yields every pair once " +
       "with cosine ~= 1") {
     val dims = 8
