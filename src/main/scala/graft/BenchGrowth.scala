@@ -392,6 +392,20 @@ object BenchGrowth {
           ext.Dedup.releaseScratch()
           t
         }
+        // collapse-before-banding on the UNIFORM corpus — the overhead
+        // bound of the r13 operator (signature classes ~all singletons:
+        // two extra aggregates buy nothing; the measured cost of wrongly
+        // defaulting to the collapsed path on an ordinary corpus)
+        var nCandC = -1L
+        val mhc = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          nCandC = ext.Dedup.minhashCandidatesCollapsed(d).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          ext.Dedup.releaseScratch()
+          t
+        }
+        require(nCandC == nCand,
+          s"collapsed count $nCandC != direct $nCand on uniform corpus")
         var nSs = -1L
         val ss = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -406,7 +420,8 @@ object BenchGrowth {
           t
         }
         report(f"pairs docs=$rows%d minhashCand=$nCand%d " +
-          f"mh=${mh(0)}%.2f/${mh(1)}%.2f setsimPairs=$nSs%d " +
+          f"mh=${mh(0)}%.2f/${mh(1)}%.2f " +
+          f"mhCollapsed=${mhc(0)}%.2f/${mhc(1)}%.2f setsimPairs=$nSs%d " +
           f"ss=${ss(0)}%.2f/${ss(1)}%.2f exact=${ex(0)}%.2f/${ex(1)}%.2f")
       }
     }
@@ -468,6 +483,18 @@ object BenchGrowth {
           val t = (System.nanoTime() - t0) / 1e9
           ext.Dedup.releaseScratch(); t
         }
+        // collapsed twin at 10% hot membership — the crossover's midpoint
+        // between the uniform overhead bound (pairs axis) and the 30%
+        // spill case (skew30); count equality re-verified at every size
+        var nCandC = -1L
+        val mhc = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          nCandC = ext.Dedup.minhashCandidatesCollapsed(d).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          ext.Dedup.releaseScratch(); t
+        }
+        require(nCandC == nCand,
+          s"collapsed count $nCandC != direct $nCand at skew10")
         var nSh = -1L
         val sh = (1 to 2).map { _ =>
           val t0 = System.nanoTime()
@@ -476,7 +503,8 @@ object BenchGrowth {
           ext.Dedup.releaseScratch(); t
         }
         report(f"skew docs=$rows%d minhashCand=$nCand%d " +
-          f"mh=${mh(0)}%.2f/${mh(1)}%.2f simhashPairs=$nSh%d " +
+          f"mh=${mh(0)}%.2f/${mh(1)}%.2f " +
+          f"mhCollapsed=${mhc(0)}%.2f/${mhc(1)}%.2f simhashPairs=$nSh%d " +
           f"sh=${sh(0)}%.2f/${sh(1)}%.2f")
       }
     }
