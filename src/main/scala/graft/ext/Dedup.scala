@@ -246,9 +246,18 @@ object Dedup {
     * left is the direct path's, over representative pairs.
     *
     * Equivalence to [[minhashCandidates]] is pinned in DedupSpec on a
-    * corpus with exact dups, near-identical classes, and background docs.
-    * At low dup rates the extra two aggregates make this marginally
-    * slower than the direct path — pick per corpus (SCALE.md skew30). */
+    * corpus with exact dups, near-identical classes, and background docs
+    * (hot-class grid branch in HotBucketGridSpec), and runtime-`require`d
+    * at every committed growth size. Measured crossover (SCALE.md r13):
+    * ~2-3× overhead on uniform corpora, break-even near hot class ≈ 2-8k
+    * members, 12.9× ahead at 24k — pick per corpus; the direct path
+    * stays the default. One residual skew note: the cross-class
+    * expansion joins members by class key, so ONE giant class paired
+    * with many other classes funnels its |A|·Σ|B| fan-out through one
+    * join key — AQE's skew-join split handles it (the join is a plain
+    * equi-join, no hint pinning the strategy), and the within-class
+    * volume that motivates this operator dwarfs cross-class output
+    * whenever such a class exists at all. */
   def minhashCandidatesCollapsed(docs: DataFrame, idCol: String = "doc_id",
                                  k: Int = 8, stride: Int = 4): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, k, stride)
