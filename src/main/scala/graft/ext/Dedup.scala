@@ -438,6 +438,61 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** [[simhashPairs]] with the same COLLAPSE-BEFORE-BANDING treatment as
+    * [[minhashCandidatesCollapsed]] (r13): the direct path's byte-band
+    * self-join emits a hot pair once per shared band — up to 4× the true
+    * pair volume shuffled into the `.distinct()` — while a duplicate
+    * class shares ALL bands by construction. The collapse key is the
+    * 32-bit simhash itself, which is exactly the equivalence the
+    * operator can see: sig(x) = sig(y) ⇒ x, y band-collide everywhere
+    * with hamming 0, and hamming(x, z) = hamming(y, z) for every z.
+    * Within-class pairs carry hamming 0 (≤ any maxHamming) and are
+    * emitted exactly once through the partitioned bucket expansion (grid
+    * path for hot classes, no distinct); cross-class pairs come from the
+    * byte-band join over one representative per class — hamming computed
+    * ONCE per class pair — expanded through both memberships (disjoint
+    * classes ⇒ unique by construction). Equivalence to the direct path
+    * is spec-pinned (DedupSpec, DedupPropertiesSpec) and runtime-checked
+    * in the growth axis. Same selection rule as the MinHash twin:
+    * direct for ordinary corpora, collapsed once duplicate classes are
+    * corpus-shaped. */
+  def simhashPairsCollapsed(docs: DataFrame, idCol: String = "doc_id",
+                            maxHamming: Int = 3): DataFrame = {
+    val sig = persistScratch(simhash(docs, idCol)) // (id, simhash)
+    val members = sig.select(col("simhash"), col(idCol))
+    val classInfo = persistScratch(members
+      .groupBy(col("simhash")).agg(min(col(idCol)).as("rep")))
+    val within = candidatesFromSignatures(members, idCol,
+        bucketKeys = Seq("simhash"), dedup = false)
+      .withColumn("hamming", lit(0))
+    val banded = classInfo
+      .select(col("rep"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("byte_i"))
+      .withColumn("byte_v", expr("shiftright(simhash, byte_i * 8) & 255"))
+    val a = banded.select(col("byte_i"), col("byte_v"),
+      col("rep").as("ra"), col("simhash").as("sim_a"))
+    val b = banded.select(col("byte_i"), col("byte_v"),
+      col("rep").as("rb"), col("simhash").as("sim_b"))
+    val repPairs = a.join(b, Seq("byte_i", "byte_v"))
+      .filter(col("ra") < col("rb"))
+      .select(col("ra"), col("rb"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct() // representative grain only — the volume the collapse buys
+      .filter(col("hamming") <= maxHamming)
+    val cross = repPairs
+      .join(classInfo.select(col("rep").as("ra"), col("simhash").as("ka")),
+        "ra")
+      .join(classInfo.select(col("rep").as("rb"), col("simhash").as("kb")),
+        "rb")
+      .join(members.select(col("simhash").as("ka"), col(idCol).as("xa")),
+        "ka")
+      .join(members.select(col("simhash").as("kb"), col(idCol).as("xb")),
+        "kb")
+      .select(least(col("xa"), col("xb")).as("doc_a"),
+        greatest(col("xa"), col("xb")).as("doc_b"), col("hamming"))
+    within.unionByName(cross)
+  }
+
   /** Connected components over a candidate-pair edge list: groups near-dup
     * pairs into clusters, labeling every member with the cluster's min doc
     * id (the canonical keeper). Iterative min-label propagation — each round

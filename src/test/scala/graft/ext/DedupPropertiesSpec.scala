@@ -97,6 +97,20 @@ class DedupPropertiesSpec extends SparkSpec {
       val sig = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
       assert(sig(0L) == sig(100L) && sig(1L) == sig(101L))
       sig.values.foreach(s => assert(s >= 0L && s < (1L << 32)))
+      // simhash collapse-before-banding reproduces the direct
+      // (pair, hamming) set exactly, with no pair emitted twice. A wide
+      // maxHamming keeps cross-class pairs in play on random corpora.
+      val simDirect = Dedup.simhashPairs(docs, maxHamming = 12)
+        .as[(Long, Long, Int)].collect().toSet
+      Dedup.releaseScratch()
+      val simCollapsed = Dedup.simhashPairsCollapsed(docs, maxHamming = 12)
+        .as[(Long, Long, Int)].collect()
+      Dedup.releaseScratch()
+      assert(simCollapsed.length == simCollapsed.toSet.size,
+        s"seed $seedNo: collapsed simhash path emitted a duplicate pair")
+      assert(simCollapsed.toSet == simDirect,
+        s"seed $seedNo: collapsed=${simCollapsed.toSet -- simDirect} " +
+          s"direct=${simDirect -- simCollapsed.toSet}")
 
       // clustering: labels are cluster minima and idempotent under re-run
       val comp = Dedup.connectedComponents(cand.toSeq.toDF("doc_a", "doc_b"))

@@ -65,6 +65,40 @@ class DedupSpec extends SparkSpec {
     assert(direct.count { case (a, b) => a >= 100L && b < 200L } >= 190)
   }
 
+  test("collapsed simhash pairs equal the direct path, hamming included") {
+    // Same skew30-shaped corpus as the MinHash twin: the hot class's
+    // shared body dominates every bit vote (identical 32-bit simhashes),
+    // plus an exact class and distinct background docs. Equivalence must
+    // hold on the (pair, hamming) TRIPLE — the collapsed path computes
+    // hamming once per class pair and must propagate it unchanged — and
+    // the raw collapsed output must be duplicate-free (no distinct runs
+    // below representative grain).
+    val hotBody = (0 until 40).map(i => s"hotword${i % 7}").mkString(" ")
+    val hot = (100L until 120L).map(i => (i, s"$hotBody tail $i"))
+    val exact = (200L until 210L).map(i =>
+      (i, "an exactly repeated document body for the exact class test"))
+    val bg = (300L until 330L).map(i =>
+      (i, s"background document number $i with distinct content " +
+        s"about topic${i % 13} and subject${i % 11} material"))
+    val corpus = (hot ++ exact ++ bg).toDF("doc_id", "text")
+    val direct = Dedup.simhashPairs(corpus)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    Dedup.releaseScratch()
+    val collapsedRows = Dedup.simhashPairsCollapsed(corpus)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    Dedup.releaseScratch()
+    assert(collapsedRows.length == collapsedRows.toSet.size,
+      "collapsed path emitted a pair more than once")
+    assert(collapsedRows.toSet == direct,
+      s"collapsed-direct=${collapsedRows.toSet -- direct} " +
+        s"direct-collapsed=${direct -- collapsedRows.toSet}")
+    collapsedRows.foreach { case (a, b, _) => assert(a < b) }
+    // both dup families present, with hamming 0 inside each class
+    assert(direct.contains((100L, 101L, 0)) && direct.contains((200L, 201L, 0)))
+    assert(direct.count { case (a, b, _) => a >= 100L && b < 200L } >= 190)
+  }
+
   test("incremental candidates: delta vs base only, no within-side pairs") {
     val base = docs // ids 1,2 duplicate text; 4 unrelated
     val delta = Seq(
