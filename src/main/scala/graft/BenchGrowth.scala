@@ -502,10 +502,24 @@ object BenchGrowth {
           val t = (System.nanoTime() - t0) / 1e9
           ext.Dedup.releaseScratch(); t
         }
+        // simhash collapsed twin (r13): the hot class shares ALL 4 byte
+        // bands, so the direct path's pre-distinct volume is 4 rows per
+        // hot pair — worse than the MinHash family's ~2; count equality
+        // (pair grain — hamming ties are spec-pinned) re-verified per size
+        var nShC = -1L
+        val shc = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          nShC = ext.Dedup.simhashPairsCollapsed(d).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          ext.Dedup.releaseScratch(); t
+        }
+        require(nShC == nSh,
+          s"collapsed simhash count $nShC != direct $nSh at skew10")
         report(f"skew docs=$rows%d minhashCand=$nCand%d " +
           f"mh=${mh(0)}%.2f/${mh(1)}%.2f " +
           f"mhCollapsed=${mhc(0)}%.2f/${mhc(1)}%.2f simhashPairs=$nSh%d " +
-          f"sh=${sh(0)}%.2f/${sh(1)}%.2f")
+          f"sh=${sh(0)}%.2f/${sh(1)}%.2f " +
+          f"shCollapsed=${shc(0)}%.2f/${shc(1)}%.2f")
       }
     }
 
@@ -561,6 +575,35 @@ object BenchGrowth {
       require(nCandC == nCand,
         s"collapsed pair count $nCandC != direct $nCand — equivalence broken")
       report(f"skew30 docs=$rows%d minhashCandCollapsed=$nCandC%d mhc=$mhc%.2f")
+      // SimHash twin at the same 24k-member hot class: the direct path's
+      // band self-join streams the hot key's full m² through the filter —
+      // 4 bands × 24k² ≈ 2.3 G joined rows, ~1.15 G into the distinct
+      // (FOUR per hot pair; identical signatures collide on every byte
+      // band) — vs the collapsed path's zero corpus-scale distinct. At
+      // the pinned bench heap (-Xmx8g) the direct pass is a measured DNF
+      // (r13: >30 min, executor heartbeat lost at 5.5 min, ~290 CPU-min
+      // burned before the kill), so it is OPT-IN via
+      // SPARK_GRAFT_SKEW30_SIMHASH_DIRECT=1 for larger-heap verification
+      // runs; count equality is required whenever it runs (and is
+      // otherwise pinned full-scale at skew10-16x plus unit-scale specs).
+      val runDirectSh = sys.env.get("SPARK_GRAFT_SKEW30_SIMHASH_DIRECT")
+        .contains("1")
+      val nSh30 = if (runDirectSh) {
+        val t0s = System.nanoTime()
+        val n = ext.Dedup.simhashPairs(d).count()
+        val sh30 = (System.nanoTime() - t0s) / 1e9
+        ext.Dedup.releaseScratch()
+        report(f"skew30 docs=$rows%d simhashPairs=$n%d sh=$sh30%.2f")
+        Some(n)
+      } else None
+      val t0sc = System.nanoTime()
+      val nSh30C = ext.Dedup.simhashPairsCollapsed(d).count()
+      val sh30c = (System.nanoTime() - t0sc) / 1e9
+      ext.Dedup.releaseScratch()
+      nSh30.foreach(n => require(nSh30C == n,
+        s"collapsed simhash count $nSh30C != direct $n at skew30"))
+      report(f"skew30 docs=$rows%d simhashPairsCollapsed=$nSh30C%d " +
+        f"shc=$sh30c%.2f")
       val embSk30 = io.Sources.table(spark, sfDir, "embeddings")
       val e = staged(spark, "emb_skew30_x16")(
         replicateEmbSkewed(embSk30, 16, dims = 64, hotTenths = 3))

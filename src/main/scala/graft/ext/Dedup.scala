@@ -146,17 +146,29 @@ object Dedup {
   private[ext] def candidatesFromSignatures(sigRaw: DataFrame, idCol: String,
       bucketKeys: Seq[String] = Seq("band", "sig"),
       dedup: Boolean = true): DataFrame = {
-    val keys = bucketKeys.map(col)
     val buckets = persistScratch(sigRaw
-      .groupBy(keys: _*)
+      .groupBy(bucketKeys.map(col): _*)
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1))
+    pairsFromBuckets(buckets, bucketKeys, dedup)
+  }
+
+  /** Pair expansion over pre-aggregated buckets (`bucketKeys...`, ids) —
+    * the body of [[candidatesFromSignatures]] after its bucket aggregate,
+    * callable directly when the caller already holds the bucket table
+    * (the collapsed operators build ONE class table serving both the
+    * within-class expansion here and the cross-class rectangle in
+    * [[expandClassPairs]]). `buckets` should be persisted by the caller:
+    * both the small-bucket and hot-grid branches consume it. */
+  private[ext] def pairsFromBuckets(buckets: DataFrame,
+      bucketKeys: Seq[String], dedup: Boolean): DataFrame = {
+    val keys = bucketKeys.map(col)
     // Explicit fixed-N repartition before the pair explode (the
     // nearDupLsh precedent, round 9): bucket rows are few BYTES but carry
     // Σ|bucket|² of downstream work, and AQE's size-based coalescing
     // would fold the whole explode onto one reducer. The exchange moves
     // only the compact bucket lists.
-    val n = sigRaw.sparkSession.sessionState.conf.numShufflePartitions
+    val n = buckets.sparkSession.sessionState.conf.numShufflePartitions
     val small = buckets.filter(size(col("ids")) < hotBucketSize)
       .repartition(n, keys: _*)
       // stage 1: one row per (list, position). posexplode is 0-based.
@@ -208,6 +220,67 @@ object Dedup {
     if (dedup) all.distinct() else all
   }
 
+  /** Full-rectangle expansion of representative pairs through both
+    * classes' member lists — the cross-class twin of the hot-bucket grid
+    * self-join (r13). The naive formulation (chained equi-joins of the
+    * rep-pair list against per-class membership) fans the |A|·|B|
+    * rectangle of one pair out of ONE probe row, so no partitioning —
+    * and no AQE skew split — can spread it: measured on the skew30
+    * corpus, the 12,045 × 11,955 hot class pair serialized its 144 M-row
+    * expansion into a single task (>10 min GC-bound at -Xmx8g, OOM in
+    * the composed query) while the other 31 cores idled. Here each
+    * side's members are exploded ONCE into (pair, cell, member) rows —
+    * the A side tagged with its row block and replicated across the B
+    * side's column blocks, the B side vice versa — and the pair stage is
+    * an equi-join on (ra, rb, ca, cb): every blk × blk cell is an
+    * independent key, per-task memory is O(blk), output STREAMS out of
+    * the join, and the explicit fixed-N repartition pins
+    * co-partitioning (AQE would byte-coalesce the compact element rows;
+    * even a broadcast pick still spreads, because the stream side is
+    * already cell-partitioned — the fan-out is never driven by a single
+    * row again). Element replication volume is output/blk per side.
+    * Envelope: one row per class carries the full member array — the
+    * same collect_set bound the hot-bucket grid already accepts (fine to
+    * ~10 M members per class; past that, membership needs positional
+    * bucketing by a global index instead of an array row).
+    *
+    * `pairs` = (ra, rb, carry...) with ra ≠ rb and no repeated pair;
+    * `classArr` = (rep, ids) one row per class. Emits one (doc_a, doc_b,
+    * carry...) row per member pair, UNORIENTED (doc_a from ra's class) —
+    * callers apply least/greatest. Disjoint classes + distinct rep pairs
+    * make the output duplicate-free by construction. */
+  private[ext] def expandClassPairs(pairs: DataFrame,
+                                    classArr: DataFrame): DataFrame = {
+    val carry = pairs.columns.filterNot(Set("ra", "rb")).toSeq
+    val n = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    val pa = pairs
+      .join(classArr.select(col("rep").as("ra"), col("ids").as("ids_a")),
+        "ra")
+      .join(classArr.select(col("rep").as("rb"), col("ids").as("ids_b")),
+        "rb")
+    val keys = Seq(col("ra"), col("rb"), col("ca"), col("cb"))
+    val ea = pa
+      .select(Seq(col("ra"), col("rb"),
+          ((size(col("ids_b")) - 1) / gridBlk).cast("int").as("mcb"),
+          posexplode(col("ids_a")).as(Seq("ia", "doc_a"))) ++
+        carry.map(col): _*)
+      .withColumn("ca", (col("ia") / gridBlk).cast("int"))
+      .select(Seq(col("ra"), col("rb"), col("ca"),
+          explode(sequence(lit(0), col("mcb"))).as("cb"), col("doc_a")) ++
+        carry.map(col): _*)
+      .repartition(n, keys: _*)
+    val eb = pa
+      .select(col("ra"), col("rb"),
+        ((size(col("ids_a")) - 1) / gridBlk).cast("int").as("mca"),
+        posexplode(col("ids_b")).as(Seq("ib", "doc_b")))
+      .withColumn("cb", (col("ib") / gridBlk).cast("int"))
+      .select(col("ra"), col("rb"), col("cb"),
+        explode(sequence(lit(0), col("mca"))).as("ca"), col("doc_b"))
+      .repartition(n, keys: _*)
+    ea.join(eb, Seq("ra", "rb", "ca", "cb"))
+      .select((Seq("doc_a", "doc_b") ++ carry).map(col): _*)
+  }
+
   /** LSH candidate pairs: docs agreeing on any band's signature. */
   def minhashCandidates(docs: DataFrame, idCol: String = "doc_id",
                         k: Int = 8, stride: Int = 4): DataFrame =
@@ -249,20 +322,19 @@ object Dedup {
     * corpus with exact dups, near-identical classes, and background docs
     * (hot-class grid branch in HotBucketGridSpec), and runtime-`require`d
     * at every committed growth size. Measured crossover (SCALE.md r13):
-    * ~2-3× overhead on uniform corpora, break-even near hot class ≈ 2-8k
-    * members, 12.9× ahead at 24k — pick per corpus; the direct path
-    * stays the default. One residual skew note: the cross-class
-    * expansion joins members by class key, so ONE giant class paired
-    * with many other classes funnels its |A|·Σ|B| fan-out through one
-    * join key — AQE's skew-join split handles it (the join is a plain
-    * equi-join, no hint pinning the strategy), and the within-class
-    * volume that motivates this operator dwarfs cross-class output
-    * whenever such a class exists at all. */
+    * ~1.5-3× overhead on uniform corpora, break-even near hot class ≈
+    * 2-8k members, 7.8-12.9× ahead at 24k across windows — pick per
+    * corpus; the direct path stays the default. Cross-class skew note: a giant class whose rep
+    * pairs with other classes fans |A|·|B| out of single probe rows, so
+    * the expansion goes through [[expandClassPairs]]'s blocked rectangle
+    * join (cell-partitioned, O(blk) per task) rather than chained
+    * membership joins — the chained form measurably serializes such a
+    * pair's whole rectangle into one task (see that scaladoc). */
   def minhashCandidatesCollapsed(docs: DataFrame, idCol: String = "doc_id",
                                  k: Int = 8, stride: Int = 4): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, k, stride)
     // one row per doc: band-ordered signature list + its string key.
-    // Persisted scratch: consumed by members (expansion sides) and by the
+    // Persisted scratch: consumed by the class aggregate and by the
     // representative-signature rebuild; released by the runner.
     val perDoc = persistScratch(sigs
       .groupBy(col(idCol))
@@ -270,27 +342,29 @@ object Dedup {
         .as("sigs"))
       .withColumn("sigkey",
         expr("array_join(transform(sigs, s -> s.sig), '|')")))
-    val members = perDoc.select(col("sigkey"), col(idCol))
-    val classInfo = persistScratch(members
-      .groupBy(col("sigkey")).agg(min(col(idCol)).as("rep")))
+    // one row per signature class: sorted member list, with the min id
+    // (the sorted list's head) as the class representative. Serves BOTH
+    // the within-class bucket expansion and the cross-class rectangle.
+    val classes = persistScratch(perDoc
+      .groupBy(col("sigkey"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .withColumn("rep", element_at(col("ids"), 1)))
     // within-class pairs: sigkey buckets partition the ids — dedup-free
-    val within = candidatesFromSignatures(members, idCol,
+    val within = pairsFromBuckets(
+      classes.filter(size(col("ids")) > 1).select(col("sigkey"), col("ids")),
       bucketKeys = Seq("sigkey"), dedup = false)
-    // cross-class pairs: band + pair the representatives only
+    // cross-class pairs: band + pair the representatives only, then
+    // rectangle-expand each rep pair through both memberships
     val repSigs = perDoc
-      .join(classInfo.select(col("rep").as(idCol)), idCol)
+      .join(classes.select(col("rep").as(idCol)), idCol)
       .select(col(idCol), explode(col("sigs")).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
     val repPairs = candidatesFromSignatures(repSigs, idCol)
-    val cross = repPairs
-      .join(classInfo.select(col("rep").as("doc_a"), col("sigkey").as("ka")),
-        "doc_a")
-      .join(classInfo.select(col("rep").as("doc_b"), col("sigkey").as("kb")),
-        "doc_b")
-      .join(members.select(col("sigkey").as("ka"), col(idCol).as("xa")), "ka")
-      .join(members.select(col("sigkey").as("kb"), col(idCol).as("xb")), "kb")
-      .select(least(col("xa"), col("xb")).as("doc_a"),
-        greatest(col("xa"), col("xb")).as("doc_b"))
+      .select(col("doc_a").as("ra"), col("doc_b").as("rb"))
+    val cross = expandClassPairs(repPairs,
+        classes.select(col("rep"), col("ids")))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
     within.unionByName(cross)
   }
 
@@ -450,22 +524,32 @@ object Dedup {
     * emitted exactly once through the partitioned bucket expansion (grid
     * path for hot classes, no distinct); cross-class pairs come from the
     * byte-band join over one representative per class — hamming computed
-    * ONCE per class pair — expanded through both memberships (disjoint
-    * classes ⇒ unique by construction). Equivalence to the direct path
-    * is spec-pinned (DedupSpec, DedupPropertiesSpec) and runtime-checked
-    * in the growth axis. Same selection rule as the MinHash twin:
-    * direct for ordinary corpora, collapsed once duplicate classes are
+    * ONCE per class pair — rectangle-expanded through both memberships
+    * via [[expandClassPairs]] (disjoint classes ⇒ unique by
+    * construction; the blocked rectangle matters here MORE than for the
+    * MinHash twin, because a near-identical corpus cluster splits into
+    * a few giant classes a couple of low-margin vote bits apart — the
+    * skew30 hot class lands as 12,045 + 11,955 members at hamming 2 —
+    * and their cross rectangle is half the output). Equivalence to the
+    * direct path is spec-pinned on the (pair, hamming) triple (DedupSpec,
+    * DedupPropertiesSpec, HotBucketGridSpec) and runtime-checked in the
+    * growth axis. Same selection rule as the MinHash twin: direct for
+    * ordinary corpora, collapsed once duplicate classes are
     * corpus-shaped. */
   def simhashPairsCollapsed(docs: DataFrame, idCol: String = "doc_id",
                             maxHamming: Int = 3): DataFrame = {
     val sig = persistScratch(simhash(docs, idCol)) // (id, simhash)
-    val members = sig.select(col("simhash"), col(idCol))
-    val classInfo = persistScratch(members
-      .groupBy(col("simhash")).agg(min(col(idCol)).as("rep")))
-    val within = candidatesFromSignatures(members, idCol,
+    // one row per signature class: sorted member list, min-id rep
+    val classes = persistScratch(sig
+      .groupBy(col("simhash"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+      .withColumn("rep", element_at(col("ids"), 1)))
+    val within = pairsFromBuckets(
+        classes.filter(size(col("ids")) > 1)
+          .select(col("simhash"), col("ids")),
         bucketKeys = Seq("simhash"), dedup = false)
       .withColumn("hamming", lit(0))
-    val banded = classInfo
+    val banded = classes
       .select(col("rep"), col("simhash"),
         explode(expr("sequence(0, 3)")).as("byte_i"))
       .withColumn("byte_v", expr("shiftright(simhash, byte_i * 8) & 255"))
@@ -479,17 +563,10 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .distinct() // representative grain only — the volume the collapse buys
       .filter(col("hamming") <= maxHamming)
-    val cross = repPairs
-      .join(classInfo.select(col("rep").as("ra"), col("simhash").as("ka")),
-        "ra")
-      .join(classInfo.select(col("rep").as("rb"), col("simhash").as("kb")),
-        "rb")
-      .join(members.select(col("simhash").as("ka"), col(idCol).as("xa")),
-        "ka")
-      .join(members.select(col("simhash").as("kb"), col(idCol).as("xb")),
-        "kb")
-      .select(least(col("xa"), col("xb")).as("doc_a"),
-        greatest(col("xa"), col("xb")).as("doc_b"), col("hamming"))
+    val cross = expandClassPairs(repPairs,
+        classes.select(col("rep"), col("ids")))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("hamming"))
     within.unionByName(cross)
   }
 

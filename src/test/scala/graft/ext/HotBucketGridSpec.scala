@@ -99,6 +99,52 @@ class HotBucketGridSpec extends SparkSpec {
     } finally Dedup.releaseScratch()
   }
 
+  test("simhashPairsCollapsed: a hot identical-simhash class rides the " +
+      "grid path and equals the direct (pair, hamming) set") {
+    // the simhash collapse key is the 32-bit signature itself; a class
+    // past hotBucketSize must take the grid branch inside the within-
+    // class expansion. Deterministic identical-signature construction:
+    // 40 body tokens over 7 distinct words give every bit a vote margin
+    // |Σ±cnt| = |6a+5b| >= 4, which the 2-token per-doc tail (±2) can
+    // never flip — so ALL hot members share one simhash and the class
+    // holds hotBucketSize + 150 members (asserted below, not assumed).
+    // maxHamming = 32 keeps every band collision in the output so the
+    // cross-class branch (variant classes whose boosted extra word flips
+    // only low-margin bits, leaving >= 1 byte band shared) is live too.
+    val hotBody = (0 until 40).map(i => s"simgrid${i % 7}").mkString(" ")
+    val hot = (0L until (Dedup.hotBucketSize + 150L)).map(i =>
+      (i, s"$hotBody tail $i"))
+    val variants = (0 until 5).flatMap { k =>
+      val extra = Seq.fill(8)(s"variantword$k").mkString(" ")
+      Seq((70000L + 2 * k, s"$hotBody $extra"),
+        (70001L + 2 * k, s"$hotBody $extra"))
+    }
+    val bg = (80000L until 80010L).map(i =>
+      (i, s"background item $i about matter${i % 7} and other content"))
+    val corpus = (hot ++ variants ++ bg).toDF("doc_id", "text")
+    try {
+      val direct = Dedup.simhashPairs(corpus, maxHamming = 32)
+        .as[(Long, Long, Int)].collect().toSet
+      Dedup.releaseScratch()
+      val collapsed = Dedup.simhashPairsCollapsed(corpus, maxHamming = 32)
+        .as[(Long, Long, Int)].collect()
+      assert(collapsed.length == collapsed.toSet.size,
+        "collapsed emitted a duplicate pair")
+      assert(collapsed.toSet == direct,
+        s"sizes ${collapsed.length} vs ${direct.size}")
+      // grid branch really live: largest identical-simhash class past the
+      // threshold, checked on the signature table directly
+      val maxClass = Dedup.simhash(corpus)
+        .groupBy(col("simhash")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      assert(maxClass >= Dedup.hotBucketSize,
+        s"largest simhash class $maxClass under the grid threshold")
+      // cross-class branch really live: some pair spans two classes
+      // (hamming > 0 can only come from the representative expansion)
+      assert(direct.exists(_._3 > 0), "no cross-class pair in the fixture")
+    } finally Dedup.releaseScratch()
+  }
+
   test("nearDupLsh: a hot near-identical class yields every pair once " +
       "with cosine ~= 1") {
     val dims = 8
