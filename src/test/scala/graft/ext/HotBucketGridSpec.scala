@@ -145,6 +145,51 @@ class HotBucketGridSpec extends SparkSpec {
     } finally Dedup.releaseScratch()
   }
 
+  test("simhashPairsCollapsed: two hot classes' cross rectangle spans " +
+      "multiple blocks on both axes and equals the direct set") {
+    // the skew30 failure shape at unit scale: a near-identical cluster
+    // SPLIT into two internally-identical signature classes (bodyB =
+    // bodyA + a boosted extra word that flips only low-margin bits), each
+    // past 2·gridBlk members — so the cross-class rectangle expansion
+    // runs multi-cell on BOTH axes (the path that serialized into one
+    // task pre-fix). maxHamming = 32 keeps the cross pairs in the output
+    // regardless of which bits flipped. The boost is 12 copies (bodyA
+    // bit margins are |6a+5b| ∈ {4,6,8,16,...}, so ±12 keeps every bodyB
+    // margin ≥ 4 — above the ±2 per-doc tail — and neither class splits
+    // further; ±8 can leave a margin of 2), and the word is chosen so
+    // the flipped bits leave one byte band shared (md5 is fixed, so the
+    // flip pattern is a constant of the fixture: "zetaword" flips 7 bits
+    // across three bytes).
+    val bodyA = (0 until 40).map(i => s"simgrid${i % 7}").mkString(" ")
+    val bodyB = bodyA + " " + Seq.fill(12)("zetaword").mkString(" ")
+    val ca = (0L until 600L).map(i => (i, s"$bodyA tail $i"))
+    val cb = (10000L until 10600L).map(i => (i, s"$bodyB tail $i"))
+    val corpus = (ca ++ cb).toDF("doc_id", "text")
+    try {
+      val direct = Dedup.simhashPairs(corpus, maxHamming = 32)
+        .as[(Long, Long, Int)].collect().toSet
+      Dedup.releaseScratch()
+      val collapsed = Dedup.simhashPairsCollapsed(corpus, maxHamming = 32)
+        .as[(Long, Long, Int)].collect()
+      assert(collapsed.length == collapsed.toSet.size,
+        "collapsed emitted a duplicate pair")
+      assert(collapsed.toSet == direct,
+        s"sizes ${collapsed.length} vs ${direct.size}")
+      // the split really happened: exactly two signature classes, both
+      // past the 2-block width, and the full 600 x 600 cross rectangle
+      // present at a fixed hamming > 0
+      val classSizes = Dedup.simhash(corpus)
+        .groupBy(col("simhash")).count()
+        .as[(Long, Long)].collect().toMap
+      assert(classSizes.size == 2 && classSizes.values.forall(_ == 600L),
+        s"expected two 600-member classes: $classSizes")
+      val crossPairs = collapsed.filter(_._3 > 0)
+      assert(crossPairs.length == 600 * 600,
+        s"cross rectangle incomplete: ${crossPairs.length}")
+      assert(crossPairs.map(_._3).distinct.length == 1)
+    } finally Dedup.releaseScratch()
+  }
+
   test("nearDupLsh: a hot near-identical class yields every pair once " +
       "with cosine ~= 1") {
     val dims = 8
