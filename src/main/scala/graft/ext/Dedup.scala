@@ -324,7 +324,9 @@ object Dedup {
     * at every committed growth size. Measured crossover (SCALE.md r13):
     * ~1.5-3× overhead on uniform corpora, break-even near hot class ≈
     * 2-8k members, 7.8-12.9× ahead at 24k across windows — pick per
-    * corpus; the direct path stays the default. Cross-class skew note: a giant class whose rep
+    * corpus ([[minhashCandidatesAuto]] decides from the data); the
+    * direct path stays the default.
+    * Cross-class skew note: a giant class whose rep
     * pairs with other classes fans |A|·|B| out of single probe rows, so
     * the expansion goes through [[expandClassPairs]]'s blocked rectangle
     * join (cell-partitioned, O(blk) per task) rather than chained
@@ -366,6 +368,61 @@ object Dedup {
       .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
         greatest(col("doc_a"), col("doc_b")).as("doc_b"))
     within.unionByName(cross)
+  }
+
+  /** Largest duplicate class at which the Auto selectors switch to
+    * collapse-before-banding. The r13 crossover measurements put
+    * break-even between hot 2k (direct ~1.6× ahead warm) and hot 8k
+    * (collapsed ~1.8× ahead); from ~12k the collapsed path is an order
+    * of magnitude ahead, and by 24k it is the only path that RUNS at the
+    * pinned bench heap (SCALE.md r13). 4096 splits the measured gap: a
+    * mispick near the boundary costs ≤ ~2× either way — the selector
+    * exists to dodge the catastrophic regimes, not to win the middle. */
+  private[ext] val collapseClassThreshold = 4096L
+
+  /** [[minhashCandidates]] with DATA-DRIVEN path selection: computes the
+    * largest identical-signature class (one map-side-combinable
+    * aggregate over the persisted signature table plus an O(1) driver
+    * scalar — the only driver-side value is the max) and takes
+    * [[minhashCandidatesCollapsed]] at or past `collapseAt` members,
+    * the direct path otherwise. This is the 100 TB-facing entry point
+    * for corpora of UNKNOWN duplicate shape (crawl snapshots, re-hosted
+    * content): the caller no longer guesses the crossover. The decision
+    * pass is not wasted work on either branch — the signature table is
+    * persisted scratch, and both branches rebuild the identical plan,
+    * so their signature scans hit the cache. */
+  def minhashCandidatesAuto(docs: DataFrame, idCol: String = "doc_id",
+                            k: Int = 8, stride: Int = 4,
+                            collapseAt: Long = collapseClassThreshold)
+      : DataFrame = {
+    val sigs = persistScratch(minhashSignatures(docs, idCol, k, stride))
+    val row = sigs
+      .groupBy(col(idCol))
+      .agg(array_join(sort_array(collect_list(
+        concat_ws(":", col("band"), col("sig")))), "|").as("sigkey"))
+      .groupBy(col("sigkey")).count()
+      .agg(max(col("count"))).head()
+    val maxClass = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (maxClass >= collapseAt)
+      minhashCandidatesCollapsed(docs, idCol, k, stride)
+    else candidatesFromSignatures(sigs, idCol)
+  }
+
+  /** [[simhashPairs]] with the same data-driven selection as
+    * [[minhashCandidatesAuto]]: collapse-before-banding at or past
+    * `collapseAt` members in the largest identical-simhash class, the
+    * direct byte-band join otherwise. The decision aggregate runs on the
+    * persisted signature table both branches reuse. */
+  def simhashPairsAuto(docs: DataFrame, idCol: String = "doc_id",
+                       maxHamming: Int = 3,
+                       collapseAt: Long = collapseClassThreshold)
+      : DataFrame = {
+    val sig = persistScratch(simhash(docs, idCol))
+    val row = sig.groupBy(col("simhash")).count()
+      .agg(max(col("count"))).head()
+    val maxClass = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (maxClass >= collapseAt) simhashPairsCollapsed(docs, idCol, maxHamming)
+    else simhashPairs(docs, idCol, maxHamming)
   }
 
   /** Incremental near-dup candidates: a NEW batch checked against an

@@ -99,6 +99,39 @@ class DedupSpec extends SparkSpec {
     assert(direct.count { case (a, b, _) => a >= 100L && b < 200L } >= 190)
   }
 
+  test("auto selectors produce the direct result through BOTH branches") {
+    // the collapseAt knob forces each branch on the same corpus: 1 always
+    // collapses, Long.MaxValue never does. Output must equal the direct
+    // path's either way — the selector may only ever change the plan.
+    val hotBody = (0 until 40).map(i => s"hotword${i % 7}").mkString(" ")
+    val hot = (100L until 120L).map(i => (i, s"$hotBody tail $i"))
+    val bg = (300L until 320L).map(i =>
+      (i, s"background document number $i with distinct content " +
+        s"about topic${i % 13} and subject${i % 11} material"))
+    val corpus = (hot ++ bg).toDF("doc_id", "text")
+    val mhDirect = Dedup.minhashCandidates(corpus)
+      .as[(Long, Long)].collect().toSet
+    Dedup.releaseScratch()
+    for (at <- Seq(1L, Long.MaxValue)) {
+      val got = Dedup.minhashCandidatesAuto(corpus, collapseAt = at)
+        .as[(Long, Long)].collect().toSet
+      Dedup.releaseScratch()
+      assert(got == mhDirect, s"minhash auto(collapseAt=$at) diverged")
+    }
+    val shDirect = Dedup.simhashPairs(corpus, maxHamming = 12)
+      .as[(Long, Long, Int)].collect().toSet
+    Dedup.releaseScratch()
+    for (at <- Seq(1L, Long.MaxValue)) {
+      val got = Dedup.simhashPairsAuto(corpus, maxHamming = 12,
+          collapseAt = at)
+        .as[(Long, Long, Int)].collect().toSet
+      Dedup.releaseScratch()
+      assert(got == shDirect, s"simhash auto(collapseAt=$at) diverged")
+    }
+    // the default threshold reflects the measured crossover midpoint
+    assert(Dedup.collapseClassThreshold == 4096L)
+  }
+
   test("incremental candidates: delta vs base only, no within-side pairs") {
     val base = docs // ids 1,2 duplicate text; 4 unrelated
     val delta = Seq(
