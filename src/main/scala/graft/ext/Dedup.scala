@@ -241,8 +241,14 @@ object Dedup {
     * row again). Element replication volume is output/blk per side.
     * Envelope: one row per class carries the full member array — the
     * same collect_set bound the hot-bucket grid already accepts (fine to
-    * ~10 M members per class; past that, membership needs positional
-    * bucketing by a global index instead of an array row).
+    * ~10 M members per class; past that, membership would need positional
+    * bucketing by a global index instead of an array row). Adjudicated
+    * r13: for pair EMITTERS the binding constraint is the m²/2 output
+    * itself — infeasible orders of magnitude before an 8m-byte array row
+    * is — so the array form is the right trade here; CLUSTER consumers,
+    * where giant classes actually occur, bypass both bounds via
+    * [[minhashComponentsCollapsed]] (row-grain membership, no pair
+    * materialization at all).
     *
     * `pairs` = (ra, rb, carry...) with ra ≠ rb and no repeated pair;
     * `classArr` = (rep, ids) one row per class. Emits one (doc_a, doc_b,
@@ -423,6 +429,109 @@ object Dedup {
     val maxClass = if (row.isNullAt(0)) 0L else row.getLong(0)
     if (maxClass >= collapseAt) simhashPairsCollapsed(docs, idCol, maxHamming)
     else simhashPairs(docs, idCol, maxHamming)
+  }
+
+  /** Near-dup component labeling WITHOUT materializing the candidate
+    * pair set: connected components run on the REPRESENTATIVE graph (one
+    * node per identical-signature class) and the labeling lifted through
+    * class membership. Output ≡ `connectedComponents(minhashCandidates
+    * (docs))` — same (doc_id, cluster_id) rows:
+    *
+    *  - reachability: a class pair's expansion connects EVERY a ∈ A to
+    *    every b ∈ B, and a within-class expansion is a clique, so
+    *    contracting each signature class to a node preserves
+    *    connectivity exactly — two docs are connected iff their classes
+    *    are;
+    *  - labels: each class's representative is its MIN member id, so the
+    *    min doc id over a connected doc set equals the min over its
+    *    classes' reps — the rep-graph min-label IS the doc-graph one;
+    *  - domain: direct CC labels exactly the docs in ≥ 1 candidate pair
+    *    = members of classes with ≥ 2 members (within-class pairs exist)
+    *    ∪ docs whose rep collides cross-class (classes collide iff their
+    *    reps do — identical signatures hit identical band buckets).
+    *
+    * This is the scale path for CLUSTER consumers (keep-one-per-cluster,
+    * survivorship, leakage-safe splits) on duplicate-heavy corpora: the
+    * direct chain materializes Σ m²/2 within-class pairs plus the cross
+    * rectangles only for CC to contract them straight back — at the
+    * skew30 hot class (24 k members) that is 288 M edges, 576 M after
+    * symmetrization, carried through EVERY label-propagation round. Here
+    * the iterative pass runs on class-cardinality rep pairs and every
+    * corpus-scale stage is linear: two map-side-combinable hash
+    * aggregates and two row joins. It is also ARRAY-FREE — membership
+    * stays (doc, rep) ROWS, never a collect_set row — so the ~10 M-
+    * member-class envelope on the pair-emitting collapsed operators
+    * ([[expandClassPairs]]) does not apply: a 100 M-member boilerplate
+    * class costs combinable min/count aggregates plus one AQE-skew-
+    * splittable row join. (For PAIR consumers that envelope is moot
+    * anyway — an m-member class emits m²/2 pairs, so output
+    * infeasibility bites orders of magnitude before an 8m-byte array
+    * row does; cluster consumers are where giant classes actually
+    * occur, and this operator serves them without either bound.) */
+  def minhashComponentsCollapsed(docs: DataFrame, idCol: String = "doc_id",
+                                 k: Int = 8, stride: Int = 4,
+                                 maxIter: Int = 20): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, k, stride)
+    // one row per doc: band-ordered signature list + its string key
+    // (fixed small per-doc list — NOT a per-class aggregate). Persisted:
+    // consumed by the class aggregate, the membership join, and the
+    // representative-signature rebuild.
+    val keyed = persistScratch(sigs
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("band"), col("sig"))))
+        .as("sigs"))
+      .withColumn("sigkey",
+        expr("array_join(transform(sigs, s -> s.sig), '|')")))
+    // class roster as ROWS: min id + member count, both map-side
+    // combinable — a giant class never concentrates on one task here.
+    val classes = persistScratch(keyed
+      .groupBy(col("sigkey"))
+      .agg(min(col(idCol)).as("rep"), count(lit(1)).as("csize")))
+    // band + pair the representatives, then label THEM: the iterative
+    // join/agg rounds touch class-cardinality frames only.
+    val repSigs = keyed
+      .join(classes.select(col("rep").as(idCol)), idCol)
+      .select(col(idCol), explode(col("sigs")).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val repComp = connectedComponents(
+        candidatesFromSignatures(repSigs, idCol), maxIter)
+      .select(col("doc_id").as("rep"), col("cluster_id").as("rep_cluster"))
+    // lift: rep's component label where the rep graph reached it, the
+    // rep itself for isolated multi-member classes (their members are
+    // mutual candidates — direct CC labels them with the class min);
+    // singleton classes whose rep paired with nothing stay unlabeled,
+    // exactly like docs absent from the direct candidate set. repComp is
+    // O(colliding classes) — AQE broadcasts it when small.
+    keyed.select(col(idCol), col("sigkey"))
+      .join(classes, "sigkey")
+      .join(repComp, Seq("rep"), "left")
+      .filter(col("rep_cluster").isNotNull || col("csize") >= 2)
+      .select(col(idCol).as("doc_id"),
+        coalesce(col("rep_cluster"), col("rep")).as("cluster_id"))
+  }
+
+  /** [[connectedComponents]]∘[[minhashCandidates]] with the same
+    * data-driven selection as [[minhashCandidatesAuto]]: past
+    * `collapseAt` members in the largest identical-signature class the
+    * quadratic edge list is contracted away ([[minhashComponentsCollapsed]]);
+    * below it the direct chain reuses the persisted signature table the
+    * decision aggregate ran on. */
+  def minhashComponentsAuto(docs: DataFrame, idCol: String = "doc_id",
+                            k: Int = 8, stride: Int = 4,
+                            maxIter: Int = 20,
+                            collapseAt: Long = collapseClassThreshold)
+      : DataFrame = {
+    val sigs = persistScratch(minhashSignatures(docs, idCol, k, stride))
+    val row = sigs
+      .groupBy(col(idCol))
+      .agg(array_join(sort_array(collect_list(
+        concat_ws(":", col("band"), col("sig")))), "|").as("sigkey"))
+      .groupBy(col("sigkey")).count()
+      .agg(max(col("count"))).head()
+    val maxClass = if (row.isNullAt(0)) 0L else row.getLong(0)
+    if (maxClass >= collapseAt)
+      minhashComponentsCollapsed(docs, idCol, k, stride, maxIter)
+    else connectedComponents(candidatesFromSignatures(sigs, idCol), maxIter)
   }
 
   /** Incremental near-dup candidates: a NEW batch checked against an

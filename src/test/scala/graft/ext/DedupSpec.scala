@@ -132,6 +132,81 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.collapseClassThreshold == 4096L)
   }
 
+  test("lifted components equal CC over the direct candidate pairs") {
+    // Every lifting case in one corpus: a hot near-identical class (one
+    // signature class, 20 members — within-class cliques contract to a
+    // node), an exact-dup class, a near-dup BRIDGE doc (1,2 identical;
+    // 3 differs by one token, verified below to land in its OWN
+    // signature class sharing exactly one band with 1's — connected to
+    // {1,2} only through a cross-class rep pair, so the lift must hand
+    // it the OTHER class's min id), and background docs with disjoint
+    // vocabularies that pair with nothing (absent from the labeling).
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val bridge = Seq((1L, base), (2L, base),
+      (3L, "the quick brown fox jumps over the zebra dog again and again"))
+    val hotBody = (0 until 40).map(i => s"hotword${i % 7}").mkString(" ")
+    val hot = (100L until 120L).map(i => (i, s"$hotBody tail $i"))
+    val exact = (200L until 210L).map(i =>
+      (i, "an exactly repeated document body for the exact class test"))
+    val bg = (300L until 330L).map(i =>
+      (i, (0 until 12).map(j => s"tok${i}x$j").mkString(" ")))
+    val corpus = (bridge ++ hot ++ exact ++ bg).toDF("doc_id", "text")
+    val direct = Dedup.connectedComponents(Dedup.minhashCandidates(corpus))
+      .as[(Long, Long)].collect().toSet
+    Dedup.releaseScratch()
+    val liftedRows = Dedup.minhashComponentsCollapsed(corpus)
+      .as[(Long, Long)].collect()
+    Dedup.releaseScratch()
+    assert(liftedRows.length == liftedRows.toSet.size,
+      "lifted labeling emitted a doc more than once")
+    assert(liftedRows.toSet == direct,
+      s"lifted-direct=${liftedRows.toSet -- direct} " +
+        s"direct-lifted=${direct -- liftedRows.toSet}")
+    // the bridge actually exercised cross-class lifting: docs 1 and 3
+    // carry DIFFERENT signature vectors (else they'd share a class) yet
+    // one component label — and that label is 1, the min across classes
+    val sigOf = Dedup.minhashSignatures(corpus)
+      .filter($"doc_id".isin(1L, 3L))
+      .groupBy($"doc_id")
+      .agg(array_join(sort_array(collect_list(
+        concat_ws(":", $"band", $"sig"))), "|").as("k"))
+      .as[(Long, String)].collect().toMap
+    Dedup.releaseScratch()
+    assert(sigOf(1L) != sigOf(3L),
+      "fixture drift: docs 1 and 3 collapsed into one signature class, " +
+        "cross-class lifting not exercised")
+    val m = direct.toMap
+    assert(m.get(3L).contains(1L) && m.get(2L).contains(1L))
+    // isolated multi-member classes keep their class-min label; isolated
+    // background docs are unlabeled
+    assert(m.get(200L).contains(200L))
+    assert(!m.keySet.exists(_ >= 300L))
+  }
+
+  test("components auto produces the direct labeling through BOTH branches") {
+    val hotBody = (0 until 40).map(i => s"hotword${i % 7}").mkString(" ")
+    val hot = (100L until 112L).map(i => (i, s"$hotBody tail $i"))
+    val bg = (300L until 320L).map(i =>
+      (i, (0 until 12).map(j => s"tok${i}x$j").mkString(" ")))
+    val corpus = (docs.as[(Long, String)].collect().toSeq ++ hot ++ bg)
+      .toDF("doc_id", "text")
+    val direct = Dedup.connectedComponents(Dedup.minhashCandidates(corpus))
+      .as[(Long, Long)].collect().toSet
+    Dedup.releaseScratch()
+    for (at <- Seq(1L, Long.MaxValue)) {
+      val got = Dedup.minhashComponentsAuto(corpus, collapseAt = at)
+        .as[(Long, Long)].collect().toSet
+      Dedup.releaseScratch()
+      assert(got == direct, s"components auto(collapseAt=$at) diverged")
+    }
+    // a corpus with no candidate pairs at all labels nothing on either path
+    val lonely = bg.toDF("doc_id", "text")
+    for (at <- Seq(1L, Long.MaxValue)) {
+      assert(Dedup.minhashComponentsAuto(lonely, collapseAt = at).isEmpty)
+      Dedup.releaseScratch()
+    }
+  }
+
   test("incremental candidates: delta vs base only, no within-side pairs") {
     val base = docs // ids 1,2 duplicate text; 4 unrelated
     val delta = Seq(
