@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * cost, pass 2 is the steady-state signal).
   *
   * Usage: `BenchGrowth
-  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|skew|skewemb|skew30|textret|media|all]`
+  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|skew|skewemb|skew30|cc|textret|media|all]`
   * with SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
   */
 object BenchGrowth {
@@ -200,7 +200,7 @@ object BenchGrowth {
     }.reduce(_ unionAll _)
 
   private val axes = Set("all", "dsir", "textops", "sq8ivf", "profile",
-    "graph", "sparsecos", "simhash", "pairs", "skew", "skewemb", "skew30",
+    "graph", "sparsecos", "simhash", "pairs", "skew", "skewemb", "skew30", "cc",
     "textret", "media")
 
   def main(args: Array[String]): Unit = {
@@ -613,6 +613,77 @@ object BenchGrowth {
       val nd = (System.nanoTime() - t1) / 1e9
       ext.Dedup.releaseScratch()
       report(f"skew30 emb=$eRows%d neardupPairs=$nNd%d nd=$nd%.2f")
+    }
+
+    if (which == "all" || which == "cc") {
+      // Component-labeling growth (r13): cluster consumers (keep-one,
+      // survivorship, leakage-safe splits) need LABELS, not pairs. The
+      // direct chain materializes the Θ(m²) candidate edge list and
+      // carries it — symmetrized, 2× — through EVERY label-propagation
+      // round, so its cost is (pairs) × (rounds); the lifted path
+      // (minhashComponentsCollapsed) contracts identical-signature
+      // classes to one representative node BEFORE the iterative pass
+      // and re-labels members with two linear joins at the end.
+      // Labelings are runtime-require'd identical via an order-
+      // independent checksum (row count + bit_xor of the row hash) —
+      // the labeling is corpus-sized and never collected.
+      // by-name: connectedComponents ITERATES EAGERLY at construction
+      // (per-round convergence actions), so the build must be forced
+      // inside the timed region — taking an already-built DataFrame
+      // would time only the final checksum scan.
+      def ccChecksum(build: => DataFrame): ((Long, Long), Double) = {
+        val t0 = System.nanoTime()
+        val r = build
+          .select(xxhash64(col("doc_id"), col("cluster_id")).as("h"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).head()
+        val t = (System.nanoTime() - t0) / 1e9
+        ((r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)), t)
+      }
+      for (n <- Seq(1, 4, 16)) {
+        val d = staged(spark, s"docs_skew_x$n")(replicateDocsSkewed(docs1, n))
+        val rows = d.count()
+        var direct = (0L, 0L)
+        val dt = (1 to 2).map { _ =>
+          val (cs, t) = ccChecksum(ext.Dedup.connectedComponents(
+            ext.Dedup.minhashCandidates(d)))
+          direct = cs; ext.Dedup.releaseScratch(); t
+        }
+        var lifted = (0L, 0L)
+        val lt = (1 to 2).map { _ =>
+          val (cs, t) = ccChecksum(ext.Dedup.minhashComponentsCollapsed(d))
+          lifted = cs; ext.Dedup.releaseScratch(); t
+        }
+        require(lifted == direct,
+          s"lifted labeling checksum $lifted != direct $direct at skew10 x$n")
+        report(f"cc docs=$rows%d labeled=${direct._1}%d " +
+          f"direct=${dt(0)}%.2f/${dt(1)}%.2f " +
+          f"lifted=${lt(0)}%.2f/${lt(1)}%.2f")
+      }
+      // skew30 16×: the 24 k-member hot class makes the direct chain's
+      // edge list 288 M rows (576 M symmetrized) per propagation round —
+      // measured DNF territory at the pinned -Xmx8g (the pair GENERATION
+      // alone took 104.6 s; CC re-joins that list every round), so the
+      // direct pass is opt-in via SPARK_GRAFT_SKEW30_CC_DIRECT=1 for
+      // larger-heap verification runs, with checksum equality required
+      // whenever it runs (and pinned at skew10 full scale above plus the
+      // bridge-corpus spec at unit scale).
+      val d30 = staged(spark, "docs_skew30_x16")(
+        replicateDocsSkewed(docs1, 16, hotTenths = 3))
+      val rows30 = d30.count()
+      val direct30 =
+        if (sys.env.get("SPARK_GRAFT_SKEW30_CC_DIRECT").contains("1")) {
+          val (cs, t) = ccChecksum(ext.Dedup.connectedComponents(
+            ext.Dedup.minhashCandidates(d30)))
+          ext.Dedup.releaseScratch()
+          report(f"cc skew30 docs=$rows30%d labeled=${cs._1}%d direct=$t%.2f")
+          Some(cs)
+        } else None
+      val (cs30, lt30) = ccChecksum(
+        ext.Dedup.minhashComponentsCollapsed(d30))
+      ext.Dedup.releaseScratch()
+      direct30.foreach(cs => require(cs == cs30,
+        s"lifted labeling checksum $cs30 != direct $cs at skew30"))
+      report(f"cc skew30 docs=$rows30%d labeled=${cs30._1}%d lifted=$lt30%.2f")
     }
 
     if (which == "all" || which == "sparsecos") {

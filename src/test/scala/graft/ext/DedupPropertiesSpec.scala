@@ -118,6 +118,18 @@ class DedupPropertiesSpec extends SparkSpec {
       comp.foreach { case (doc, cl) => assert(cl <= doc) }
       assert(comp(100L) <= 0L || comp(100L) == comp(0L))
 
+      // the lifted rep-graph labeling reproduces CC over the direct
+      // candidate pairs exactly on arbitrary corpora — same doc set,
+      // same min-id labels — and emits each doc once
+      val liftedComp = Dedup.minhashComponentsCollapsed(docs)
+        .as[(Long, Long)].collect()
+      Dedup.releaseScratch()
+      assert(liftedComp.length == liftedComp.toSet.size,
+        s"seed $seedNo: lifted labeling emitted a doc more than once")
+      assert(liftedComp.toMap == comp,
+        s"seed $seedNo: lifted=${liftedComp.toMap.toSet -- comp.toSet} " +
+          s"direct=${comp.toSet -- liftedComp.toMap.toSet}")
+
       // applying clusters keeps exactly one representative per cluster
       val kept = Dedup.applyClusters(docs,
           comp.toSeq.toDF("doc_id", "cluster_id"))
@@ -157,6 +169,22 @@ class DedupPropertiesSpec extends SparkSpec {
       val want = nodes.map(n => n -> find(n)).toMap
       assert(got == want, s"seed $seedNo: got $got want $want")
     }
+  }
+
+  test("connectedComponents converges on a deep path within default rounds") {
+    // Regression for the r13 cc growth-axis failure: a chain-shaped
+    // component (diameter ≫ maxIter) blew past 20 one-hop rounds and
+    // threw. The pointer-jump step makes reach double per round, so a
+    // 300-edge path — diameter 300, needing ≥ 300 one-hop rounds — must
+    // now converge inside the DEFAULT budget, fully labeled by node 0.
+    // Shuffled edge order: convergence must not depend on ids arriving
+    // chain-ordered.
+    val rnd = new scala.util.Random(7)
+    val edges = rnd.shuffle((0L until 300L).map(i => (i, i + 1)).toList)
+    val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect()
+    assert(got.length == 301)
+    got.foreach { case (_, c) => assert(c == 0L) }
   }
 
   test("sortedNeighborhoodPairs matches a sequential reference (5 seeds)") {
