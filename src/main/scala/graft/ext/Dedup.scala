@@ -557,6 +557,58 @@ object Dedup {
       .distinct()
   }
 
+  /** Cluster-table maintenance for the daily-ingest path: fold a delta's
+    * [[incrementalCandidates]] edges into an EXISTING labeling without
+    * re-clustering the corpus. Output ≡ `connectedComponents` over
+    * (base candidate pairs ∪ delta×base edges) — i.e. the batch labeling
+    * under the incremental contract (delta×delta edges are out of scope,
+    * exactly as incrementalCandidates documents) — computed as:
+    *
+    *  1. contract: each clustered base endpoint becomes its cluster
+    *     LABEL (labels are cluster-min doc ids, so contraction preserves
+    *     both reachability and the eventual min — the same lifting
+    *     argument as [[minhashComponentsCollapsed]]); unclustered base
+    *     endpoints stay themselves. The contracted edge list is
+    *     O(|delta edges|).
+    *  2. label the contracted graph: one [[connectedComponents]] pass
+    *     over delta-sized edges — merges (a new doc bridging two base
+    *     clusters) resolve here, in the iterative pass, at delta scale.
+    *  3. re-expand: base rows whose label joined a component take its
+    *     new label (one broadcast-sized join against the corpus-scale
+    *     cluster table — compN is O(touched clusters + delta)); rows
+    *     whose label is untouched pass through unchanged; previously
+    *     unclustered base docs and delta docs pulled into a component
+    *     are emitted directly (their contracted node is not a base
+    *     cluster label, so the split below is exact — delta ids are
+    *     fresh by contract, and an unclustered doc is no cluster's min).
+    *
+    * At 100 TB: admitting a day's crawl touches the signature store
+    * (incrementalCandidates), this delta-scale CC, and one join against
+    * the cluster table — the corpus itself is never re-scanned and the
+    * corpus-scale pair set never exists. */
+  def incrementalClusters(baseClusters: DataFrame,
+                          candidates: DataFrame): DataFrame = {
+    val edges = candidates
+      .join(baseClusters.select(col("doc_id").as("dup_of"),
+        col("cluster_id").as("base_node")), Seq("dup_of"), "left")
+      .select(col("new_id").as("doc_a"),
+        coalesce(col("base_node"), col("dup_of")).as("doc_b"))
+      // many dup_of inside one cluster contract to one edge; the
+      // distinct runs on the DELTA-sized contracted list, not the corpus
+      .distinct()
+    val compN = connectedComponents(edges)
+      .select(col("doc_id").as("node"), col("cluster_id").as("c"))
+    val updatedBase = baseClusters
+      .join(compN, baseClusters("cluster_id") === compN("node"), "left")
+      .select(baseClusters("doc_id"),
+        coalesce(col("c"), baseClusters("cluster_id")).as("cluster_id"))
+    val newlyLabeled = compN
+      .join(baseClusters.select(col("doc_id").as("node")), Seq("node"),
+        "left_anti")
+      .select(col("node").as("doc_id"), col("c").as("cluster_id"))
+    updatedBase.unionByName(newlyLabeled)
+  }
+
   /** Candidate pairs over the O(n) rolling-hash signature family. */
   def minhashCandidatesRolling(docs: DataFrame, idCol: String = "doc_id",
                                k: Int = 8, stride: Int = 4): DataFrame =

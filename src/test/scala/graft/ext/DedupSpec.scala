@@ -223,6 +223,64 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 1L || p._1 == 2L)) // no base on the left
   }
 
+  test("incremental cluster update: merges, pulls, pass-through, min labels") {
+    // synthetic edges exercise every re-expansion case deterministically:
+    //  - new doc 100 bridges clusters {1,2} and {5,6} → MERGE, label 1
+    //  - new doc 101 pairs with unclustered base doc 7 → both labeled 7
+    //  - cluster {20,21} untouched → passes through unchanged
+    //  - unclustered base doc 8 untouched → still absent
+    val baseClusters = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L),
+      (20L, 20L), (21L, 20L)).toDF("doc_id", "cluster_id")
+    val cand = Seq((100L, 2L), (100L, 6L), (101L, 7L))
+      .toDF("new_id", "dup_of")
+    val got = Dedup.incrementalClusters(baseClusters, cand)
+      .as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "a doc was labeled twice")
+    val want = Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 100L -> 1L,
+      7L -> 7L, 101L -> 7L, 20L -> 20L, 21L -> 20L)
+    assert(got.toMap == want, s"got ${got.toMap} want $want")
+    // ground truth: batch CC over base edges ∪ contracted-scope edges
+    val ground = Dedup.connectedComponents(
+        (Seq((1L, 2L), (5L, 6L), (20L, 21L)) ++
+          Seq((100L, 2L), (100L, 6L), (101L, 7L)))
+          .toDF("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.toMap == ground)
+    // an empty delta leaves the labeling bit-identical
+    val noop = Dedup.incrementalClusters(baseClusters,
+        Seq.empty[(Long, Long)].toDF("new_id", "dup_of"))
+      .as[(Long, Long)].collect().toMap
+    assert(noop == baseClusters.as[(Long, Long)].collect().toMap)
+  }
+
+  test("incremental cluster update matches batch CC through real signatures") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different content talking about spark query engines"),
+      (7L, (0 until 12).map(j => s"lone7x$j").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (50L, "the quick brown fox jumps over the lazy dog again and again"),
+      (51L, (0 until 12).map(j => s"lone51x$j").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val basePairs = Dedup.minhashCandidates(base)
+    val baseClusters = Dedup.connectedComponents(basePairs)
+    val cand = Dedup.incrementalCandidates(base, delta)
+    val got = Dedup.incrementalClusters(baseClusters, cand)
+      .as[(Long, Long)].collect().toMap
+    Dedup.releaseScratch()
+    // ground truth: CC over the base pair set plus the delta×base edges —
+    // the incremental contract's scope (no delta×delta)
+    val ground = Dedup.connectedComponents(basePairs.unionByName(
+        cand.select(col("new_id").as("doc_a"), col("dup_of").as("doc_b"))))
+      .as[(Long, Long)].collect().toMap
+    Dedup.releaseScratch()
+    assert(got == ground, s"got $got ground $ground")
+    assert(got.get(50L).contains(1L))   // admitted dup joins cluster 1
+    assert(!got.contains(51L))          // unmatched delta doc stays out
+  }
+
   test("ngram jaccard: identical docs = 1.0, near-dups high, ordered pairs") {
     val j = Dedup.ngramJaccard(docs, Dedup.minhashCandidates(docs))
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
