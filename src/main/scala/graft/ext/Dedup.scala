@@ -557,6 +557,50 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash twin of [[minhashComponentsCollapsed]]: component labeling
+    * over `simhashPairs(docs, maxHamming)` WITHOUT materializing the
+    * pair set. Identical-simhash classes contract to their min-id rep
+    * (classes pair iff reps do — equal signatures share every byte band
+    * and every hamming distance), the byte-band + hamming pairing runs
+    * at class cardinality, and membership lifts through (id, simhash)
+    * ROWS. The hamming carry is irrelevant to connectivity, so the
+    * labeling drops it. Matters even MORE than the MinHash twin at
+    * pathological dup rates: near-identical corpora split into a few
+    * giant simhash classes (skew30: 12 k + 12 k at hamming 2) whose
+    * cross rectangle the pair path must materialize — here it is one
+    * rep edge. */
+  def simhashComponentsCollapsed(docs: DataFrame, idCol: String = "doc_id",
+                                 maxHamming: Int = 3,
+                                 maxIter: Int = 20): DataFrame = {
+    val sig = persistScratch(simhash(docs, idCol)) // (id, simhash)
+    // class roster as ROWS (min + count, map-side combinable) — no
+    // member array anywhere on this path
+    val classes = persistScratch(sig
+      .groupBy(col("simhash"))
+      .agg(min(col(idCol)).as("rep"), count(lit(1)).as("csize")))
+    val banded = classes
+      .select(col("rep"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("byte_i"))
+      .withColumn("byte_v", expr("shiftright(simhash, byte_i * 8) & 255"))
+    val a = banded.select(col("byte_i"), col("byte_v"),
+      col("rep").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("byte_i"), col("byte_v"),
+      col("rep").as("doc_b"), col("simhash").as("sim_b"))
+    val repPairs = a.join(b, Seq("byte_i", "byte_v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+        <= maxHamming)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct() // representative grain — the volume the collapse buys
+    val repComp = connectedComponents(repPairs, maxIter)
+      .select(col("doc_id").as("rep"), col("cluster_id").as("rep_cluster"))
+    sig.join(classes, "simhash")
+      .join(repComp, Seq("rep"), "left")
+      .filter(col("rep_cluster").isNotNull || col("csize") >= 2)
+      .select(col(idCol).as("doc_id"),
+        coalesce(col("rep_cluster"), col("rep")).as("cluster_id"))
+  }
+
   /** Cluster-table maintenance for the daily-ingest path: fold a delta's
     * [[incrementalCandidates]] edges into an EXISTING labeling without
     * re-clustering the corpus. Output ≡ `connectedComponents` over

@@ -223,6 +223,35 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 1L || p._1 == 2L)) // no base on the left
   }
 
+  test("simhash lifted components equal CC over the direct pair set") {
+    // same corpus shape as the MinHash lifting test; wide maxHamming
+    // keeps cross-class rep edges in play so the lift is exercised
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val bridge = Seq((1L, base), (2L, base),
+      (3L, "the quick brown fox jumps over the zebra dog again and again"))
+    val hotBody = (0 until 40).map(i => s"hotword${i % 7}").mkString(" ")
+    val hot = (100L until 120L).map(i => (i, s"$hotBody tail $i"))
+    val bg = (300L until 320L).map(i =>
+      (i, (0 until 12).map(j => s"tok${i}x$j").mkString(" ")))
+    val corpus = (bridge ++ hot ++ bg).toDF("doc_id", "text")
+    val direct = Dedup.connectedComponents(
+        Dedup.simhashPairs(corpus, maxHamming = 12)
+          .select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toSet
+    Dedup.releaseScratch()
+    val lifted = Dedup.simhashComponentsCollapsed(corpus, maxHamming = 12)
+      .as[(Long, Long)].collect()
+    Dedup.releaseScratch()
+    assert(lifted.length == lifted.toSet.size,
+      "simhash lifted labeling emitted a doc more than once")
+    assert(lifted.toSet == direct,
+      s"lifted-direct=${lifted.toSet -- direct} " +
+        s"direct-lifted=${direct -- lifted.toSet}")
+    // cross-class connectivity present (docs 1 and 3 share a cluster)
+    val m = direct.toMap
+    assert(m.get(3L).contains(m(1L)))
+  }
+
   test("incremental cluster update: merges, pulls, pass-through, min labels") {
     // synthetic edges exercise every re-expansion case deterministically:
     //  - new doc 100 bridges clusters {1,2} and {5,6} → MERGE, label 1
