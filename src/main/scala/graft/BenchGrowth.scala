@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * cost, pass 2 is the steady-state signal).
   *
   * Usage: `BenchGrowth
-  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|skew|skewemb|skew30|cc|textret|media|all]`
+  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|skew|skewemb|skew30|cc|ccincr|textret|media|all]`
   * with SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
   */
 object BenchGrowth {
@@ -200,7 +200,7 @@ object BenchGrowth {
     }.reduce(_ unionAll _)
 
   private val axes = Set("all", "dsir", "textops", "sq8ivf", "profile",
-    "graph", "sparsecos", "simhash", "pairs", "skew", "skewemb", "skew30", "cc",
+    "graph", "sparsecos", "simhash", "pairs", "skew", "skewemb", "skew30", "cc", "ccincr",
     "textret", "media")
 
   def main(args: Array[String]): Unit = {
@@ -684,6 +684,73 @@ object BenchGrowth {
       direct30.foreach(cs => require(cs == cs30,
         s"lifted labeling checksum $cs30 != direct $cs at skew30"))
       report(f"cc skew30 docs=$rows30%d labeled=${cs30._1}%d lifted=$lt30%.2f")
+    }
+
+    if (which == "all" || which == "ccincr") {
+      // Daily-ingest admission growth (r13): fold a ~4%-of-corpus delta
+      // (half exact dups of base docs, half fresh disjoint-vocabulary
+      // docs) into an EXISTING labeling via incrementalCandidates +
+      // incrementalClusters, vs re-clustering from scratch under the
+      // same contract (CC over base pairs ∪ delta×base edges — the
+      // spec's ground truth, so checksum equality is exact). The
+      // incremental side honestly re-hashes the base for its signature
+      // join (production keeps that store persisted and bucketed, so
+      // this UNDERSTATES the incremental advantage); the batch side
+      // re-pairs the corpus and re-iterates CC over corpus-scale edges.
+      def ccSum(df: DataFrame): (Long, Long) = {
+        val r = df
+          .select(xxhash64(col("doc_id"), col("cluster_id")).as("h"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      for (n <- Seq(1, 4, 16)) {
+        val base = staged(spark, s"docs_skew_x$n")(
+          replicateDocsSkewed(docs1, n))
+        val rows = base.count()
+        val delta = staged(spark, s"docs_skew_delta_x$n") {
+          val dups = base.filter(pmod(col("doc_id"), lit(50)) === 0)
+            .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+              col("text"), col("lang"))
+          val fresh = base.filter(pmod(col("doc_id"), lit(50)) === 1)
+            .select((col("doc_id") + lit(950000000L)).as("doc_id"),
+              expr("concat_ws(' ', transform(sequence(1, 12), " +
+                "j -> concat('fr', doc_id, 'x', j)))").as("text"),
+              col("lang"))
+          dups.unionByName(fresh)
+        }
+        val dRows = delta.count()
+        // the existing labeling: built once, untimed (it is yesterday's
+        // cluster table in the production shape), localCheckpoint'ed so
+        // neither timed side re-runs its build
+        val baseClusters = ext.Dedup.minhashComponentsCollapsed(base)
+          .localCheckpoint(false)
+        val bcSum = ccSum(baseClusters)
+        ext.Dedup.releaseScratch()
+        var incr = (0L, 0L)
+        val it = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          incr = ccSum(ext.Dedup.incrementalClusters(baseClusters,
+            ext.Dedup.incrementalCandidates(base, delta)))
+          val t = (System.nanoTime() - t0) / 1e9
+          ext.Dedup.releaseScratch(); t
+        }
+        var batch = (0L, 0L)
+        val bt = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          batch = ccSum(ext.Dedup.connectedComponents(
+            ext.Dedup.minhashCandidates(base).unionByName(
+              ext.Dedup.incrementalCandidates(base, delta)
+                .select(col("new_id").as("doc_a"),
+                  col("dup_of").as("doc_b")))))
+          val t = (System.nanoTime() - t0) / 1e9
+          ext.Dedup.releaseScratch(); t
+        }
+        require(incr == batch,
+          s"incremental labeling checksum $incr != batch $batch at x$n")
+        report(f"ccincr docs=$rows%d delta=$dRows%d " +
+          f"baseLabeled=${bcSum._1}%d updatedLabeled=${incr._1}%d " +
+          f"incr=${it(0)}%.2f/${it(1)}%.2f batch=${bt(0)}%.2f/${bt(1)}%.2f")
+      }
     }
 
     if (which == "all" || which == "sparsecos") {
