@@ -1,5 +1,6 @@
 package graft.ext
 
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -129,6 +130,42 @@ class DedupPropertiesSpec extends SparkSpec {
       assert(liftedComp.toMap == comp,
         s"seed $seedNo: lifted=${liftedComp.toMap.toSet -- comp.toSet} " +
           s"direct=${comp.toSet -- liftedComp.toMap.toSet}")
+
+      // simhash lifting: same identity over the simhash pair graph
+      val shDirectComp = Dedup.connectedComponents(
+          Dedup.simhashPairs(docs, maxHamming = 12)
+            .select(col("doc_a"), col("doc_b")))
+        .as[(Long, Long)].collect().toMap
+      Dedup.releaseScratch()
+      val shLifted = Dedup.simhashComponentsCollapsed(docs, maxHamming = 12)
+        .as[(Long, Long)].collect()
+      Dedup.releaseScratch()
+      assert(shLifted.length == shLifted.toSet.size,
+        s"seed $seedNo: simhash lifted labeling emitted a doc twice")
+      assert(shLifted.toMap == shDirectComp,
+        s"seed $seedNo: simhash lifted diverged from direct CC")
+
+      // incremental admission: splitting the corpus at ANY point and
+      // folding the tail in as a delta must reproduce CC over
+      // (head pairs ∪ delta×head edges) — the incremental contract
+      val headDocs = docs.filter(col("doc_id") < 15)
+      val deltaDocs = docs.filter(col("doc_id") >= 15)
+      val headPairs = Dedup.minhashCandidates(headDocs)
+        .localCheckpoint(false)
+      val headClusters = Dedup.connectedComponents(headPairs)
+      val deltaCand = Dedup.incrementalCandidates(headDocs, deltaDocs)
+        .localCheckpoint(false)
+      val updated = Dedup.incrementalClusters(headClusters, deltaCand)
+        .as[(Long, Long)].collect()
+      val groundIncr = Dedup.connectedComponents(headPairs.unionByName(
+          deltaCand.select(col("new_id").as("doc_a"),
+            col("dup_of").as("doc_b"))))
+        .as[(Long, Long)].collect().toMap
+      Dedup.releaseScratch()
+      assert(updated.length == updated.toSet.size,
+        s"seed $seedNo: incremental labeling emitted a doc twice")
+      assert(updated.toMap == groundIncr,
+        s"seed $seedNo: incremental update diverged from batch CC")
 
       // applying clusters keeps exactly one representative per cluster
       val kept = Dedup.applyClusters(docs,
