@@ -751,6 +751,45 @@ object BenchGrowth {
           f"baseLabeled=${bcSum._1}%d updatedLabeled=${incr._1}%d " +
           f"incr=${it(0)}%.2f/${it(1)}%.2f batch=${bt(0)}%.2f/${bt(1)}%.2f")
       }
+      // skew30: the direct batch chain is DNF-shaped here (288 M-edge
+      // list per CC round), so the comparison baseline is the BEST batch
+      // path — the lifted rep-graph labeling over base∪delta. Admission
+      // must beat even that: the lifted batch still re-hashes and
+      // re-bands the whole corpus, the incremental side only contracts
+      // delta edges. Labelings are NOT checksum-comparable here (the
+      // lifted batch sees delta×delta edges the incremental contract
+      // excludes), so the row reports counts, not a require.
+      val b30 = staged(spark, "docs_skew30_x16")(
+        replicateDocsSkewed(docs1, 16, hotTenths = 3))
+      val r30 = b30.count()
+      val delta30 = staged(spark, "docs_skew30_delta_x16") {
+        val dups = b30.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+            col("text"), col("lang"))
+        val fresh = b30.filter(pmod(col("doc_id"), lit(50)) === 1)
+          .select((col("doc_id") + lit(950000000L)).as("doc_id"),
+            expr("concat_ws(' ', transform(sequence(1, 12), " +
+              "j -> concat('fr', doc_id, 'x', j)))").as("text"),
+            col("lang"))
+        dups.unionByName(fresh)
+      }
+      val d30Rows = delta30.count()
+      val bc30 = ext.Dedup.minhashComponentsCollapsed(b30)
+        .localCheckpoint(false)
+      ext.Dedup.releaseScratch()
+      val t0i = System.nanoTime()
+      val upd30 = ccSum(ext.Dedup.incrementalClusters(bc30,
+        ext.Dedup.incrementalCandidates(b30, delta30)))
+      val ti30 = (System.nanoTime() - t0i) / 1e9
+      ext.Dedup.releaseScratch()
+      val t0b = System.nanoTime()
+      val lb30 = ccSum(ext.Dedup.minhashComponentsCollapsed(
+        b30.unionByName(delta30)))
+      val tb30 = (System.nanoTime() - t0b) / 1e9
+      ext.Dedup.releaseScratch()
+      report(f"ccincr skew30 docs=$r30%d delta=$d30Rows%d " +
+        f"updatedLabeled=${upd30._1}%d incr=$ti30%.2f " +
+        f"liftedBatchLabeled=${lb30._1}%d liftedBatch=$tb30%.2f")
     }
 
     if (which == "all" || which == "sparsecos") {
