@@ -199,6 +199,24 @@ object BenchGrowth {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionAll _)
 
+  /** The ccincr admission delta: ~4% of `base`, half EXACT DUPS of base
+    * docs (within-copy id ≡ 0 mod 50, ids offset into a fresh range) and
+    * half FRESH docs with per-doc disjoint vocabularies (id ≡ 1 mod 50;
+    * `fr<id>x<j>` tokens can never collide with base shingles, so the
+    * fresh half must admit cleanly). Deterministic pure-column recipe,
+    * recipe-versioned via [[staged]] like every replicate*. */
+  private[graft] def admissionDelta(base: DataFrame): DataFrame = {
+    val dups = base.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+        col("text"), col("lang"))
+    val fresh = base.filter(pmod(col("doc_id"), lit(50)) === 1)
+      .select((col("doc_id") + lit(950000000L)).as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(1, 12), " +
+          "j -> concat('fr', doc_id, 'x', j)))").as("text"),
+        col("lang"))
+    dups.unionByName(fresh)
+  }
+
   private val axes = Set("all", "dsir", "textops", "sq8ivf", "profile",
     "graph", "sparsecos", "simhash", "pairs", "skew", "skewemb", "skew30", "cc", "ccincr",
     "textret", "media")
@@ -707,17 +725,8 @@ object BenchGrowth {
         val base = staged(spark, s"docs_skew_x$n")(
           replicateDocsSkewed(docs1, n))
         val rows = base.count()
-        val delta = staged(spark, s"docs_skew_delta_x$n") {
-          val dups = base.filter(pmod(col("doc_id"), lit(50)) === 0)
-            .select((col("doc_id") + lit(900000000L)).as("doc_id"),
-              col("text"), col("lang"))
-          val fresh = base.filter(pmod(col("doc_id"), lit(50)) === 1)
-            .select((col("doc_id") + lit(950000000L)).as("doc_id"),
-              expr("concat_ws(' ', transform(sequence(1, 12), " +
-                "j -> concat('fr', doc_id, 'x', j)))").as("text"),
-              col("lang"))
-          dups.unionByName(fresh)
-        }
+        val delta = staged(spark, s"docs_skew_delta_x$n")(
+          admissionDelta(base))
         val dRows = delta.count()
         // the existing labeling: built once, untimed (it is yesterday's
         // cluster table in the production shape), localCheckpoint'ed so
@@ -762,17 +771,8 @@ object BenchGrowth {
       val b30 = staged(spark, "docs_skew30_x16")(
         replicateDocsSkewed(docs1, 16, hotTenths = 3))
       val r30 = b30.count()
-      val delta30 = staged(spark, "docs_skew30_delta_x16") {
-        val dups = b30.filter(pmod(col("doc_id"), lit(50)) === 0)
-          .select((col("doc_id") + lit(900000000L)).as("doc_id"),
-            col("text"), col("lang"))
-        val fresh = b30.filter(pmod(col("doc_id"), lit(50)) === 1)
-          .select((col("doc_id") + lit(950000000L)).as("doc_id"),
-            expr("concat_ws(' ', transform(sequence(1, 12), " +
-              "j -> concat('fr', doc_id, 'x', j)))").as("text"),
-            col("lang"))
-        dups.unionByName(fresh)
-      }
+      val delta30 = staged(spark, "docs_skew30_delta_x16")(
+        admissionDelta(b30))
       val d30Rows = delta30.count()
       val bc30 = ext.Dedup.minhashComponentsCollapsed(b30)
         .localCheckpoint(false)

@@ -145,6 +145,36 @@ class BenchGrowthSpec extends SparkSpec {
     } finally rep.unpersist()
   }
 
+  test("admissionDelta: half exact dups, half disjoint-vocab fresh docs, " +
+      "ids outside the base range") {
+    val base = (0L until 200L).map(i => (i, s"doc body $i unique", "en"))
+      .toDF("doc_id", "text", "lang")
+    val delta = BenchGrowth.admissionDelta(base).cache()
+    try {
+      // 200 docs → 4 dups (ids ≡ 0 mod 50) + 4 fresh (≡ 1 mod 50)
+      assert(delta.count() == 8)
+      val dupTexts = delta.filter($"doc_id" >= 900000000L &&
+          $"doc_id" < 950000000L)
+        .select("text").as[String].collect().toSet
+      // the dup half reproduces base texts EXACTLY (true admission dups)
+      val baseTexts = base.select("text").as[String].collect().toSet
+      assert(dupTexts.size == 4 && dupTexts.subsetOf(baseTexts))
+      // the fresh half shares no token with any base doc (per-doc
+      // disjoint vocabulary — it must admit cleanly, labeled by nothing)
+      val freshTexts = delta.filter($"doc_id" >= 950000000L)
+        .select("text").as[String].collect()
+      assert(freshTexts.length == 4)
+      val baseTokens = baseTexts.flatMap(_.split(" "))
+      freshTexts.foreach { t =>
+        assert(t.split(" ").toSet.intersect(baseTokens).isEmpty)
+      }
+      // delta ids never collide with base ids, and the recipe is
+      // deterministic (two builds are row-identical)
+      assert(delta.join(base, "doc_id").count() == 0)
+      assert(BenchGrowth.admissionDelta(base).except(delta).isEmpty)
+    } finally delta.unpersist()
+  }
+
   test("replicateDocsSkewed hotTenths widens the class in 10% steps " +
       "and leaves the default corpus bit-identical") {
     val base = (0L until 20L).map(i => (i, s"doc body $i unique", "en"))
