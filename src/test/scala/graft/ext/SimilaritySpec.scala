@@ -92,6 +92,37 @@ class SimilaritySpec extends SparkSpec {
     cos.foreach(c => assert(c >= 0.9))
   }
 
+  test("incrementalClusters composes with the embedding LSH family") {
+    // Dedup.incrementalClusters is representation-agnostic: any
+    // (baseClusters, new_id→dup_of candidates) pair folds in, so the
+    // embedding admission path reuses it verbatim. Base: an
+    // identical-vector pair {1,2} plus distinct vectors; delta: vec 50
+    // duplicates the pair's vector (must admit into cluster 1) and
+    // vec 51 is the NEGATED base vector — opposite sign on every
+    // hyperplane, so it collides with nothing and stays out.
+    val vA = randVec(101)
+    val base = Seq((1L, vA), (2L, vA), (3L, randVec(202)),
+      (4L, randVec(303))).toDF("vec_id", "embedding")
+    val delta = Seq((50L, vA), (51L, vA.map(x => -x)))
+      .toDF("vec_id", "embedding")
+    val basePairs = Similarity.nearDupLsh(base, threshold = 0.9)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .localCheckpoint(false)
+    val baseClusters = Dedup.connectedComponents(basePairs)
+    val cand = Similarity.incrementalCandidates(base, delta)
+      .localCheckpoint(false)
+    val got = Dedup.incrementalClusters(baseClusters, cand)
+      .as[(Long, Long)].collect()
+    val ground = Dedup.connectedComponents(basePairs.unionByName(
+        cand.select(col("new_id").as("doc_a"), col("dup_of").as("doc_b"))))
+      .as[(Long, Long)].collect().toMap
+    Dedup.releaseScratch()
+    assert(got.length == got.toSet.size)
+    assert(got.toMap == ground)
+    assert(got.toMap.get(50L).contains(1L), s"got ${got.toMap}")
+    assert(!got.toMap.contains(51L))
+  }
+
   test("nearDupLsh hot-bucket chunked path equals brute force (one giant bucket)") {
     // 600 distinct vectors = base + per-id tiny perturbations, all with
     // pairwise cosine ≈ 1: every vector lands in the SAME signature bucket
