@@ -77,14 +77,42 @@ object Bench {
         .filter(org.apache.spark.sql.functions.col("sum_qty") =!=
           org.apache.spark.sql.functions.lit(-1000000L - tag)), s"uniq $tag")
     }
-    def runAll(): (Seq[(String, Double)], Seq[Double], Seq[Double]) = {
+    // Baseline resolved BEFORE the timed passes (it only reads git/the
+    // committed file): the rolling chunk guard below compares each
+    // interleaved canary against the committed median AS THE RUN
+    // PROGRESSES, so a degraded window announces itself on stderr at the
+    // chunk where it starts instead of only in post-hoc bench_diff.
+    // Provenance is stamped into the record further down.
+    val (baselineTxt, baselineSource) = BenchArbitration
+      .committedRecordText(BenchArbitration.benchOutPath(sys.env.get))
+    val committedWarm: Map[String, Double] =
+      BenchArbitration.parseCommittedWarm(baselineTxt, sfDir)
+    val committedCold: Map[String, Double] =
+      BenchArbitration.parseCommittedCold(baselineTxt, sfDir)
+    val committedUniq =
+      BenchArbitration.parseUniqCanaryMedians(baselineTxt, sfDir)
+    val committedRepeat =
+      BenchArbitration.parseRepeatCanaryMedians(baselineTxt, sfDir)
+    def runAll(phase: String): (Seq[(String, Double)], Seq[Double], Seq[Double]) = {
       val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
       val canariesUniq = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // Rolling in-run guard (r13 VERDICT #4): each canary sample is
+      // judged against the committed median the moment it is taken — a
+      // ≥1.5× reading names the chunk it precedes, so a mid-run slide is
+      // attributable to its window from the stderr log alone.
+      def guard(kind: String, sample: Option[Double],
+                med: Option[Double], at: Int): Unit =
+        for (s <- sample; m <- med if m > 0 && s / m >= 1.5)
+          System.err.println(f"[bench] chunk guard ($phase%s): $kind%s " +
+            f"canary at chunk ${at / canaryEvery}%d reads $s%.2fs = " +
+            f"${s / m}%.2fx the committed median — window degraded")
       val timings = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
         .map { case ((name, fn), i) =>
           if (i % canaryEvery == 0) {
-            canaries ++= canaryOnce()
-            canariesUniq ++= canaryUniqOnce()
+            val c = canaryOnce(); canaries ++= c
+            val u = canaryUniqOnce(); canariesUniq ++= u
+            guard("repeat", c, committedRepeat.get(phase), i)
+            guard("uniq", u, committedUniq.get(phase), i)
           }
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -107,14 +135,16 @@ object Bench {
           }
           name -> (System.nanoTime() - t0) / 1e9
         }
-      canaries ++= canaryOnce()
-      canariesUniq ++= canaryUniqOnce()
+      val c = canaryOnce(); canaries ++= c
+      val u = canaryUniqOnce(); canariesUniq ++= u
+      guard("repeat", c, committedRepeat.get(phase), timings.size)
+      guard("uniq", u, committedUniq.get(phase), timings.size)
       (timings, canaries.toSeq, canariesUniq.toSeq)
     }
     // Pass 1 (cold) is the headline `value`; pass 2 (warm) strips one-time
     // JVM/codegen-compile costs — the stabler round-over-round signal.
-    val (results, canaryCold, canaryUniqCold) = runAll()
-    val (warm0, canaryWarm, canaryUniqWarm) = runAll()
+    val (results, canaryCold, canaryUniqCold) = runAll("cold")
+    val (warm0, canaryWarm, canaryUniqWarm) = runAll("warm")
     // Jitter-resistant warm record: a single warm sample per query carries
     // seconds of box noise (the r7 driver run flagged 59 queries >2x the
     // committed record; every one arbitrated to jitter by BenchOne). So any
@@ -134,15 +164,11 @@ object Bench {
     // sf0.01 run, or mask regressions in the other direction. On mismatch we
     // fall back to this run's own cold readings. Policy functions live in
     // BenchArbitration (unit-covered by BenchArbitrationSpec).
-    // Baseline text resolved ONCE, preferring the git-committed version of
-    // the record over the working-tree file (which Bench itself overwrites
-    // at the end of every run — two back-to-back uncommitted runs must not
-    // re-baseline the second against the first). Provenance is stamped
-    // into the record below.
-    val (baselineTxt, baselineSource) = BenchArbitration
-      .committedRecordText(BenchArbitration.benchOutPath(sys.env.get))
-    val committedWarm: Map[String, Double] =
-      BenchArbitration.parseCommittedWarm(baselineTxt, sfDir)
+    // Baseline text was resolved ONCE before the runs, preferring the
+    // git-committed version of the record over the working-tree file
+    // (which Bench itself overwrites at the end of every run — two
+    // back-to-back uncommitted runs must not re-baseline the second
+    // against the first). Provenance is stamped into the record below.
     val coldByName = results.toMap
     val qByName = SparkEntry.queries
     val retimed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -185,16 +211,12 @@ object Bench {
     // this run would have measured on the committed record's box". Advisory
     // fields; raw totals remain the measurement. Absent when the committed
     // record predates the canary, its sf differs, or a series is short.
-    val committedUniq =
-      BenchArbitration.parseUniqCanaryMedians(baselineTxt, sfDir)
     // Repeat-canary twin (r12 VERDICT #2): the uniq ratio models the
     // COMPILE-constant slide (r11 mode); an execution-path slide (r12
     // mode) moves the repeat canary instead while the uniq one
     // under-corrects. Stamping both ratios lets the record self-correct
     // in either mode; readers compare the two to attribute WHICH path
     // degraded.
-    val committedRepeat =
-      BenchArbitration.parseRepeatCanaryMedians(baselineTxt, sfDir)
     def obsMed(xs: Seq[Double]): Option[Double] =
       if (xs.size >= 2) Some(BenchArbitration.median(xs)) else None
     val normCold = BenchArbitration.normalizedTotal(
@@ -249,6 +271,38 @@ object Bench {
     def arr(xs: Seq[Double]) = xs
       .map(x => String.format(java.util.Locale.ROOT, "%.3f", x))
       .mkString("[", ",", "]")
+    // Per-chunk attribution series (r13 VERDICT #4). chunk_time_ratio_*
+    // is the between-canaries detector: per chunk of `canaryEvery`
+    // queries (run order — chunk i sits between canary samples i and
+    // i+1), observed-over-committed SUM of the chunk's query times; the
+    // WARM series uses the RAW pre-retime readings, because retimes
+    // would erase the very stall the series attributes.
+    // chunk_canary_ratio_* is the per-boundary flavor: each uniq-canary
+    // sample over the committed median. arbitrate.py reads these to
+    // attribute a localized stall to its chunk wholesale instead of
+    // rerunning 30 independently-flagged queries.
+    val chunkTimeCold = BenchArbitration.chunkTimeRatios(
+      results, committedCold, canaryEvery)
+    val chunkTimeWarm = BenchArbitration.chunkTimeRatios(
+      warm0, committedWarm, canaryEvery)
+    val chunkCanCold = BenchArbitration.canaryRatioSeries(
+      canaryUniqCold, committedUniq.get("cold"))
+    val chunkCanWarm = BenchArbitration.canaryRatioSeries(
+      canaryUniqWarm, committedUniq.get("warm"))
+    def arrN(xs: Seq[Option[Double]]) = xs.map {
+      case Some(v) => String.format(java.util.Locale.ROOT, "%.3f", v)
+      case None => "null"
+    }.mkString("[", ",", "]")
+    val chunkJs = Seq(
+      Option.when(chunkTimeCold.nonEmpty)(
+        s""""chunk_time_ratio_cold":${arrN(chunkTimeCold)}"""),
+      Option.when(chunkTimeWarm.nonEmpty)(
+        s""""chunk_time_ratio_warm":${arrN(chunkTimeWarm)}"""),
+      Option.when(chunkCanCold.nonEmpty)(
+        s""""chunk_canary_ratio_cold":${arr(chunkCanCold)}"""),
+      Option.when(chunkCanWarm.nonEmpty)(
+        s""""chunk_canary_ratio_warm":${arr(chunkCanWarm)}""")
+    ).flatten.map("," + _).mkString
     // GC provenance: timings under different collectors are not
     // comparable (r10 A/B: ParallelGC is ~11 s warm / ~30 s cold faster
     // than G1 on the full suite), so the record names the collector the
@@ -263,7 +317,7 @@ object Bench {
       // would silently swallow the parse failure and drop the baseline).
       jsonEsc(names)
     }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"retimed":$retimedJs,"canary_cold":${arr(canaryCold)},"canary_warm":${arr(canaryWarm)},"canary_uniq_cold":${arr(canaryUniqCold)},"canary_uniq_warm":${arr(canaryUniqWarm)},"queries":${js(results)},"queries_warm":${js(warm)},"sf":${jsonEsc(sfDir)},"jvm_gc":$gc$normJs}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"mean_sec":$mean,"warm_total":$warmTotal,"failed":$failedJs,"retimed":$retimedJs,"canary_cold":${arr(canaryCold)},"canary_warm":${arr(canaryWarm)},"canary_uniq_cold":${arr(canaryUniqCold)},"canary_uniq_warm":${arr(canaryUniqWarm)},"canary_every":$canaryEvery,"queries":${js(results)},"queries_warm":${js(warm)},"sf":${jsonEsc(sfDir)},"jvm_gc":$gc$normJs$chunkJs}"""
     println(line)
     // The driver's artifact retains only a stdout tail, which loses most
     // per-query timings; also write the complete line to a committed file

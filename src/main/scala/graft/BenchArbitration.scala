@@ -32,10 +32,20 @@ object BenchArbitration {
     * time-to-failure (near zero), and using it as the expectation would
     * force a pointless retime of the next healthy run's genuine timing. */
   def parseCommittedWarm(txt: String, sfDir: String): Map[String, Double] =
+    parseCommittedQueries(txt, sfDir, "queries_warm")
+
+  /** COLD twin of [[parseCommittedWarm]] (the record's `queries` map) —
+    * feeds the cold-phase chunk-time guard; same sf and failed-query
+    * discipline. */
+  def parseCommittedCold(txt: String, sfDir: String): Map[String, Double] =
+    parseCommittedQueries(txt, sfDir, "queries")
+
+  private def parseCommittedQueries(txt: String, sfDir: String,
+      field: String): Map[String, Double] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
       val recSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
-      val node = root.get("queries_warm")
+      val node = root.get(field)
       if (node == null || recSf != sfDir) Map.empty
       else {
         val failed: Set[String] = Option(root.get("failed")) match {
@@ -160,6 +170,36 @@ object BenchArbitration {
       c <- committedMed if c > 0
       o <- observedMed if o > 0
     } yield raw * c / o
+
+  /** Per-chunk TIME ratios — the rolling in-run guard's detector for the
+    * slide mode neither canary flavor can see (r13 discard #3: a
+    * localized stall sat strictly BETWEEN two canary samples, inflating
+    * ~30 queries while every canary stayed flat). Queries are grouped in
+    * RUN ORDER into chunks of `every` (the canary cadence, so chunk i
+    * is bracketed by canary samples i and i+1); each chunk's ratio is
+    * (observed sum) / (committed sum) over the queries present in the
+    * committed baseline. None when the chunk's committed mass is under
+    * 1 s (a ratio of milliseconds is noise, not signal) or the baseline
+    * is absent. A lone elevated chunk against flat siblings attributes
+    * a stall to its window; a uniform elevation is the box-slide mode
+    * the canary normalization already models. */
+  def chunkTimeRatios(ordered: Seq[(String, Double)],
+                      committed: Map[String, Double],
+                      every: Int): Seq[Option[Double]] =
+    if (committed.isEmpty) Seq.empty
+    else ordered.grouped(every).map { chunk =>
+      val both = chunk.filter { case (n, _) => committed.contains(n) }
+      val com = both.map { case (n, _) => committed(n) }.sum
+      if (com < 1.0) None
+      else Some(both.map(_._2).sum / com)
+    }.toSeq
+
+  /** Canary-sample-over-committed-median ratio series (one entry per
+    * interleaved sample — the per-boundary flavor of the chunk guard);
+    * empty when the committed median is absent or non-positive. */
+  def canaryRatioSeries(xs: Seq[Double], committedMed: Option[Double])
+      : Seq[Double] =
+    committedMed.filter(_ > 0).map(m => xs.map(_ / m)).getOrElse(Seq.empty)
 
   /** Retime trigger: a fresh warm sample is suspect when it is >=2× its
     * expectation AND >=0.5 s over it (small queries jitter by ms — a pure

@@ -292,6 +292,48 @@ object Dedup {
                         k: Int = 8, stride: Int = 4): DataFrame =
     candidatesFromSignatures(minhashSignatures(docs, idCol, k, stride), idCol)
 
+  /** [[minhashCandidates]] over an already-built signature table — the
+    * entry point for callers that stage the signature pipeline ONCE
+    * across several consumers (the bench's shared memo, or a persisted
+    * [[writeSignatureStore]] snapshot read back as a table). Semantics
+    * are identical to feeding `minhashSignatures(docs)` directly. */
+  def candidatesFrom(sigs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    candidatesFromSignatures(sigs, idCol)
+
+  /** One row per doc from a banded signature table: the band-ordered
+    * signature list (`sigs`, for rebuilding a representative's band
+    * rows) plus its canonical class key (`sigkey`, every band's
+    * signature in band order). The ONE definition of the collapse
+    * equivalence — shared by the collapsed operators' class tables and
+    * the Auto selectors' decision probe, so the class key and the
+    * decision key cannot drift apart (r13 ADVICE: the two previously
+    * duplicated the recipe, one keying with the band and one without —
+    * equivalent only while every doc emits exactly bands 0 and 1). */
+  private[ext] def keyedSignatures(sigs: DataFrame, idCol: String)
+      : DataFrame =
+    sigs.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("band"), col("sig"))))
+        .as("sigs"))
+      .withColumn("sigkey", expr(
+        "array_join(transform(sigs, s -> concat(s.band, ':', s.sig)), '|')"))
+
+  /** Largest identical-signature class in a keyed per-doc table — one
+    * map-side-combinable aggregate plus an O(1) driver scalar (the only
+    * driver-side value is the max). */
+  private[ext] def maxClassSize(keyed: DataFrame): Long = {
+    val row = keyed.groupBy(col("sigkey")).count()
+      .agg(max(col("count"))).head()
+    if (row.isNullAt(0)) 0L else row.getLong(0)
+  }
+
+  /** The Auto selectors' decision probe, exposed for callers that stage
+    * the signature table themselves (the bench memoizes one signature
+    * checkpoint across the pair and cluster consumers): size of the
+    * largest identical-signature class. At or past
+    * [[collapseClassThreshold]], take the collapsed/lifted path. */
+  def maxSignatureClass(sigs: DataFrame, idCol: String = "doc_id"): Long =
+    maxClassSize(keyedSignatures(sigs, idCol))
+
   /** [[minhashCandidates]] with COLLAPSE-BEFORE-BANDING — the scale path
     * for pathological duplicate rates (r12 skew30 finding: at 30% hot
     * membership the cross-band `.distinct()` in the direct path shuffles
@@ -341,15 +383,11 @@ object Dedup {
   def minhashCandidatesCollapsed(docs: DataFrame, idCol: String = "doc_id",
                                  k: Int = 8, stride: Int = 4): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, k, stride)
-    // one row per doc: band-ordered signature list + its string key.
+    // one row per doc: band-ordered signature list + its class key
+    // ([[keyedSignatures]] — the shared collapse-equivalence recipe).
     // Persisted scratch: consumed by the class aggregate and by the
     // representative-signature rebuild; released by the runner.
-    val perDoc = persistScratch(sigs
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("band"), col("sig"))))
-        .as("sigs"))
-      .withColumn("sigkey",
-        expr("array_join(transform(sigs, s -> s.sig), '|')")))
+    val perDoc = persistScratch(keyedSignatures(sigs, idCol))
     // one row per signature class: sorted member list, with the min id
     // (the sorted list's head) as the class representative. Serves BOTH
     // the within-class bucket expansion and the cross-class rectangle.
@@ -384,7 +422,7 @@ object Dedup {
     * pinned bench heap (SCALE.md r13). 4096 splits the measured gap: a
     * mispick near the boundary costs ≤ ~2× either way — the selector
     * exists to dodge the catastrophic regimes, not to win the middle. */
-  private[ext] val collapseClassThreshold = 4096L
+  val collapseClassThreshold = 4096L
 
   /** [[minhashCandidates]] with DATA-DRIVEN path selection: computes the
     * largest identical-signature class (one map-side-combinable
@@ -402,14 +440,7 @@ object Dedup {
                             collapseAt: Long = collapseClassThreshold)
       : DataFrame = {
     val sigs = persistScratch(minhashSignatures(docs, idCol, k, stride))
-    val row = sigs
-      .groupBy(col(idCol))
-      .agg(array_join(sort_array(collect_list(
-        concat_ws(":", col("band"), col("sig")))), "|").as("sigkey"))
-      .groupBy(col("sigkey")).count()
-      .agg(max(col("count"))).head()
-    val maxClass = if (row.isNullAt(0)) 0L else row.getLong(0)
-    if (maxClass >= collapseAt)
+    if (maxSignatureClass(sigs, idCol) >= collapseAt)
       minhashCandidatesCollapsed(docs, idCol, k, stride)
     else candidatesFromSignatures(sigs, idCol)
   }
@@ -472,16 +503,11 @@ object Dedup {
                                  k: Int = 8, stride: Int = 4,
                                  maxIter: Int = 20): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, k, stride)
-    // one row per doc: band-ordered signature list + its string key
-    // (fixed small per-doc list — NOT a per-class aggregate). Persisted:
-    // consumed by the class aggregate, the membership join, and the
-    // representative-signature rebuild.
-    val keyed = persistScratch(sigs
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("band"), col("sig"))))
-        .as("sigs"))
-      .withColumn("sigkey",
-        expr("array_join(transform(sigs, s -> s.sig), '|')")))
+    // one row per doc: band-ordered signature list + its class key
+    // ([[keyedSignatures]] — fixed small per-doc list, NOT a per-class
+    // aggregate). Persisted: consumed by the class aggregate, the
+    // membership join, and the representative-signature rebuild.
+    val keyed = persistScratch(keyedSignatures(sigs, idCol))
     // class roster as ROWS: min id + member count, both map-side
     // combinable — a giant class never concentrates on one task here.
     val classes = persistScratch(keyed
@@ -522,14 +548,7 @@ object Dedup {
                             collapseAt: Long = collapseClassThreshold)
       : DataFrame = {
     val sigs = persistScratch(minhashSignatures(docs, idCol, k, stride))
-    val row = sigs
-      .groupBy(col(idCol))
-      .agg(array_join(sort_array(collect_list(
-        concat_ws(":", col("band"), col("sig")))), "|").as("sigkey"))
-      .groupBy(col("sigkey")).count()
-      .agg(max(col("count"))).head()
-    val maxClass = if (row.isNullAt(0)) 0L else row.getLong(0)
-    if (maxClass >= collapseAt)
+    if (maxSignatureClass(sigs, idCol) >= collapseAt)
       minhashComponentsCollapsed(docs, idCol, k, stride, maxIter)
     else connectedComponents(candidatesFromSignatures(sigs, idCol), maxIter)
   }
@@ -547,15 +566,62 @@ object Dedup {
     * as the batch path (ngramJaccard / editDistance on candidates). */
   def incrementalCandidates(base: DataFrame, delta: DataFrame,
                             idCol: String = "doc_id",
-                            k: Int = 8, stride: Int = 4): DataFrame = {
-    val bs = minhashSignatures(base, idCol, k, stride)
-      .select(col("band"), col("sig"), col(idCol).as("dup_of"))
+                            k: Int = 8, stride: Int = 4): DataFrame =
+    incrementalCandidatesFromStore(
+      minhashSignatures(base, idCol, k, stride), delta, idCol, k, stride)
+
+  /** Materialize the corpus's banded signature table as the persisted
+    * SIGNATURE STORE: a managed parquet table bucketed AND sorted by
+    * (band, sig) via [[graft.io.Sinks.bucketedTable]]. This is the
+    * artifact the daily-admission shape assumes at 100 TB — built once
+    * per corpus snapshot (two small rows per document), so admitting a
+    * day's crawl never re-hashes the corpus: the delta's band join reads
+    * the store with NO base-side shuffle at all (bucketed scan; the
+    * bucketed-join plan shape is pinned in ScaleSpec, and the store-path
+    * ≡ recompute-path labeling in DedupSpec). Rebuild the store per
+    * snapshot, or append a compacted day's signatures out of band. */
+  def writeSignatureStore(docs: DataFrame, table: String,
+                          idCol: String = "doc_id", k: Int = 8,
+                          stride: Int = 4, buckets: Int = 64): Unit =
+    graft.io.Sinks.bucketedTable(
+      minhashSignatures(docs, idCol, k, stride)
+        .select(col("band"), col("sig"), col(idCol)),
+      table, Seq("band", "sig"), buckets)
+
+  /** Store-reading overload of [[incrementalCandidates]]: the base side
+    * is an already-built signature table — `spark.table` over a
+    * [[writeSignatureStore]] snapshot (zero base-side hashing AND zero
+    * base-side shuffle: the scan is bucketed on the join key), or any
+    * staged `minhashSignatures` frame. Admission cost is O(delta)
+    * signature hashing plus one band-keyed join, independent of corpus
+    * size — the property the r13 ccincr growth axis UNDERSTATED by
+    * re-hashing the base each run (closed in r14: the axis now measures
+    * this path against the persisted store). */
+  def incrementalCandidatesFromStore(sigStore: DataFrame, delta: DataFrame,
+                                     idCol: String = "doc_id",
+                                     k: Int = 8, stride: Int = 4)
+      : DataFrame = {
+    val bs = sigStore.select(col("band"), col("sig"), col(idCol).as("dup_of"))
     val ds = minhashSignatures(delta, idCol, k, stride)
       .select(col("band"), col("sig"), col(idCol).as("new_id"))
     ds.join(bs, Seq("band", "sig"))
       .select(col("new_id"), col("dup_of"))
       .distinct()
   }
+
+  /** Store-reading overload of [[incrementalClusters]]: fold a delta
+    * into an existing labeling with candidates drawn from the persisted
+    * signature store — the complete daily-admission composition
+    * (signature store → delta×store candidates → delta-scale CC → one
+    * join against the cluster table). Same output contract as
+    * `incrementalClusters(baseClusters, incrementalCandidates(base,
+    * delta))`; the base corpus itself is never touched. */
+  def incrementalClustersFromStore(baseClusters: DataFrame,
+                                   sigStore: DataFrame, delta: DataFrame,
+                                   idCol: String = "doc_id",
+                                   k: Int = 8, stride: Int = 4): DataFrame =
+    incrementalClusters(baseClusters,
+      incrementalCandidatesFromStore(sigStore, delta, idCol, k, stride))
 
   /** SimHash twin of [[minhashComponentsCollapsed]]: component labeling
     * over `simhashPairs(docs, maxHamming)` WITHOUT materializing the
@@ -939,6 +1005,106 @@ object Dedup {
     docs.join(right, Seq(idCol), "left")
       .filter(col("cluster_id").isNull || col("cluster_id") === col(idCol))
       .drop("cluster_id")
+  }
+
+  /** Quality survivorship at entity grain: every document belongs to an
+    * entity (its near-dup cluster's label when clustered, itself when
+    * not), and each entity keeps its best-scoring member — score DESC,
+    * id ASC tie-break, the deterministic policy real corpus dedup wants
+    * (near-dups usually differ by truncation/boilerplate, so "first
+    * crawled" is not "best copy"). One groupBy ARGMAX, no corpus-scale
+    * window: `min(struct(-score, id))` is max-then-tiebreak as a single
+    * map-side-combinable aggregate, so a giant cluster never serializes
+    * onto one task the way a window partition would.
+    *
+    * `scored` = (idCol, scoreCol) at corpus grain — feed UNROUNDED
+    * scores (round at presentation only; rounded ties could diverge
+    * from the exact argmax). `clusters` = (doc_id, cluster_id) from any
+    * components operator. Output: (entity_id, keep_id, n_members,
+    * best_score), one row per entity including singletons — exactly the
+    * sufficient statistic [[incrementalKeepBest]] maintains without
+    * re-reading the corpus. */
+  def keepBest(scored: DataFrame, clusters: DataFrame,
+               idCol: String = "doc_id",
+               scoreCol: String = "quality_score"): DataFrame = {
+    val labeled = scored
+      .join(clusters.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+      .select(coalesce(col("cluster_id"), col(idCol)).as("entity_id"),
+        col(idCol), col(scoreCol))
+    labeled.groupBy(col("entity_id"))
+      .agg(
+        min(struct((-col(scoreCol)).as("ns"), col(idCol).as("id")))
+          .as("best"),
+        count(lit(1)).as("n_members"),
+        max(col(scoreCol)).as("best_score"))
+      .select(col("entity_id"), col("best.id").as("keep_id"),
+        col("n_members"), col("best_score"))
+  }
+
+  /** Delta-scoped survivorship maintenance — the last stage of the
+    * daily-admission composition (store candidates → delta-scale CC →
+    * cluster re-expand → THIS): fold a delta into an existing
+    * [[keepBest]] table re-adjudicating only TOUCHED entities. Output ≡
+    * `keepBest(scored(base∪delta), incrementalClusters(baseClusters,
+    * candidates))` under the incremental contract (delta×delta edges out
+    * of scope, delta ids fresh), WITHOUT re-scoring or re-reading the
+    * base corpus:
+    *
+    *  - the base keep-best rows are sufficient statistics — a merged
+    *    entity is a disjoint union of old entities plus delta docs, so
+    *    its best member is the best among the old entities' bests and
+    *    the delta members (argmax over a union = argmax over group
+    *    argmaxes, with the (score DESC, id ASC) tie-break surviving
+    *    composition because each group's keep_id is already the min id
+    *    among its own maxima), and its member count is the sum;
+    *  - the contracted node id of every base doc IS its old entity_id
+    *    (cluster label when clustered — labels are cluster-min ids —
+    *    else the doc id, which is its singleton entity id), so the same
+    *    delta-scale CC that maintains the cluster table relabels the
+    *    keep-best rows: one left join against the O(delta) component
+    *    map, untouched entities pass through byte-identical;
+    *  - delta docs enter as singleton pseudo-rows (score from
+    *    `deltaScored` — the delta is scored at admission anyway), and
+    *    unmatched delta docs fall through as their own entities exactly
+    *    like the batch path's singletons.
+    *
+    * At 100 TB: admission cost is O(delta + touched entities); the
+    * corpus-scale keep-best table is touched by one keyed outer join,
+    * never rebuilt. `baseKeepBest` must carry UNROUNDED best_score
+    * (see [[keepBest]]); equality with the batch path is spec-pinned in
+    * DedupSpec and measured on the ccincr growth axis. */
+  def incrementalKeepBest(baseClusters: DataFrame, baseKeepBest: DataFrame,
+                          candidates: DataFrame, deltaScored: DataFrame,
+                          idCol: String = "doc_id",
+                          scoreCol: String = "quality_score"): DataFrame = {
+    // contract: same edge relabeling as [[incrementalClusters]] step 1
+    val edges = candidates
+      .join(baseClusters.select(col("doc_id").as("dup_of"),
+        col("cluster_id").as("base_node")), Seq("dup_of"), "left")
+      .select(col("new_id").as("doc_a"),
+        coalesce(col("base_node"), col("dup_of")).as("doc_b"))
+      .distinct()
+    val compN = connectedComponents(edges)
+      .select(col("doc_id").as("node"), col("cluster_id").as("c"))
+    val deltaRows = deltaScored.select(
+      col(idCol).as("entity_id"), col(idCol).as("keep_id"),
+      lit(1L).as("n_members"), col(scoreCol).cast("double").as("best_score"))
+    val allRows = baseKeepBest
+      .select(col("entity_id"), col("keep_id"),
+        col("n_members").cast("long").as("n_members"), col("best_score"))
+      .unionByName(deltaRows)
+    val relabeled = allRows
+      .join(compN, allRows("entity_id") === compN("node"), "left")
+      .select(coalesce(col("c"), col("entity_id")).as("entity_id"),
+        col("keep_id"), col("n_members"), col("best_score"))
+    relabeled.groupBy(col("entity_id"))
+      .agg(
+        min(struct((-col("best_score")).as("ns"), col("keep_id").as("id")))
+          .as("best"),
+        sum(col("n_members")).as("n_members"),
+        max(col("best_score")).as("best_score"))
+      .select(col("entity_id"), col("best.id").as("keep_id"),
+        col("n_members"), col("best_score"))
   }
 
   /** Embedding near-duplicates: cosine ≥ threshold among pairs sharing a

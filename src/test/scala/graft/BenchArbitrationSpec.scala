@@ -146,6 +146,48 @@ class BenchArbitrationSpec extends AnyFunSuite {
     assert(!n(2.0, 0.9, true))          // failed queries are never retimed
   }
 
+  test("chunk time ratios: per-chunk sums, low-mass and no-baseline guards") {
+    val committed = Map("a" -> 1.0, "b" -> 2.0, "c" -> 1.0, "d" -> 1.0,
+      "e" -> 0.2)
+    // chunk 0 (a,b) flat; chunk 1 (c,d) stalled 3x; chunk 2 (e alone)
+    // has only 0.2s of committed mass -> None, not a noise ratio
+    val observed = Seq("a" -> 1.1, "b" -> 1.9, "c" -> 3.0, "d" -> 3.0,
+      "e" -> 1.7)
+    val rs = BenchArbitration.chunkTimeRatios(observed, committed, 2)
+    assert(rs.size == 3)
+    assert(rs(0).exists(r => math.abs(r - 1.0) < 1e-9))
+    assert(rs(1).exists(r => math.abs(r - 3.0) < 1e-9))
+    assert(rs(2).isEmpty)
+    // a query absent from the baseline contributes to NEITHER sum — the
+    // ratio stays a like-for-like comparison
+    val rs2 = BenchArbitration.chunkTimeRatios(
+      Seq("a" -> 1.0, "new_q" -> 99.0), Map("a" -> 1.0), 2)
+    assert(rs2 == Seq(Some(1.0)))
+    // no committed baseline at all -> no series (the record omits the
+    // field rather than stamping all-null)
+    assert(BenchArbitration.chunkTimeRatios(observed, Map.empty, 2).isEmpty)
+  }
+
+  test("canary ratio series: per-sample over committed median, guarded") {
+    val rs = BenchArbitration.canaryRatioSeries(Seq(1.0, 1.5, 3.0), Some(1.5))
+    assert(rs.size == 3 && math.abs(rs(2) - 2.0) < 1e-9)
+    assert(BenchArbitration.canaryRatioSeries(Seq(1.0), None).isEmpty)
+    assert(BenchArbitration.canaryRatioSeries(Seq(1.0), Some(0.0)).isEmpty)
+  }
+
+  test("committed cold baseline parses the queries map with the same guards") {
+    val rec =
+      """{"metric":"total","sf":"/root/testdata/sf0.1","failed":["bad_q"],
+        |"queries":{"q1_agg":2.5,"bad_q":0.01},
+        |"queries_warm":{"q1_agg":1.5}}""".stripMargin.replace("\n", "")
+    val cold = BenchArbitration
+      .parseCommittedCold(rec, "/root/testdata/sf0.1")
+    // failed queries excluded — their cold time is a time-to-failure
+    assert(cold == Map("q1_agg" -> 2.5))
+    assert(BenchArbitration
+      .parseCommittedCold(rec, "/root/testdata/sf0.01").isEmpty)
+  }
+
   test("only a successful retime may lower the sample") {
     // success: min of the two samples (noise is one-sided additive)
     assert(BenchArbitration.merged(3.0, retimeOk = true, 1.2) == 1.2)

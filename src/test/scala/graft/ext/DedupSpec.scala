@@ -310,6 +310,121 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains(51L))          // unmatched delta doc stays out
   }
 
+  test("signature store: store-path admission equals the recompute path") {
+    // the daily-admission contract: candidates and labels drawn from a
+    // persisted bucketed (band, sig) store must be IDENTICAL to the
+    // recompute path that re-hashes the base — the store is a cache of
+    // the signature table, never a different semantics
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different content talking about spark query engines"),
+      (7L, (0 until 12).map(j => s"lone7x$j").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (50L, "the quick brown fox jumps over the lazy dog again and again"),
+      (51L, (0 until 12).map(j => s"lone51x$j").mkString(" ")),
+    ).toDF("doc_id", "text")
+    Dedup.writeSignatureStore(base, "sig_store_spec", buckets = 4)
+    val store = spark.table("sig_store_spec")
+    val fromStore = Dedup.incrementalCandidatesFromStore(store, delta)
+      .as[(Long, Long)].collect().toSet
+    val recompute = Dedup.incrementalCandidates(base, delta)
+      .as[(Long, Long)].collect().toSet
+    assert(fromStore == recompute && fromStore.contains((50L, 1L)))
+    val baseClusters = Dedup.connectedComponents(
+      Dedup.minhashCandidates(base))
+    Dedup.releaseScratch()
+    val viaStore = Dedup.incrementalClustersFromStore(
+        baseClusters, store, delta)
+      .as[(Long, Long)].collect().toMap
+    val viaRecompute = Dedup.incrementalClusters(baseClusters,
+        Dedup.incrementalCandidates(base, delta))
+      .as[(Long, Long)].collect().toMap
+    Dedup.releaseScratch()
+    assert(viaStore == viaRecompute, s"store $viaStore recompute $viaRecompute")
+    assert(viaStore.get(50L).contains(1L))
+    spark.sql("DROP TABLE sig_store_spec")
+  }
+
+  test("keepBest: score argmax with id tie-break, singletons included") {
+    val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.2))
+      .toDF("doc_id", "quality_score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.keepBest(scored, clusters).collect()
+      .map(r => r.getAs[Long]("entity_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Long]("n_members"),
+          r.getAs[Double]("best_score")))).toMap
+    // 2 and 3 tie at 0.9 — the min id among the maxima wins
+    assert(got == Map(1L -> ((2L, 3L, 0.9)), 4L -> ((4L, 1L, 0.2))))
+  }
+
+  test("incremental keep-best equals batch keep-best over base∪delta") {
+    // synthetic part: every maintenance case at once — a delta doc
+    // MERGING two base clusters whose bests TIE across the merge (the
+    // composed tie-break must still pick the min id), a delta doc
+    // pulling an unclustered base doc in and outscoring it, an
+    // untouched cluster passing through, and an unmatched delta doc
+    // landing as its own singleton
+    val baseClusters = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L),
+      (20L, 20L), (21L, 20L)).toDF("doc_id", "cluster_id")
+    val scoreOf = Map(1L -> 0.5, 2L -> 0.9, 5L -> 0.1, 6L -> 0.9,
+      7L -> 0.4, 8L -> 0.3, 20L -> 0.6, 21L -> 0.7)
+    val scoredBase = scoreOf.toSeq.toDF("doc_id", "quality_score")
+    val cand = Seq((100L, 2L), (100L, 6L), (101L, 7L))
+      .toDF("new_id", "dup_of")
+    val deltaScored = Seq((100L, 0.3), (101L, 0.95), (102L, 0.4))
+      .toDF("doc_id", "quality_score")
+    val baseKeepBest = Dedup.keepBest(scoredBase, baseClusters)
+    val got = Dedup.incrementalKeepBest(baseClusters, baseKeepBest,
+        cand, deltaScored)
+      .collect().map(r => r.getAs[Long]("entity_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Long]("n_members"),
+          r.getAs[Double]("best_score")))).toMap
+    val ground = Dedup.keepBest(
+        scoredBase.unionByName(deltaScored),
+        Dedup.incrementalClusters(baseClusters, cand))
+      .collect().map(r => r.getAs[Long]("entity_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Long]("n_members"),
+          r.getAs[Double]("best_score")))).toMap
+    assert(got == ground, s"got $got ground $ground")
+    // the merged {1,2}+{5,6}+100 entity ties 2 vs 6 at 0.9 → keeps 2
+    assert(got.get(1L).contains((2L, 5L, 0.9)))
+    // 101 outscores the base doc it pulled in
+    assert(got.get(7L).contains((101L, 2L, 0.95)))
+    // untouched cluster and unmatched delta singleton pass through
+    assert(got.get(20L).contains((21L, 2L, 0.7)))
+    assert(got.get(102L).contains((102L, 1L, 0.4)))
+
+    // real-signature part: the same equality through minhash candidates
+    // and quality scores computed from text
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different content talking about spark query engines"),
+      (7L, (0 until 12).map(j => s"lone7x$j").mkString(" ")),
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (50L, "the quick brown fox jumps over the lazy dog again and again"),
+      (51L, (0 until 12).map(j => s"lone51x$j").mkString(" ")),
+    ).toDF("doc_id", "text")
+    def q(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.qualityScore(df).select(col("doc_id"),
+        col("quality_score"))
+    val bc = Dedup.connectedComponents(Dedup.minhashCandidates(base))
+    val rcand = Dedup.incrementalCandidates(base, delta)
+    val rGot = Dedup.incrementalKeepBest(bc, Dedup.keepBest(q(base), bc),
+        rcand, q(delta))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val rGround = Dedup.keepBest(q(base.unionByName(delta)),
+        Dedup.incrementalClusters(bc, rcand))
+      .as[(Long, Long, Long, Double)].collect().toSet
+    Dedup.releaseScratch()
+    assert(rGot == rGround, s"got $rGot ground $rGround")
+    assert(rGot.exists(r => r._1 == 1L && r._2 == 1L && r._3 == 3L))
+  }
+
   test("ngram jaccard: identical docs = 1.0, near-dups high, ordered pairs") {
     val j = Dedup.ngramJaccard(docs, Dedup.minhashCandidates(docs))
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),

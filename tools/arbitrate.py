@@ -46,6 +46,19 @@ the query's own shift: a host-level slowdown inflates every unique
 query's plan/compile constant uniformly, and re-running the query on the
 same degraded box would "confirm" what is really an environment change
 (the r11 code-control experiment; see SCALE.md).
+
+A `chunk` verdict (r14) fires BEFORE any fresh-JVM rerun, from the
+record's own chunk_time_ratio_* series (Bench's rolling in-run guard):
+when the flagged query's chunk — its position in run order over
+canary_every — shows a LOCALIZED time inflation (chunk ratio >= 1.5
+while the median chunk sits <= 1.15), the whole chunk was a mid-run
+stall window and every flag inside it is attributed wholesale instead
+of 30 queries being rerun one by one. This is the slide mode both
+canary flavors are blind to (the r13 third discard: an a_*-block stall
+strictly between canary samples). Like `box`, `chunk` exits 2 — the
+window heuristic could absorb a genuine regression that happens to sit
+in a stalled chunk, so the run must be re-arbitrated in a healthy
+window rather than read as clean.
 (parseCommittedWarm and bench_diff ignore unknown fields, so the stamp
 is backward-compatible with every reader of the record.)
 
@@ -65,6 +78,9 @@ import sys
 RATIO = 1.5      # bench_diff's confirmation thresholds, reused verbatim
 ABS_FLOOR = 0.5
 PASSES = 4       # default fresh-JVM series length (1 cold + 3 steady)
+CHUNK_STALL = 1.5    # a chunk this far over its committed sum is a stall…
+CHUNK_FLAT = 1.15    # …but only when the median chunk stayed this flat
+                     # (a uniform elevation is the box mode, not a stall)
 
 
 def load(src: str) -> dict:
@@ -101,6 +117,32 @@ def flags_from_diff(record_path: str, old: str):
                     continue  # bench_diff's RESTATED carve-out
                 out.append((phase, q, t_old, t_new))
     return out
+
+
+def chunk_stall(record: dict, phase: str, query: str):
+    """Return (chunk_index, chunk_ratio) when the flagged query sits in a
+    LOCALIZED stalled chunk per the record's chunk_time_ratio_* series
+    (Bench's rolling guard), else None. Localization needs >= 3 measured
+    chunks — one elevated chunk against zero flat siblings proves
+    nothing."""
+    field = ("chunk_time_ratio_cold" if phase == "queries"
+             else "chunk_time_ratio_warm")
+    ratios = record.get(field)
+    if not ratios:
+        return None
+    every = record.get("canary_every", 25)
+    order = sorted(record.get("queries", {}))
+    if query not in order:
+        return None
+    ci = order.index(query) // every
+    if ci >= len(ratios) or ratios[ci] is None:
+        return None
+    vals = [r for r in ratios if r is not None]
+    if len(vals) < 3:
+        return None
+    if ratios[ci] >= CHUNK_STALL and median(vals) <= CHUNK_FLAT:
+        return ci, ratios[ci]
+    return None
 
 
 def bench_one(query: str, passes: int, sf_dir: str):
@@ -196,10 +238,32 @@ def main() -> int:
     # box" flow) must be able to downgrade a stale `box`/`confirmed` stamp
     # from an earlier run to `jitter`, else the stamped record permanently
     # contradicts the rerun's own printed output and exit code.
-    severity = {"jitter": 0, "box": 1, "confirmed": 2}
+    severity = {"jitter": 0, "box": 1, "chunk": 1, "confirmed": 2}
     stamped_this_run = set()
-    n_conf = n_box = 0
+    n_conf = n_box = n_chunk = 0
     for phase, q, t_old, t_new in targets:
+        # Chunk attribution runs BEFORE any fresh-JVM rerun, and only for
+        # auto-derived flags (a forced query is the explicit debug path
+        # and always gets its rerun): a flag inside a localized stalled
+        # chunk is the window's fault, stamped wholesale.
+        stall = None if queries else chunk_stall(record, phase, q)
+        if stall is not None:
+            ci, cr = stall
+            label = "cold" if phase == "queries" else "warm"
+            print(f"ARBITRATED {label} {q}: old {t_old:.2f}s, flagged "
+                  f"{t_new:.2f}s -> chunk {ci} stalled in-run "
+                  f"(chunk ratio {cr:.2f}, sibling chunks flat): CHUNK "
+                  f"— attributed to the window, no rerun")
+            n_chunk += 1
+            prior = verdicts.get(q) if q in stamped_this_run else None
+            stamped_this_run.add(q)
+            if prior is None or severity["chunk"] >= severity[prior["verdict"]]:
+                verdicts[q] = {
+                    "phase": phase, "old": round(t_old, 3),
+                    "flagged": round(t_new, 3), "chunk": ci,
+                    "chunk_ratio": round(cr, 3), "verdict": "chunk",
+                }
+            continue
         series = bench_one(q, passes, sf_dir)
         steady = median(series[1:]) if len(series) > 1 else series[0]
         sample = series[0] if phase == "queries" else steady
@@ -234,17 +298,17 @@ def main() -> int:
     with open(record_path, "w") as f:
         json.dump(record, f, separators=(",", ":"))
         f.write("\n")
-    print(f"arbitrate: {len(targets)} run(s) stamped into {record_path} "
-          f"({n_conf} confirmed, {n_box} box)")
+    print(f"arbitrate: {len(targets)} flag(s) stamped into {record_path} "
+          f"({n_conf} confirmed, {n_box} box, {n_chunk} chunk)")
     # Three-valued exit, mirroring bench_diff --strict: 1 = confirmed
-    # regressions; 2 = no confirmations but >=1 `box` verdict — the
-    # box-attribution heuristic can absorb a genuine regression that is
-    # slightly smaller than a host-wide uniq-canary shift, so CI must
-    # surface the run for re-arbitration on a healthy box rather than
-    # read it as clean; 0 = all-jitter.
+    # regressions; 2 = no confirmations but >=1 `box`/`chunk` verdict —
+    # either attribution heuristic can absorb a genuine regression that
+    # coincides with a host-wide shift or sits inside a stalled chunk,
+    # so CI must surface the run for re-arbitration in a healthy window
+    # rather than read it as clean; 0 = all-jitter.
     if n_conf:
         return 1
-    if n_box:
+    if n_box or n_chunk:
         return 2
     return 0
 

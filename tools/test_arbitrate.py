@@ -225,6 +225,65 @@ def test_box_ratio_override_replaces_record_derived_ratio():
         assert got2["verdict"] == "box", got2
 
 
+def test_chunk_verdict_attributes_a_localized_stall_without_reruns():
+    with tempfile.TemporaryDirectory() as d:
+        # ten queries, canary_every=2 -> five chunks [a,b][c,d][e,f][g,h]
+        # [i,j] in run (sorted) order. Chunk 1 stalled mid-run: c and d
+        # tripled while the median chunk stayed flat — the record's own
+        # chunk_time_ratio_warm series (Bench's rolling guard) says so.
+        # Flags for c and d must be attributed to the chunk with NO
+        # fresh-JVM runs; the genuine regression e (whose chunk ratio is
+        # diluted under CHUNK_STALL by its heavy flat neighbor f) must
+        # still be rerun and confirmed, so the exit is 1.
+        names = [chr(ord("a") + k) for k in range(10)]
+        old_warm = {q: 1.0 for q in names}
+        old_warm["f"] = 10.0
+        old = record({q: 1.0 for q in names}, old_warm)
+        warm_new = dict(old_warm)
+        warm_new.update({"c": 3.0, "d": 3.1, "e": 2.8})
+        new = record({q: 1.0 for q in names}, warm_new)
+        new["canary_every"] = 2
+        new["chunk_time_ratio_warm"] = [1.05, 3.05, 1.16, 1.0, 1.0]
+        np_, op = write(d, "new.json", new), write(d, "old.json", old)
+        rc, calls = run_main([np_, "--old", op],
+                             {"e": [5.0, 2.8, 2.8, 2.9]})
+        assert rc == 1, rc  # the confirmed e outranks the chunk verdicts
+        assert [c[0] for c in calls] == ["e"], calls  # c, d never rerun
+        arb = json.load(open(np_))["arbitration"]
+        assert arb["c"]["verdict"] == "chunk" and arb["c"]["chunk"] == 1, arb
+        assert arb["d"]["verdict"] == "chunk", arb
+        assert arb["e"]["verdict"] == "confirmed", arb
+
+        # all-chunk flags with nothing confirmed exit 2 (window-tainted)
+        warm2 = dict(old_warm)
+        warm2.update({"c": 3.0, "d": 3.1})
+        new2 = record({q: 1.0 for q in names}, warm2)
+        new2["canary_every"] = 2
+        new2["chunk_time_ratio_warm"] = [1.05, 3.05, 1.0, 1.0, 1.0]
+        np2, op2 = write(d, "new2.json", new2), write(d, "old2.json", old)
+        rc2, calls2 = run_main([np2, "--old", op2], {})
+        assert rc2 == 2, rc2
+        assert calls2 == [], calls2
+
+        # a UNIFORM elevation (every chunk ~3x) is the box mode, not a
+        # stall: chunk attribution must decline and the reruns happen
+        warm3 = {q: v * 3 for q, v in old_warm.items()}
+        new3 = record({q: 1.0 for q in names}, warm3)
+        new3["canary_every"] = 2
+        new3["chunk_time_ratio_warm"] = [3.0] * 5
+        np3, op3 = write(d, "new3.json", new3), write(d, "old3.json", old)
+        rc3, calls3 = run_main(
+            [np3, "--old", op3],
+            {q: [1.0, 1.0, 1.0, 1.0] for q in names})
+        assert rc3 == 0, rc3  # fresh JVMs all measure jitter
+        assert len(calls3) == len(names), calls3
+
+        # a forced query always gets its rerun even inside a stalled chunk
+        rc4, calls4 = run_main([np_, "--old", op, "c"],
+                               {"c": [1.0, 1.0, 1.0, 1.0]})
+        assert [c[0] for c in calls4] == ["c"], calls4
+
+
 if __name__ == "__main__":
     test_flags_match_bench_diff_thresholds()
     test_warm_steady_vs_cold_pass1_verdicts()
@@ -234,4 +293,5 @@ if __name__ == "__main__":
     test_confirmed_verdict_survives_a_same_query_box_verdict()
     test_rearbitration_can_downgrade_a_stale_stamp()
     test_box_ratio_override_replaces_record_derived_ratio()
+    test_chunk_verdict_attributes_a_localized_stall_without_reruns()
     print("all assertions passed")
