@@ -697,7 +697,23 @@ object Dedup {
     * the cluster table — the corpus itself is never re-scanned and the
     * corpus-scale pair set never exists. */
   def incrementalClusters(baseClusters: DataFrame,
-                          candidates: DataFrame): DataFrame = {
+                          candidates: DataFrame): DataFrame =
+    incrementalClustersFrom(baseClusters,
+      contractedComponents(baseClusters, candidates))
+
+  /** Steps 1–2 of the admission maintainers, shared by
+    * [[incrementalClusters]] and [[incrementalKeepBest]]: contract each
+    * clustered base endpoint to its cluster LABEL (labels are
+    * cluster-min doc ids, so contraction preserves reachability and the
+    * eventual min; an unclustered endpoint stays itself — its node id
+    * IS its singleton entity id), then label the contracted graph at
+    * delta scale. Output (node, c): old entity id → merged component
+    * label, one row per TOUCHED node. A composed daily pipeline
+    * computes this ONCE and feeds both maintainers
+    * ([[incrementalClustersFrom]] / [[incrementalKeepBestFrom]]) — the
+    * delta-scale CC is the fixed cost of admission, paid once. */
+  def contractedComponents(baseClusters: DataFrame,
+                           candidates: DataFrame): DataFrame = {
     val edges = candidates
       .join(baseClusters.select(col("doc_id").as("dup_of"),
         col("cluster_id").as("base_node")), Seq("dup_of"), "left")
@@ -706,8 +722,14 @@ object Dedup {
       // many dup_of inside one cluster contract to one edge; the
       // distinct runs on the DELTA-sized contracted list, not the corpus
       .distinct()
-    val compN = connectedComponents(edges)
+    connectedComponents(edges)
       .select(col("doc_id").as("node"), col("cluster_id").as("c"))
+  }
+
+  /** Step 3 of [[incrementalClusters]] over a precomputed
+    * [[contractedComponents]] map. */
+  def incrementalClustersFrom(baseClusters: DataFrame,
+                              compN: DataFrame): DataFrame = {
     val updatedBase = baseClusters
       .join(compN, baseClusters("cluster_id") === compN("node"), "left")
       .select(baseClusters("doc_id"),
@@ -1076,16 +1098,19 @@ object Dedup {
   def incrementalKeepBest(baseClusters: DataFrame, baseKeepBest: DataFrame,
                           candidates: DataFrame, deltaScored: DataFrame,
                           idCol: String = "doc_id",
-                          scoreCol: String = "quality_score"): DataFrame = {
-    // contract: same edge relabeling as [[incrementalClusters]] step 1
-    val edges = candidates
-      .join(baseClusters.select(col("doc_id").as("dup_of"),
-        col("cluster_id").as("base_node")), Seq("dup_of"), "left")
-      .select(col("new_id").as("doc_a"),
-        coalesce(col("base_node"), col("dup_of")).as("doc_b"))
-      .distinct()
-    val compN = connectedComponents(edges)
-      .select(col("doc_id").as("node"), col("cluster_id").as("c"))
+                          scoreCol: String = "quality_score"): DataFrame =
+    incrementalKeepBestFrom(
+      contractedComponents(baseClusters, candidates),
+      baseKeepBest, deltaScored, idCol, scoreCol)
+
+  /** [[incrementalKeepBest]] over a precomputed [[contractedComponents]]
+    * map — the composed-admission form: the delta-scale CC runs once and
+    * maintains the cluster table AND the keep-best table. */
+  def incrementalKeepBestFrom(compN: DataFrame, baseKeepBest: DataFrame,
+                              deltaScored: DataFrame,
+                              idCol: String = "doc_id",
+                              scoreCol: String = "quality_score")
+      : DataFrame = {
     val deltaRows = deltaScored.select(
       col(idCol).as("entity_id"), col(idCol).as("keep_id"),
       lit(1L).as("n_members"), col(scoreCol).cast("double").as("best_score"))
