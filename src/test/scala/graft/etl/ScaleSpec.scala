@@ -86,4 +86,35 @@ class ScaleSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("signature-store admission join reads the store without an exchange") {
+    // the daily-admission plan contract (r14): the base side of the
+    // delta×store band join is the bucketed (band, sig) signature store,
+    // so the only (band, sig) exchange in the plan is the DELTA side's —
+    // a second one would mean the store's bucketing was not honored and
+    // the corpus-scale table would re-shuffle every day
+    val base = (1L to 200L).map(i =>
+      (i, s"base document number $i about topic${i % 5} material here"))
+      .toDF("doc_id", "text")
+    val delta = (1000L to 1010L).map(i =>
+      (i, s"base document number ${i - 999} about topic${(i - 999) % 5} " +
+        "material here")).toDF("doc_id", "text")
+    graft.ext.Dedup.writeSignatureStore(base, "g_sig_store", buckets = 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cand = graft.ext.Dedup.incrementalCandidatesFromStore(
+        spark.table("g_sig_store"), delta)
+      val plan = cand.queryExecution.executedPlan.toString
+      val bandSigExchanges = "Exchange hashpartitioning\\(band".r
+        .findAllIn(plan).size
+      assert(bandSigExchanges == 1,
+        s"expected exactly the delta-side (band, sig) exchange:\n$plan")
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(cand.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS g_sig_store")
+    }
+  }
 }
