@@ -21,11 +21,16 @@ done
 # 207.9->176.2/180.7 s, canary medians 1.14->1.03 — the throughput
 # collector suits a 221-query batch session better than G1's pause
 # targeting; see SCALE.md bench methodology r10).
+# Full stderr to a side log: Bench's rolling chunk-guard warnings fire
+# MID-RUN and a bare tail -5 would swallow them (r14 attempt 2: four
+# guard lines lost); surface them explicitly after the run.
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
 java $ADD_OPENS -Xmx8g -XX:+UseParallelGC ${GRAFT_EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
-  graft.Bench 2> >(tail -5 >&2) | tail -1 > /dev/null
+  graft.Bench 2> /tmp/graft_bench_stderr.log | tail -1 > /dev/null
+tail -5 /tmp/graft_bench_stderr.log >&2
+grep "chunk guard" /tmp/graft_bench_stderr.log >&2 || true
 # Diff the record Bench actually wrote: under SPARK_GRAFT_BENCH_OUT
 # (e.g. BENCH_lc.json) a hardcoded BENCH_full.json would silently diff
 # the WRONG file against HEAD and report a stale verdict.
