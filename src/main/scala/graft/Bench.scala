@@ -103,9 +103,11 @@ object Bench {
       def guard(kind: String, sample: Option[Double],
                 med: Option[Double], at: Int): Unit =
         for (s <- sample; m <- med if m > 0 && s / m >= 1.5)
+          // ASCII-only: this line must survive whatever default encoding
+          // the launching shell gives the JVM's stderr
           System.err.println(f"[bench] chunk guard ($phase%s): $kind%s " +
             f"canary at chunk ${at / canaryEvery}%d reads $s%.2fs = " +
-            f"${s / m}%.2fx the committed median — window degraded")
+            f"${s / m}%.2fx the committed median -- window degraded")
       val timings = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex
         .map { case ((name, fn), i) =>
           if (i % canaryEvery == 0) {

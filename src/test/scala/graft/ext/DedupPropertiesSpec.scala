@@ -167,6 +167,29 @@ class DedupPropertiesSpec extends SparkSpec {
       assert(updated.toMap == groundIncr,
         s"seed $seedNo: incremental update diverged from batch CC")
 
+      // keep-best maintenance (r14): folding the same delta into the
+      // head's keep-best table must equal batch keep-best over the
+      // updated labeling, for ANY scores — coarse-quantized here so
+      // cross-entity score TIES occur and the composed (score DESC,
+      // id ASC) tie-break is genuinely exercised
+      val score = (col("doc_id") * 7919 % 13).cast("double") / 13.0
+      val headScored = headDocs.select(col("doc_id"),
+        score.as("quality_score"))
+      val deltaScored = deltaDocs.select(col("doc_id"),
+        score.as("quality_score"))
+      val kb = Dedup.incrementalKeepBest(headClusters,
+          Dedup.keepBest(headScored, headClusters), deltaCand, deltaScored)
+        .as[(Long, Long, Long, Double)].collect()
+      val kbGround = Dedup.keepBest(
+          headScored.unionByName(deltaScored),
+          updated.toSeq.toDF("doc_id", "cluster_id"))
+        .as[(Long, Long, Long, Double)].collect().toSet
+      Dedup.releaseScratch()
+      assert(kb.length == kb.toSet.size,
+        s"seed $seedNo: incremental keep-best emitted an entity twice")
+      assert(kb.toSet == kbGround,
+        s"seed $seedNo: incremental keep-best diverged from batch")
+
       // applying clusters keeps exactly one representative per cluster
       val kept = Dedup.applyClusters(docs,
           comp.toSeq.toDF("doc_id", "cluster_id"))
