@@ -67,6 +67,32 @@ object Sinks {
       .saveAsTable(name)
   }
 
+  /** Atomically REPLACE a bucketed managed table with `df` — the
+    * bucketed-table twin of [[upsertParquet]]'s checked swap. The staged
+    * twin table (`name__staged`) is written COMPLETELY first, so the
+    * only full copy of the data is never dropped before its replacement
+    * exists; then a catalog drop + rename commits the swap, and the
+    * commit is verified (`ALTER TABLE RENAME` moves a managed table's
+    * directory with it, so the new table keeps a managed location).
+    * `df` may read from `name` itself — store compaction does — because
+    * the staged write consumes the old rows before anything is dropped.
+    * A crash between the drop and the rename leaves the complete staged
+    * table on disk and in the catalog for recovery; nothing is ever
+    * deleted that isn't already superseded. */
+  def replaceBucketedTable(df: DataFrame, name: String,
+                           bucketCols: Seq[String],
+                           buckets: Int = 64): Unit = {
+    require(!name.contains(".") && !name.contains("/"),
+      s"replaceBucketedTable takes a simple table name, got: $name")
+    val spark = df.sparkSession
+    val staged = name + "__staged"
+    bucketedTable(df, staged, bucketCols, buckets)
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"ALTER TABLE `$staged` RENAME TO `$name`")
+    require(spark.catalog.tableExists(name),
+      s"swap: rename $staged -> $name did not commit")
+  }
+
   /** Keyed upsert (MERGE emulation) into a parquet location — the "upsert
     * strategy" the reference's problem statement asked for and never got
     * (SURVEY §2.9: Redshift COPY appends, so reruns duplicate). Read the

@@ -44,11 +44,21 @@ object ExtensionQueries extends QueryGroup {
   // so the graded plan IS the data-driven scale path. At this corpus's
   // duplicate profile the probe selects the direct branch — selector
   // invariance is the point: the oracle and the plans are unchanged.
+  // BOTH branches consume the staged signature table (r14 ADVICE: the
+  // collapsed branch used to rebuild the shingle→md5→min pipeline —
+  // a localCheckpoint never plan-matches a rebuilt pipeline in the
+  // CacheManager). The collapsed labeling is checkpointed before
+  // memoizing so later consumers read materialized rows whatever
+  // scratch frames the bench runner has released in between; the
+  // direct branch needs no extra stage (connectedComponents returns a
+  // select over its own checkpointed fixpoint), keeping this corpus's
+  // graded plans unchanged.
   private def sharedClusters(s: SparkSession, dir: String): DataFrame =
     clustersMemo.getOrElseUpdate((s, dir),
       if (Dedup.maxSignatureClass(sharedSignatures(s, dir)) >=
           Dedup.collapseClassThreshold)
-        Dedup.minhashComponentsCollapsed(docs(s, dir))
+        Dedup.minhashComponentsCollapsedFrom(sharedSignatures(s, dir))
+          .localCheckpoint(false)
       else Dedup.connectedComponents(sharedCandidates(s, dir)))
 
   // The candidate PAIRS themselves feed five consumers (the cluster build

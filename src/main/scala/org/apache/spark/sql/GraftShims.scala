@@ -22,6 +22,17 @@ object GraftShims {
     else ss.catalog.defaultTablePath(id)
   }
 
+  /** The table's bucket count (None when the table exists unbucketed).
+    * Store maintenance reads this so appends and compaction rewrites
+    * always match the layout the store was CREATED with, whatever
+    * bucket count the caller picked then. `sessionState` is
+    * private[sql], hence this shim. */
+  def tableBuckets(spark: SparkSession, name: String): Option[Int] = {
+    val ss = spark.asInstanceOf[classic.SparkSession].sessionState
+    val id = ss.sqlParser.parseTableIdentifier(name)
+    ss.catalog.getTableMetadata(id).bucketSpec.map(_.numBuckets)
+  }
+
   /** Unload every loaded streaming state-store provider and stop the
     * state-store maintenance machinery. Safe to call between queries: the
     * next stateful stream lazily re-creates what it needs

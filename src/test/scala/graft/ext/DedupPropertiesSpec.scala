@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, when}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -171,24 +171,53 @@ class DedupPropertiesSpec extends SparkSpec {
       // head's keep-best table must equal batch keep-best over the
       // updated labeling, for ANY scores — coarse-quantized here so
       // cross-entity score TIES occur and the composed (score DESC,
-      // id ASC) tie-break is genuinely exercised
-      val score = (col("doc_id") * 7919 % 13).cast("double") / 13.0
+      // id ASC) tie-break is genuinely exercised, with a NULL stripe
+      // (doc_id ≡ 3 mod 11) so nulls-lose survives composition too
+      val score = when(col("doc_id") % 11 === 3, lit(null).cast("double"))
+        .otherwise((col("doc_id") * 7919 % 13).cast("double") / 13.0)
       val headScored = headDocs.select(col("doc_id"),
         score.as("quality_score"))
       val deltaScored = deltaDocs.select(col("doc_id"),
         score.as("quality_score"))
-      val kb = Dedup.incrementalKeepBest(headClusters,
-          Dedup.keepBest(headScored, headClusters), deltaCand, deltaScored)
-        .as[(Long, Long, Long, Double)].collect()
-      val kbGround = Dedup.keepBest(
-          headScored.unionByName(deltaScored),
-          updated.toSeq.toDF("doc_id", "cluster_id"))
-        .as[(Long, Long, Long, Double)].collect().toSet
+      def kbRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getAs[Long]("entity_id"),
+          r.getAs[Long]("keep_id"), r.getAs[Long]("n_members"),
+          Option(r.getAs[java.lang.Double]("best_score"))))
+      val kb = kbRows(Dedup.incrementalKeepBest(headClusters,
+        Dedup.keepBest(headScored, headClusters), deltaCand, deltaScored))
+      val kbGround = kbRows(Dedup.keepBest(
+        headScored.unionByName(deltaScored),
+        updated.toSeq.toDF("doc_id", "cluster_id"))).toSet
       Dedup.releaseScratch()
       assert(kb.length == kb.toSet.size,
         s"seed $seedNo: incremental keep-best emitted an entity twice")
       assert(kb.toSet == kbGround,
         s"seed $seedNo: incremental keep-best diverged from batch")
+
+      // persisted-store admission ≡ recompute on arbitrary corpora (r14
+      // VERDICT #6): the store path must survive the round-trip through
+      // the bucketed on-disk table, not just frame-level delegation —
+      // and compacting that store against the head labeling must leave
+      // the maintained cluster table byte-identical (the compaction
+      // keeps one member per (band, sig, entity), which is exactly the
+      // grain admission contracts to)
+      val tbl = s"sig_prop_seed$seedNo"
+      Dedup.writeSignatureStore(headDocs, tbl, buckets = 4)
+      val candStore = Dedup.incrementalCandidatesFromStore(
+          spark.table(tbl), deltaDocs)
+        .as[(Long, Long)].collect().toSet
+      val candRecompute = deltaCand
+        .as[(Long, Long)].collect().toSet
+      assert(candStore == candRecompute,
+        s"seed $seedNo: store candidates diverged from recompute")
+      Dedup.compactSignatureStore(spark, tbl, headClusters)
+      val updCompact = Dedup.incrementalClusters(headClusters,
+          Dedup.incrementalCandidatesFromStore(spark.table(tbl), deltaDocs))
+        .as[(Long, Long)].collect().toMap
+      Dedup.releaseScratch()
+      assert(updCompact == updated.toMap,
+        s"seed $seedNo: admit-after-compact diverged from full-store")
+      spark.sql(s"DROP TABLE `$tbl`")
 
       // applying clusters keeps exactly one representative per cluster
       val kept = Dedup.applyClusters(docs,

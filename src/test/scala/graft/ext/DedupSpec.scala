@@ -347,6 +347,84 @@ class DedupSpec extends SparkSpec {
     spark.sql("DROP TABLE sig_store_spec")
   }
 
+  test("store lifecycle: append admits tomorrow's match; compaction is " +
+       "lossless for the maintained tables and shrinks the store") {
+    val tbl = "sig_life_spec"
+    val dupText = "the quick brown fox jumps over the lazy dog again and again"
+    // base: a 3-member duplicate class (1,2,3) + a loner
+    val base = Seq((1L, dupText), (2L, dupText), (3L, dupText),
+      (7L, (0 until 12).map(j => s"lone7x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureStore(base, tbl, buckets = 4)
+    val baseClusters = Dedup.connectedComponents(
+        Dedup.minhashCandidates(base)).localCheckpoint(false)
+    baseClusters.count()
+    Dedup.releaseScratch()
+
+    // day 1: admit a dup of the class, fold it into store + clusters
+    val delta1 = Seq((50L, dupText)).toDF("doc_id", "text")
+    val clusters1 = Dedup.incrementalClusters(baseClusters,
+        Dedup.incrementalCandidatesFromStore(spark.table(tbl), delta1))
+      .localCheckpoint(false)
+    clusters1.count()
+    Dedup.releaseScratch()
+    Dedup.appendToSignatureStore(delta1, tbl)
+    assert(spark.table(tbl).filter(col("doc_id") === 50L).count() > 0,
+      "appended delta signatures must be readable from the store")
+
+    // day 2: a doc matching ONLY day 1's arrival content-wise still
+    // requires the append — identical text means it matches the whole
+    // class, so instead prove the appended rows participate: the
+    // candidate set against the post-append store must include 50
+    val delta2 = Seq((60L, dupText),
+      (61L, (0 until 12).map(j => s"lone61x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cand2Full = Dedup.incrementalCandidatesFromStore(
+        spark.table(tbl), delta2)
+      .as[(Long, Long)].collect().toSet
+    assert(cand2Full.contains((60L, 50L)),
+      s"day-2 candidates must see day-1's admitted doc: $cand2Full")
+    val updFull = Dedup.incrementalClusters(clusters1,
+        Dedup.incrementalCandidatesFromStore(spark.table(tbl), delta2))
+      .as[(Long, Long)].collect().toMap
+    val kbBase = Dedup.keepBest(
+      Seq((1L, 0.5), (2L, 0.9), (3L, 0.1), (7L, 0.4), (50L, 0.6))
+        .toDF("doc_id", "quality_score"), clusters1)
+      .localCheckpoint(false)
+    kbBase.count()
+    val d2Scored = Seq((60L, 0.95), (61L, 0.2))
+      .toDF("doc_id", "quality_score")
+    val kbFull = Dedup.incrementalKeepBest(clusters1, kbBase,
+        Dedup.incrementalCandidatesFromStore(spark.table(tbl), delta2),
+        d2Scored)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    Dedup.releaseScratch()
+
+    // compact against the CURRENT cluster table: admission must be
+    // byte-identical on the maintained tables, and the 4-member class
+    // (1,2,3,50 — identical signatures) collapses to one row per bucket
+    val before = spark.table(tbl).count()
+    Dedup.compactSignatureStore(spark, tbl, clusters1)
+    val after = spark.table(tbl).count()
+    assert(after < before, s"compaction must shrink: $before -> $after")
+    val updCompact = Dedup.incrementalClusters(clusters1,
+        Dedup.incrementalCandidatesFromStore(spark.table(tbl), delta2))
+      .as[(Long, Long)].collect().toMap
+    val kbCompact = Dedup.incrementalKeepBest(clusters1, kbBase,
+        Dedup.incrementalCandidatesFromStore(spark.table(tbl), delta2),
+        d2Scored)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    Dedup.releaseScratch()
+    assert(updCompact == updFull,
+      s"admit-after-compact $updCompact != admit-on-full-store $updFull")
+    assert(kbCompact == kbFull,
+      s"keep-best after compact $kbCompact != full-store $kbFull")
+    // the bucketed layout survived the swap (admission plan unchanged)
+    assert(org.apache.spark.sql.GraftShims.tableBuckets(spark, tbl)
+      .contains(4))
+    spark.sql(s"DROP TABLE `$tbl`")
+  }
+
   test("keepBest: score argmax with id tie-break, singletons included") {
     val scored = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.2))
       .toDF("doc_id", "quality_score")
@@ -358,6 +436,37 @@ class DedupSpec extends SparkSpec {
           r.getAs[Double]("best_score")))).toMap
     // 2 and 3 tie at 0.9 — the min id among the maxima wins
     assert(got == Map(1L -> ((2L, 3L, 0.9)), 4L -> ((4L, 1L, 0.2))))
+  }
+
+  test("keepBest: null scores lose; all-null entity keeps min id") {
+    // mixed entity {1: null, 2: 0.1} — the non-null doc must win even
+    // though a null ns struct field would sort first without the flag;
+    // all-null entity {5, 6} — deterministic min-id winner, null score
+    val scored = Seq[(Long, java.lang.Double)](
+        (1L, null), (2L, 0.1), (5L, null), (6L, null))
+      .toDF("doc_id", "quality_score")
+    val clusters = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "cluster_id")
+    val got = Dedup.keepBest(scored, clusters).collect()
+      .map(r => r.getAs[Long]("entity_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Long]("n_members"),
+          Option(r.getAs[java.lang.Double]("best_score"))))).toMap
+    assert(got == Map(1L -> ((2L, 2L, Some(0.1))),
+      5L -> ((5L, 2L, None))),
+      s"keep_id must track max(score)'s nulls-ignored semantics: $got")
+
+    // the incremental fold agrees when null-scored entities merge: a
+    // delta doc (null score) bridges the all-null pair into the mixed
+    // one — keep_id stays 2, n_members sums, best_score stays 0.1
+    val cand = Seq((100L, 1L), (100L, 5L)).toDF("new_id", "dup_of")
+    val deltaScored = Seq[(Long, java.lang.Double)]((100L, null))
+      .toDF("doc_id", "quality_score")
+    val inc = Dedup.incrementalKeepBest(clusters,
+        Dedup.keepBest(scored, clusters), cand, deltaScored)
+      .collect().map(r => r.getAs[Long]("entity_id") ->
+        ((r.getAs[Long]("keep_id"), r.getAs[Long]("n_members"),
+          Option(r.getAs[java.lang.Double]("best_score"))))).toMap
+    assert(inc == Map(1L -> ((2L, 5L, Some(0.1)))), s"merged fold: $inc")
   }
 
   test("incremental keep-best equals batch keep-best over base∪delta") {

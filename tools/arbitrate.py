@@ -55,10 +55,15 @@ while the median chunk sits <= 1.15), the whole chunk was a mid-run
 stall window and every flag inside it is attributed wholesale instead
 of 30 queries being rerun one by one. This is the slide mode both
 canary flavors are blind to (the r13 third discard: an a_*-block stall
-strictly between canary samples). Like `box`, `chunk` exits 2 — the
-window heuristic could absorb a genuine regression that happens to sit
-in a stalled chunk, so the run must be re-arbitrated in a healthy
-window rather than read as clean.
+strictly between canary samples). The stall must be CORROBORATED by
+evidence no code change can produce (r15): an elevated boundary canary
+(chunk_canary_ratio_* sample ci or ci+1 >= 1.5 — canary code is
+untouched by definition) or >= 2 independently flagged queries inside
+the chunk; a lone uncorroborated flag gets its fresh-JVM rerun like any
+other. Like `box`, `chunk` exits 2 — the window heuristic could still
+absorb a genuine regression that happens to sit in a stalled chunk, so
+the run must be re-arbitrated in a healthy window rather than read as
+clean.
 (parseCommittedWarm and bench_diff ignore unknown fields, so the stamp
 is backward-compatible with every reader of the record.)
 
@@ -119,30 +124,52 @@ def flags_from_diff(record_path: str, old: str):
     return out
 
 
-def chunk_stall(record: dict, phase: str, query: str):
+def chunk_of(record: dict, phase: str, query: str):
+    """Run-order chunk index of a query (chunks of canary_every, shared
+    by both phases — run order is the sorted query list), or None."""
+    every = record.get("canary_every", 25)
+    order = sorted(record.get("queries", {}))
+    if query not in order:
+        return None
+    return order.index(query) // every
+
+
+def chunk_stall(record: dict, phase: str, query: str, flags_in_chunk: int):
     """Return (chunk_index, chunk_ratio) when the flagged query sits in a
     LOCALIZED stalled chunk per the record's chunk_time_ratio_* series
     (Bench's rolling guard), else None. Localization needs >= 3 measured
     chunks — one elevated chunk against zero flat siblings proves
-    nothing."""
+    nothing.
+
+    CORROBORATION (r14 ADVICE): a single genuine regression large enough
+    to lift its own chunk's sum >= 1.5x would otherwise be stamped
+    `chunk` and never rerun. The stall must therefore be corroborated by
+    evidence a code change cannot produce: EITHER a boundary canary of
+    the chunk (untouched canary code, chunk_canary_ratio_* samples ci
+    and ci+1) itself elevated >= CHUNK_STALL, OR >= 2 independently
+    flagged queries inside the same chunk and phase (one changed query
+    cannot inflate two). A lone uncorroborated flag falls through to the
+    fresh-JVM rerun."""
     field = ("chunk_time_ratio_cold" if phase == "queries"
              else "chunk_time_ratio_warm")
     ratios = record.get(field)
     if not ratios:
         return None
-    every = record.get("canary_every", 25)
-    order = sorted(record.get("queries", {}))
-    if query not in order:
-        return None
-    ci = order.index(query) // every
-    if ci >= len(ratios) or ratios[ci] is None:
+    ci = chunk_of(record, phase, query)
+    if ci is None or ci >= len(ratios) or ratios[ci] is None:
         return None
     vals = [r for r in ratios if r is not None]
     if len(vals) < 3:
         return None
-    if ratios[ci] >= CHUNK_STALL and median(vals) <= CHUNK_FLAT:
-        return ci, ratios[ci]
-    return None
+    if not (ratios[ci] >= CHUNK_STALL and median(vals) <= CHUNK_FLAT):
+        return None
+    can_field = ("chunk_canary_ratio_cold" if phase == "queries"
+                 else "chunk_canary_ratio_warm")
+    boundary = (record.get(can_field) or [])[ci:ci + 2]
+    canary_hit = any(r is not None and r >= CHUNK_STALL for r in boundary)
+    if not canary_hit and flags_in_chunk < 2:
+        return None
+    return ci, ratios[ci]
 
 
 def bench_one(query: str, passes: int, sf_dir: str):
@@ -241,12 +268,23 @@ def main() -> int:
     severity = {"jitter": 0, "box": 1, "chunk": 1, "confirmed": 2}
     stamped_this_run = set()
     n_conf = n_box = n_chunk = 0
+    # Per-(phase, chunk) flag counts feed the chunk corroboration rule:
+    # >= 2 independent flags in one chunk cannot come from one changed
+    # query (r14 ADVICE — a lone flag needs canary-boundary evidence or
+    # its fresh-JVM rerun).
+    chunk_flags = {}
+    for phase, q, _, _ in targets:
+        ci = chunk_of(record, phase, q)
+        if ci is not None:
+            chunk_flags[(phase, ci)] = chunk_flags.get((phase, ci), 0) + 1
     for phase, q, t_old, t_new in targets:
         # Chunk attribution runs BEFORE any fresh-JVM rerun, and only for
         # auto-derived flags (a forced query is the explicit debug path
         # and always gets its rerun): a flag inside a localized stalled
         # chunk is the window's fault, stamped wholesale.
-        stall = None if queries else chunk_stall(record, phase, q)
+        stall = None if queries else chunk_stall(
+            record, phase, q,
+            chunk_flags.get((phase, chunk_of(record, phase, q)), 0))
         if stall is not None:
             ci, cr = stall
             label = "cold" if phase == "queries" else "warm"

@@ -23,14 +23,19 @@ done
 # targeting; see SCALE.md bench methodology r10).
 # Full stderr to a side log: Bench's rolling chunk-guard warnings fire
 # MID-RUN and a bare tail -5 would swallow them (r14 attempt 2: four
-# guard lines lost); surface them explicitly after the run.
+# guard lines lost); surface them explicitly after the run. Per-run
+# mktemp, not a fixed path: concurrent invocations (or another user on
+# a shared box) would clobber a shared log and the post-run grep could
+# surface ANOTHER run's chunk-guard lines (r14 ADVICE).
+STDERR_LOG="$(mktemp /tmp/graft_bench_stderr.XXXXXX)"
+trap 'rm -f "$STDERR_LOG"' EXIT
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
 java $ADD_OPENS -Xmx8g -XX:+UseParallelGC ${GRAFT_EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
-  graft.Bench 2> /tmp/graft_bench_stderr.log | tail -1 > /dev/null
-tail -5 /tmp/graft_bench_stderr.log >&2
-grep "chunk guard" /tmp/graft_bench_stderr.log >&2 || true
+  graft.Bench 2> "$STDERR_LOG" | tail -1 > /dev/null
+tail -5 "$STDERR_LOG" >&2
+grep "chunk guard" "$STDERR_LOG" >&2 || true
 # Diff the record Bench actually wrote: under SPARK_GRAFT_BENCH_OUT
 # (e.g. BENCH_lc.json) a hardcoded BENCH_full.json would silently diff
 # the WRONG file against HEAD and report a stale verdict.

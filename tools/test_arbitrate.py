@@ -284,6 +284,52 @@ def test_chunk_verdict_attributes_a_localized_stall_without_reruns():
         assert [c[0] for c in calls4] == ["c"], calls4
 
 
+def test_lone_chunk_flag_needs_canary_corroboration():
+    with tempfile.TemporaryDirectory() as d:
+        # a SINGLE genuine regression big enough to lift its own chunk's
+        # sum >= 1.5x (c: 1.0 -> 3.0 doubles the [c,d] chunk) must NOT
+        # hide behind a chunk verdict: with flat boundary canaries and no
+        # second flag in the chunk, the fresh-JVM rerun happens and
+        # confirms it (r14 ADVICE)
+        names = [chr(ord("a") + k) for k in range(10)]
+        old = record({q: 1.0 for q in names}, {q: 1.0 for q in names})
+        warm = {q: 1.0 for q in names}
+        warm["c"] = 3.0
+        new = record({q: 1.0 for q in names}, warm)
+        new["canary_every"] = 2
+        new["chunk_time_ratio_warm"] = [1.0, 2.0, 1.0, 1.0, 1.0]
+        new["chunk_canary_ratio_warm"] = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+        np_, op = write(d, "new.json", new), write(d, "old.json", old)
+        rc, calls = run_main([np_, "--old", op], {"c": [5.0, 3.0, 3.0, 3.1]})
+        assert rc == 1, rc
+        assert [c[0] for c in calls] == ["c"], calls
+        got = json.load(open(np_))["arbitration"]["c"]
+        assert got["verdict"] == "confirmed", got
+
+        # the SAME lone flag with an elevated boundary canary (untouched
+        # canary code stalled too — evidence no code change can produce)
+        # IS the window's fault: stamped chunk, no rerun
+        new2 = dict(new)
+        new2["chunk_canary_ratio_warm"] = [1.0, 2.4, 1.0, 1.0, 1.0, 1.0]
+        np2 = write(d, "new2.json", new2)
+        rc2, calls2 = run_main([np2, "--old", op], {})
+        assert rc2 == 2, rc2
+        assert calls2 == [], calls2
+        got2 = json.load(open(np2))["arbitration"]["c"]
+        assert got2["verdict"] == "chunk", got2
+
+        # records predating chunk_canary_ratio_* (no field at all) keep
+        # the >= 2-flag rule as the only corroboration: the lone flag
+        # falls through to its rerun
+        new3 = {k: v for k, v in new.items()
+                if k != "chunk_canary_ratio_warm"}
+        np3 = write(d, "new3.json", new3)
+        rc3, calls3 = run_main([np3, "--old", op],
+                               {"c": [1.0, 1.0, 1.0, 1.0]})
+        assert rc3 == 0, rc3
+        assert [c[0] for c in calls3] == ["c"], calls3
+
+
 if __name__ == "__main__":
     test_flags_match_bench_diff_thresholds()
     test_warm_steady_vs_cold_pass1_verdicts()
@@ -294,4 +340,5 @@ if __name__ == "__main__":
     test_rearbitration_can_downgrade_a_stale_stamp()
     test_box_ratio_override_replaces_record_derived_ratio()
     test_chunk_verdict_attributes_a_localized_stall_without_reruns()
+    test_lone_chunk_flag_needs_canary_corroboration()
     print("all assertions passed")
