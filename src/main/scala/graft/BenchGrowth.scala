@@ -513,27 +513,46 @@ object BenchGrowth {
           .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x")).head()
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
-      var clusters = ext.Dedup.minhashComponentsCollapsed(base)
-        .localCheckpoint(false)
-      ccSumL(clusters) // materialize untimed
+      // The maintained CLUSTER table round-trips through parquet per
+      // step, exactly as a production daily loop persists it. This is
+      // not just fidelity: chaining eight lazy-checkpointed outputs
+      // feeds eight LogicalRDD leaves (whose stats default to
+      // spark.sql.defaultSizeInBytes = Long.MaxValue) into the
+      // optimizer's InjectRuntimeFilter stats walk, whose per-join
+      // sizeInBytes PRODUCTS then compound step over step until one
+      // BigInteger multiply pinned the driver for 18+ minutes (caught
+      // live on the first sf0.1 run of this axis; jstack showed
+      // SizeInBytesOnlyStatsPlanVisitor under Toom-Cook multiplication).
+      // A parquet-backed relation carries its real few-MB size instead.
+      val clustersDir = s"$tmpRoot/storelife_clusters"
+      ext.Dedup.minhashComponentsCollapsed(base)
+        .write.mode("overwrite").parquet(s"$clustersDir/step_0")
       ext.Dedup.releaseScratch()
+      var clusters = spark.read.parquet(s"$clustersDir/step_0")
       // per-step delta: the admissionDelta recipe shifted into a fresh
       // id range per step (same dup/fresh composition every day)
       def deltaAt(k: Int): DataFrame = admissionDelta(base)
         .select((col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
           col("text"), col("lang"))
-      val stepTimes = (1 to 8).map { k =>
+      val nSteps = sys.env.get("SPARK_GRAFT_STORELIFE_STEPS")
+        .map(_.toInt).getOrElse(8)
+      val stepTimes = (1 to nSteps).map { k =>
         val delta = staged(spark, s"storelife_delta_$k")(deltaAt(k))
         delta.count()
         val t0 = System.nanoTime()
-        val upd = ext.Dedup.incrementalClusters(clusters,
-          ext.Dedup.incrementalCandidatesFromStore(spark.table(tbl), delta))
-          .localCheckpoint(false)
+        val cand = ext.Dedup.incrementalCandidatesFromStore(
+          spark.table(tbl), delta)
+        val upd = ext.Dedup.incrementalClusters(clusters, cand)
         ccSumL(upd)
         val t = (System.nanoTime() - t0) / 1e9
+        // persist the updated table (untimed, the daily artifact write;
+        // a per-step path — overwriting the path upd still READS would
+        // race the scan)
+        upd.write.mode("overwrite").parquet(s"$clustersDir/step_$k")
         ext.Dedup.releaseScratch()
-        clusters = upd
+        clusters = spark.read.parquet(s"$clustersDir/step_$k")
         ext.Dedup.appendToSignatureStore(delta, tbl) // the lifecycle fold
+        System.err.println(f"[storelife] step $k%d admitted in $t%.2f s")
         t
       }
       val preRows = spark.table(tbl).count()

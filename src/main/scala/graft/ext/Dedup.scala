@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -464,6 +464,15 @@ object Dedup {
     within.unionByName(cross)
   }
 
+  /** Default iteration budget for [[connectedComponents]] (alternating
+    * star contraction, O(log² n) worst case, a handful in practice —
+    * the 25 k-diameter jumbled-chain fixture closes in ~8). Set in r15
+    * when the storelife axis showed the previous label-propagation core
+    * needing O(#local minima) ≈ O(diameter) rounds on jumbled-id
+    * chains; 30 two-phase iterations cover any corpus that fits on
+    * hardware, and converged graphs stop at their fixpoint early. */
+  val defaultCcRounds = 30
+
   /** Largest duplicate class at which the Auto selectors switch to
     * collapse-before-banding. The r13 crossover measurements put
     * break-even between hot 2k (direct ~1.6× ahead warm) and hot 8k
@@ -549,7 +558,7 @@ object Dedup {
     * occur, and this operator serves them without either bound.) */
   def minhashComponentsCollapsed(docs: DataFrame, idCol: String = "doc_id",
                                  k: Int = 8, stride: Int = 4,
-                                 maxIter: Int = 20): DataFrame =
+                                 maxIter: Int = defaultCcRounds): DataFrame =
     minhashComponentsCollapsedFrom(
       minhashSignatures(docs, idCol, k, stride), idCol, maxIter)
 
@@ -561,7 +570,7 @@ object Dedup {
     * cannot reuse a checkpointed stage). */
   def minhashComponentsCollapsedFrom(sigs: DataFrame,
                                      idCol: String = "doc_id",
-                                     maxIter: Int = 20): DataFrame = {
+                                     maxIter: Int = defaultCcRounds): DataFrame = {
     // one row per doc: band-ordered signature list + its class key
     // ([[keyedSignatures]] — fixed small per-doc list, NOT a per-class
     // aggregate). Persisted: consumed by the class aggregate, the
@@ -603,7 +612,7 @@ object Dedup {
     * decision aggregate ran on. */
   def minhashComponentsAuto(docs: DataFrame, idCol: String = "doc_id",
                             k: Int = 8, stride: Int = 4,
-                            maxIter: Int = 20,
+                            maxIter: Int = defaultCcRounds,
                             collapseAt: Long = collapseClassThreshold)
       : DataFrame = {
     val sigs = persistScratch(minhashSignatures(docs, idCol, k, stride))
@@ -765,7 +774,7 @@ object Dedup {
     * rep edge. */
   def simhashComponentsCollapsed(docs: DataFrame, idCol: String = "doc_id",
                                  maxHamming: Int = 3,
-                                 maxIter: Int = 20): DataFrame = {
+                                 maxIter: Int = defaultCcRounds): DataFrame = {
     val sig = persistScratch(simhash(docs, idCol)) // (id, simhash)
     // class roster as ROWS (min + count, map-side combinable) — no
     // member array anywhere on this path
@@ -816,9 +825,10 @@ object Dedup {
     * the cluster table — the corpus itself is never re-scanned and the
     * corpus-scale pair set never exists. */
   def incrementalClusters(baseClusters: DataFrame,
-                          candidates: DataFrame): DataFrame =
+                          candidates: DataFrame,
+                          maxIter: Int = defaultCcRounds): DataFrame =
     incrementalClustersFrom(baseClusters,
-      contractedComponents(baseClusters, candidates))
+      contractedComponents(baseClusters, candidates, maxIter))
 
   /** Steps 1–2 of the admission maintainers, shared by
     * [[incrementalClusters]] and [[incrementalKeepBest]]: contract each
@@ -832,7 +842,8 @@ object Dedup {
     * ([[incrementalClustersFrom]] / [[incrementalKeepBestFrom]]) — the
     * delta-scale CC is the fixed cost of admission, paid once. */
   def contractedComponents(baseClusters: DataFrame,
-                           candidates: DataFrame): DataFrame = {
+                           candidates: DataFrame,
+                           maxIter: Int = defaultCcRounds): DataFrame = {
     val edges = candidates
       .join(baseClusters.select(col("doc_id").as("dup_of"),
         col("cluster_id").as("base_node")), Seq("dup_of"), "left")
@@ -841,7 +852,7 @@ object Dedup {
       // many dup_of inside one cluster contract to one edge; the
       // distinct runs on the DELTA-sized contracted list, not the corpus
       .distinct()
-    connectedComponents(edges)
+    connectedComponents(edges, maxIter)
       .select(col("doc_id").as("node"), col("cluster_id").as("c"))
   }
 
@@ -1019,88 +1030,143 @@ object Dedup {
 
   /** Connected components over a candidate-pair edge list: groups near-dup
     * pairs into clusters, labeling every member with the cluster's min doc
-    * id (the canonical keeper). Each round is one-hop min propagation
-    * (join + aggregate) followed by a POINTER JUMP — comp(n) ←
-    * comp(comp(n)), one self-join on the label table — so label reach at
-    * least doubles per round and convergence is O(log diameter), not
-    * O(diameter). The jump matters beyond pathology: the r13 cc growth
-    * axis found the plain one-hop loop blowing past 20 rounds on the
-    * 20 k-doc skew corpus, whose background band collisions chain into a
-    * >20-diameter component — a shape a 100 TB crawl (templated pages
-    * with drifting content) produces routinely; with the jump, 20 rounds
-    * cover diameters near 2^20. Correctness: labels start as own ids and
-    * only ever decrease, both steps propagate existing labels (always ≥
-    * the component min), and at fixpoint the hop condition forces one
-    * label per component while comp(m₀) ≤ m₀ pins it to the min.
-    * Convergence check: Σ labels is strictly decreasing while anything
-    * changes, so an unchanged sum is a fixpoint — one cheap scalar per
-    * round, no row diffing. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // persist the edge list FIRST: the symmetrizing union consumes it twice,
-    // which would otherwise run the upstream (e.g. LSH candidate) pipeline
-    // twice before iteration even starts.
-    val edges = pairs.persist()
-    val sym = edges.select(col("doc_a").as("n"), col("doc_b").as("m"))
-      .union(edges.select(col("doc_b").as("n"), col("doc_a").as("m")))
-      .persist()
-    // localCheckpoint each round: without truncating the lineage, the
-    // nested plan grows exponentially expensive to analyze — the standard
-    // requirement for iterative DataFrame algorithms. LAZY checkpoints:
-    // the convergence-check action right after materializes them, so an
-    // eager checkpoint would run one extra job per round for nothing.
-    var comp = sym.select(col("n")).distinct()
-      .withColumn("comp", col("n")).localCheckpoint(false)
-    // sum() over zero rows is NULL — an empty edge list (no near-dups at
-    // all) must yield an empty labeling, not an NPE.
-    def labelSum(): Long =
-      Option(comp.agg(sum(col("comp"))).head().get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
-    var prevSum = labelSum()
-    var done = false
+    * id (the canonical keeper).
+    *
+    * Algorithm (r15): ALTERNATING STAR CONTRACTION — large-star /
+    * small-star (Kiveris et al. 2014, "Connected Components in MapReduce
+    * and Beyond"; the algorithm behind GraphFrames' CC). Each iteration
+    * rewrites the EDGE LIST itself:
+    *
+    *  - large-star: every node re-points its strictly LARGER neighbors
+    *    at the minimum of its closed neighborhood;
+    *  - small-star: every node re-points its smaller-or-equal neighbors
+    *    (and itself) at that minimum.
+    *
+    * Both preserve connectivity exactly and never lose the component
+    * minimum; the fixpoint is a forest of stars rooted at each
+    * component's MIN node, read off as (leaf → root) labels. Converges
+    * in O(log² n) rounds worst-case, a handful in practice.
+    *
+    * Why not label propagation + pointer jumping (the r13–r14 core)?
+    * Min-label propagation keeps the label FOREST shallow — every node
+    * quickly points at a LOCAL minimum root — so the pointer jump
+    * comp(comp(n)) is a no-op at exactly the nodes that gate progress,
+    * and the global minimum advances ONE local-min segment per round:
+    * O(#local minima) ≈ O(diameter/3) rounds on chains whose node ids
+    * are jumbled along the path. Not an invented adversary: the r15
+    * storelife axis produced a ~4.6 k-node hub chain (old cluster
+    * labels bridged by admission twins) that label propagation could
+    * not close in 40 rounds — per-round deltas settled to an exact
+    * constant as the min walked the chain segment by segment. Star
+    * contraction RESTRUCTURES the edges instead, so each round moves
+    * whole stars, not single hops; the same graph closes in a few
+    * iterations. Sequential-id paths (the friendly shape) were never
+    * the problem — the jumbled-id chain is what a daily-admission
+    * pipeline actually builds.
+    *
+    * Domain contract (unchanged from the propagation core): output has
+    * one row per node APPEARING in `pairs` (self-loop-only nodes label
+    * themselves; an empty edge list yields an empty labeling).
+    *
+    * Per-iteration plans are checkpointed STATS-FREE
+    * (GraftShims.statsFreeLocalCheckpoint): Dataset.localCheckpoint
+    * stamps the new LogicalRDD with the iterate's ESTIMATED stats
+    * (Spark 4, SPARK-39748), which compound geometrically across
+    * iterations — with any stats-less catalog table under the edge
+    * list (defaultSizeInBytes = Long.MaxValue) the estimate is soon a
+    * 10^8-bit BigInteger whose mere multiplication during
+    * JoinSelection/InjectRuntimeFilter stats walks pins the driver for
+    * minutes to hours (caught live on the storelife axis;
+    * stats-explosion bound pinned in DedupPropertiesSpec). */
+  def connectedComponents(pairs: DataFrame,
+                          maxIter: Int = defaultCcRounds): DataFrame = {
+    // persist the input FIRST: the node-domain scan and the first
+    // iteration both consume it — without a persist the upstream (e.g.
+    // LSH candidate) pipeline would run twice.
+    val raw = pairs.select(col("doc_a").cast("long").as("u"),
+      col("doc_b").cast("long").as("v")).persist()
+    // Edge invariant throughout: (u, v) = (CHILD, PARENT) with u > v —
+    // both star ops emit child-points-at-smaller-parent rows, so the
+    // canonical orientation is established once and preserved.
+    var edges = GraftShims.statsFreeLocalCheckpoint(
+      raw.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct())
+    // cheap set fingerprint: order-independent count + XOR hash — the
+    // fixpoint test is edge-set stability (stars map to themselves)
+    def fingerprint(): (Long, Long) = {
+      val r = edges
+        .agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = fingerprint() // also materializes the edge checkpoint
+    // the label domain: every endpoint, including self-loop-only nodes —
+    // checkpointed and materialized while `raw` is still cached, so the
+    // (lazy) output never re-runs the upstream after the unpersist
+    val nodes = GraftShims.statsFreeLocalCheckpoint(
+      raw.select(col("u").as("n"))
+        .union(raw.select(col("v").as("n"))).distinct())
+    nodes.count()
+    def largeStar(e: DataFrame): DataFrame = {
+      // per node x over its FULL neighborhood: m = min(Γ(x) ∪ {x});
+      // strictly larger neighbors re-point at m
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy(col("x"))
+        .agg(min(col("y")).as("mny"))
+        .select(col("x"), least(col("x"), col("mny")).as("m"))
+      sym.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v")) // y > x >= m
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // per node x over its smaller-or-equal neighborhood (exactly the
+      // y's of the canonical rows): m = min(Γ≤(x) ∪ {x}) = min(y's);
+      // the smaller neighbors AND x itself re-point at m
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = e.join(mins, "u")
+      joined.select(col("v").as("cu"), col("m").as("cv"))
+        .unionAll(joined.select(col("u").as("cu"), col("m").as("cv")))
+        .filter(col("cu") =!= col("cv"))
+        .select(col("cu").as("u"), col("cv").as("v")) // v >= m, u > m
+        .distinct()
+    }
+    var done = prev._1 == 0L // no non-self edges: domain labels itself
     var iter = 0
     while (!done && iter < maxIter) {
-      val neighborMin = sym
-        .join(comp.select(col("n").as("m"), col("comp").as("mcomp")), "m")
-        .groupBy(col("n")).agg(min(col("mcomp")).as("ncomp"))
-      // pointer jump from the SAME generation's table: comp_t(comp_t(n)).
-      // Labels are node ids, so the lookup is a self-join on the (already
-      // checkpointed) label table; comp_t(c) ≤ c keeps every jumped label
-      // a valid within-component id, and jumping stale-by-one still
-      // doubles reach per round. Jumping the freshly HOPPED table instead
-      // would need an intermediate checkpoint — a second materialization
-      // per round, measured +40% warm on pipeline_er's inline CC.
-      val hopOnly = comp.join(neighborMin, Seq("n"), "left")
-      comp = (if (iter == 0) {
-        // round 1's jump is the identity (comp₀(n) = n) — skip its join
-        hopOnly.select(col("n"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      } else {
-        val jump = comp.select(col("comp").as("jkey"), col("n"))
-          .join(comp.select(col("n").as("jkey"), col("comp").as("jcomp")),
-            "jkey")
-          .select(col("n"), col("jcomp"))
-        hopOnly.join(jump, Seq("n"), "left")
-          .select(col("n"), least(col("comp"),
-            coalesce(col("ncomp"), col("comp")),
-            coalesce(col("jcomp"), col("comp"))).as("comp"))
-      }).localCheckpoint(false)
-      val s = labelSum()
-      done = s == prevSum
-      prevSum = s
+      edges = GraftShims.statsFreeLocalCheckpoint(
+        smallStar(largeStar(edges)))
+      val s = fingerprint()
+      done = s == prev
+      prev = s
       iter += 1
     }
-    sym.unpersist()
-    edges.unpersist()
     if (!done)
-      // A component chain of diameter > maxIter would be returned SPLIT —
-      // applyClusters would then silently keep several "canonical" copies
-      // of one near-dup family. Fail loudly; callers with genuinely deep
-      // graphs raise maxIter (min-label propagation halves nothing, so
-      // rounds ≈ diameter — pick maxIter ≥ expected diameter).
+      // A graph this budget cannot close would be returned SPLIT —
+      // applyClusters would then silently keep several "canonical"
+      // copies of one near-dup family. Fail loudly; star contraction
+      // is O(log² n) rounds, so the default budget covers any corpus
+      // that fits on hardware — hitting this means a bug, not data.
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
-          "(label sum still decreasing); raise maxIter")
-    comp.select(col("n").as("doc_id"), col("comp").as("cluster_id"))
+          "(edge set still changing); raise maxIter")
+    // fixpoint edges are (leaf, root) stars: leaves label their root,
+    // roots label themselves, nodes with no surviving edge (self-loop
+    // only, or singletons created by canonicalization) label themselves
+    val leaves = edges.select(col("u").as("doc_id"),
+      col("v").as("cluster_id"))
+    val roots = edges.select(col("v").as("doc_id"),
+      col("v").as("cluster_id")).distinct()
+    val labeled = leaves.unionByName(roots)
+    val singles = nodes
+      .join(labeled.select(col("doc_id").as("n")), Seq("n"), "left_anti")
+      .select(col("n").as("doc_id"), col("n").as("cluster_id"))
+    val out = labeled.unionByName(singles)
+    raw.unpersist()
+    out
   }
 
   /** Apply clustering to the corpus: keep documents that are in no near-dup

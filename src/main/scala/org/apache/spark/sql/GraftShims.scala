@@ -22,6 +22,52 @@ object GraftShims {
     else ss.catalog.defaultTablePath(id)
   }
 
+  /** A LAZY local checkpoint that does NOT propagate the origin plan's
+    * statistics — the iterative-algorithm twin of
+    * `Dataset.localCheckpoint(false)`.
+    *
+    * Why it exists: Spark 4's `Dataset.checkpoint` stamps the new
+    * `LogicalRDD` with `originStats` = the checkpointed plan's
+    * estimated statistics (SPARK-39748, to keep broadcast decisions
+    * after a checkpoint). For an ITERATIVE algorithm that checkpoints
+    * every round, those stats COMPOUND: a round plan referencing the
+    * previous label table k times has sizeInBytes ≈ prev^k, so the
+    * estimate's bit-length grows k-fold per round — and when any leaf
+    * carries `spark.sql.defaultSizeInBytes` (= Long.MaxValue for a
+    * catalog table with no stats), round ~10's estimate is a BigInteger
+    * of 10^8+ bits and a SINGLE stats walk (JoinSelection's
+    * canBroadcastBySize, InjectRuntimeFilter) pins the driver for
+    * minutes to hours inside Toom-Cook multiplication. Caught live on
+    * the storelife growth axis: connectedComponents over edges drawn
+    * from the signature-store TABLE hung the driver 18+ minutes in
+    * SizeInBytesOnlyStatsPlanVisitor. A stats-free LogicalRDD falls
+    * back to defaultSizeInBytes per ROUND — constant, never
+    * compounding, exactly Spark 3's behavior these loops were designed
+    * against.
+    *
+    * Mirrors checkpoint's mechanics otherwise: same materialize-on-
+    * first-action laziness (the convergence check right after
+    * materializes it), same output partitioning/ordering preservation
+    * (skipping them would add one exchange per round). */
+  def statsFreeLocalCheckpoint(df: Dataset[Row]): Dataset[Row] = {
+    val cds = df.asInstanceOf[classic.Dataset[Row]]
+    val qe = cds.queryExecution
+    val physical = qe.executedPlan
+    val internalRdd = qe.toRdd.map(_.copy())
+    internalRdd.localCheckpoint()
+    def firstLeafPartitioning(p: catalyst.plans.physical.Partitioning)
+        : catalyst.plans.physical.Partitioning = p match {
+      case c: catalyst.plans.physical.PartitioningCollection =>
+        firstLeafPartitioning(c.partitionings.head)
+      case other => other
+    }
+    classic.Dataset.ofRows(cds.sparkSession,
+      execution.LogicalRDD(qe.analyzed.output, internalRdd,
+        firstLeafPartitioning(physical.outputPartitioning),
+        physical.outputOrdering, cds.isStreaming)(
+        cds.sparkSession, None, None))
+  }
+
   /** The table's bucket count (None when the table exists unbucketed).
     * Store maintenance reads this so appends and compaction rewrites
     * always match the layout the store was CREATED with, whatever

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, count, lit, max, when}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -262,18 +262,59 @@ class DedupPropertiesSpec extends SparkSpec {
 
   test("connectedComponents converges on a deep path within default rounds") {
     // Regression for the r13 cc growth-axis failure: a chain-shaped
-    // component (diameter ≫ maxIter) blew past 20 one-hop rounds and
-    // threw. The pointer-jump step makes reach double per round, so a
-    // 300-edge path — diameter 300, needing ≥ 300 one-hop rounds — must
-    // now converge inside the DEFAULT budget, fully labeled by node 0.
-    // Shuffled edge order: convergence must not depend on ids arriving
-    // chain-ordered.
+    // component (diameter ≫ iteration budget) blew past 20 one-hop
+    // label-propagation rounds and threw; the r15 star-contraction core
+    // closes any path in O(log) two-phase iterations. Shuffled edge
+    // order: convergence must not depend on ids arriving chain-ordered.
     val rnd = new scala.util.Random(7)
     val edges = rnd.shuffle((0L until 300L).map(i => (i, i + 1)).toList)
     val got = Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"))
       .as[(Long, Long)].collect()
     assert(got.length == 301)
     got.foreach { case (_, c) => assert(c == 0L) }
+
+    // the DEEP-CHAIN shape at corpus scale (r15 storelife finding):
+    // cross-step admission twins chained thousands of old cluster
+    // labels into one jumbled-id component that label propagation +
+    // pointer jumping could not close in 40 rounds (the label forest
+    // stays shallow, so jumps are no-ops and the min walks segment by
+    // segment — O(#local minima) rounds). Star contraction must close
+    // a 25 000-edge path well inside the default budget.
+    val deep = spark.range(0, 25000)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val labels = Dedup.connectedComponents(deep)
+      .agg(count(lit(1)), max(col("cluster_id"))).head()
+    assert(labels.getLong(0) == 25001L && labels.getLong(1) == 0L)
+  }
+
+  test("connectedComponents stats estimates do not compound across rounds") {
+    // Regression for the r15 storelife driver hang: Spark 4 checkpoints
+    // carry originStats, so the per-round label-table stats compounded
+    // ^4 per round — with a stats-less leaf (sizeInBytes =
+    // spark.sql.defaultSizeInBytes = Long.MaxValue, what a catalog
+    // table without ANALYZE reports) a ~10-round run built 10^8-bit
+    // BigInteger estimates whose stats-walk MULTIPLICATION pinned the
+    // driver for 18+ minutes. The edge list here goes through
+    // createDataFrame (a LogicalRDD leaf with default MaxValue stats)
+    // and the deep path forces multiple contraction iterations; the
+    // stats-free per-iteration checkpoints must keep the final
+    // estimate's bit-length flat (a few joins over MaxValue leaves ≈
+    // hundreds of bits), not compounding with iteration count.
+    val rows = (0L until 300L).map(i =>
+      org.apache.spark.sql.Row(i, i + 1))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("doc_b",
+        org.apache.spark.sql.types.LongType)))
+    val maxValueLeaf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val labeled = Dedup.connectedComponents(maxValueLeaf)
+    assert(labeled.as[(Long, Long)].collect().length == 301)
+    val sizeBits = labeled.queryExecution.optimizedPlan.stats
+      .sizeInBytes.bitLength
+    assert(sizeBits < 4096,
+      s"stats estimate compounded: $sizeBits-bit sizeInBytes")
   }
 
   test("sortedNeighborhoodPairs matches a sequential reference (5 seeds)") {
