@@ -1120,7 +1120,9 @@ object Dedup {
         .filter(col("y") > col("x"))
         .select(col("y").as("u"), col("m").as("v")) // y > x >= m
         .filter(col("u") =!= col("v"))
-        .distinct()
+      // no distinct here: duplicates (same (y, m) via different x) are
+      // harmless to small-star's min aggregate and collapse in ITS
+      // distinct — one less shuffle per iteration
     }
     def smallStar(e: DataFrame): DataFrame = {
       // per node x over its smaller-or-equal neighborhood (exactly the
@@ -1153,18 +1155,19 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(edge set still changing); raise maxIter")
-    // fixpoint edges are (leaf, root) stars: leaves label their root,
-    // roots label themselves, nodes with no surviving edge (self-loop
-    // only, or singletons created by canonicalization) label themselves
-    val leaves = edges.select(col("u").as("doc_id"),
-      col("v").as("cluster_id"))
-    val roots = edges.select(col("v").as("doc_id"),
-      col("v").as("cluster_id")).distinct()
-    val labeled = leaves.unionByName(roots)
-    val singles = nodes
-      .join(labeled.select(col("doc_id").as("n")), Seq("n"), "left_anti")
-      .select(col("n").as("doc_id"), col("n").as("cluster_id"))
-    val out = labeled.unionByName(singles)
+    // fixpoint edges are (leaf, root) stars: a node's label is its root
+    // when it appears as a leaf, itself otherwise (roots, self-loop-only
+    // nodes) — ONE left join over the checkpointed domain, no distinct,
+    // no anti-join. The output is checkpointed so every consumer reads
+    // materialized labels instead of re-running the assembly — the
+    // invariant the old propagation core provided (its output was a
+    // select over the checkpointed fixpoint) and the shared-cluster
+    // memo documents relying on.
+    val leafRoot = edges.select(col("u").as("n"), col("v").as("root"))
+    val out = GraftShims.statsFreeLocalCheckpoint(
+      nodes.join(leafRoot, Seq("n"), "left")
+        .select(col("n").as("doc_id"),
+          coalesce(col("root"), col("n")).as("cluster_id")))
     raw.unpersist()
     out
   }
