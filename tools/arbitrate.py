@@ -147,9 +147,14 @@ def chunk_stall(record: dict, phase: str, query: str, flags_in_chunk: int):
     evidence a code change cannot produce: EITHER a boundary canary of
     the chunk (untouched canary code, chunk_canary_ratio_* samples ci
     and ci+1) itself elevated >= CHUNK_STALL, OR >= 2 independently
-    flagged queries inside the same chunk and phase (one changed query
-    cannot inflate two). A lone uncorroborated flag falls through to the
-    fresh-JVM rerun."""
+    flagged queries inside the same chunk and phase. A lone
+    uncorroborated flag falls through to the fresh-JVM rerun.
+
+    The flags-only leg is WEAKER than the canary leg (r15 ADVICE): a
+    shared-helper change can genuinely slow two queries that land in
+    the same chunk, so when the canaries are flat the caller must still
+    fresh-JVM-probe ONE representative of the chunk before stamping the
+    rest wholesale — hence the returned canary_hit flag."""
     field = ("chunk_time_ratio_cold" if phase == "queries"
              else "chunk_time_ratio_warm")
     ratios = record.get(field)
@@ -169,7 +174,7 @@ def chunk_stall(record: dict, phase: str, query: str, flags_in_chunk: int):
     canary_hit = any(r is not None and r >= CHUNK_STALL for r in boundary)
     if not canary_hit and flags_in_chunk < 2:
         return None
-    return ci, ratios[ci]
+    return ci, ratios[ci], canary_hit
 
 
 def bench_one(query: str, passes: int, sf_dir: str):
@@ -277,6 +282,13 @@ def main() -> int:
         ci = chunk_of(record, phase, q)
         if ci is not None:
             chunk_flags[(phase, ci)] = chunk_flags.get((phase, ci), 0) + 1
+    # Flags-only stalled chunks (canaries flat) get ONE representative
+    # fresh-JVM probe before the wholesale stamp (r15 ADVICE: a shared-
+    # helper change can slow >= 2 same-chunk queries); a probe that
+    # CONFIRMS breaks the chunk attribution for its whole (phase, chunk)
+    # group and every member falls through to its own rerun.
+    probed_ok = {}     # (phase, ci) -> representative's passes
+    probe_broken = set()  # (phase, ci) whose probe reproduced the slowdown
     for phase, q, t_old, t_new in targets:
         # Chunk attribution runs BEFORE any fresh-JVM rerun, and only for
         # auto-derived flags (a forced query is the explicit debug path
@@ -285,8 +297,35 @@ def main() -> int:
         stall = None if queries else chunk_stall(
             record, phase, q,
             chunk_flags.get((phase, chunk_of(record, phase, q)), 0))
+        if stall is not None and not stall[2] \
+                and (phase, stall[0]) in probe_broken:
+            stall = None
+        pre_series = None
+        if stall is not None and not stall[2] \
+                and (phase, stall[0]) not in probed_ok:
+            # this flag is the chunk's representative: probe it fresh
+            ci = stall[0]
+            series = bench_one(q, passes, sf_dir)
+            steady = median(series[1:]) if len(series) > 1 else series[0]
+            sample = series[0] if phase == "queries" else steady
+            reproduced = sample >= t_old * RATIO and \
+                sample - t_old >= ABS_FLOOR
+            if reproduced:
+                print(f"arbitrate: chunk {ci} ({phase}) probe {q} "
+                      f"REPRODUCED the slowdown fresh "
+                      f"[{', '.join(f'{t:.2f}' for t in series)}] — "
+                      f"flags-only corroboration rejected; members "
+                      f"rerun individually")
+                probe_broken.add((phase, ci))
+                stall = None
+                pre_series = series  # reuse; don't pay a second rerun
+            else:
+                print(f"arbitrate: chunk {ci} ({phase}) probe {q} clean "
+                      f"fresh [{', '.join(f'{t:.2f}' for t in series)}] "
+                      f"— stall corroborated, stamping chunk-wide")
+                probed_ok[(phase, ci)] = series
         if stall is not None:
-            ci, cr = stall
+            ci, cr, _ = stall
             label = "cold" if phase == "queries" else "warm"
             print(f"ARBITRATED {label} {q}: old {t_old:.2f}s, flagged "
                   f"{t_new:.2f}s -> chunk {ci} stalled in-run "
@@ -302,7 +341,8 @@ def main() -> int:
                     "chunk_ratio": round(cr, 3), "verdict": "chunk",
                 }
             continue
-        series = bench_one(q, passes, sf_dir)
+        series = pre_series if pre_series is not None \
+            else bench_one(q, passes, sf_dir)
         steady = median(series[1:]) if len(series) > 1 else series[0]
         sample = series[0] if phase == "queries" else steady
         confirmed = sample >= t_old * RATIO and sample - t_old >= ABS_FLOOR

@@ -27,8 +27,13 @@ done
 # mktemp, not a fixed path: concurrent invocations (or another user on
 # a shared box) would clobber a shared log and the post-run grep could
 # surface ANOTHER run's chunk-guard lines (r14 ADVICE).
+# Delete the log only on a successful run: under set -e a java/Bench
+# crash exits before the tail/grep surfacing lines, and an
+# unconditional EXIT-trap rm would destroy the only postmortem record
+# of the failure (r15 ADVICE). On failure, print the path and keep it.
 STDERR_LOG="$(mktemp /tmp/graft_bench_stderr.XXXXXX)"
-trap 'rm -f "$STDERR_LOG"' EXIT
+BENCH_OK=0
+trap 'if [ "$BENCH_OK" = 1 ]; then rm -f "$STDERR_LOG"; else echo "bench.sh: run failed; stderr preserved at $STDERR_LOG" >&2; fi' EXIT
 SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="$CPUS" \
 java $ADD_OPENS -Xmx8g -XX:+UseParallelGC ${GRAFT_EXTRA_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
@@ -36,6 +41,10 @@ java $ADD_OPENS -Xmx8g -XX:+UseParallelGC ${GRAFT_EXTRA_JAVA_OPTS:-} \
   graft.Bench 2> "$STDERR_LOG" | tail -1 > /dev/null
 tail -5 "$STDERR_LOG" >&2
 grep "chunk guard" "$STDERR_LOG" >&2 || true
+# The bench itself succeeded past this point; bench_diff's nonzero
+# exits (1 = regressions, 2 = arbitration convention) are verdicts,
+# not failures, and must not preserve-the-log/mislabel the run.
+BENCH_OK=1
 # Diff the record Bench actually wrote: under SPARK_GRAFT_BENCH_OUT
 # (e.g. BENCH_lc.json) a hardcoded BENCH_full.json would silently diff
 # the WRONG file against HEAD and report a stale verdict.

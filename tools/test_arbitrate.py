@@ -231,10 +231,14 @@ def test_chunk_verdict_attributes_a_localized_stall_without_reruns():
         # [i,j] in run (sorted) order. Chunk 1 stalled mid-run: c and d
         # tripled while the median chunk stayed flat — the record's own
         # chunk_time_ratio_warm series (Bench's rolling guard) says so.
-        # Flags for c and d must be attributed to the chunk with NO
-        # fresh-JVM runs; the genuine regression e (whose chunk ratio is
-        # diluted under CHUNK_STALL by its heavy flat neighbor f) must
-        # still be rerun and confirmed, so the exit is 1.
+        # No canary field here, so the >= 2-flag corroboration is
+        # flags-only: the chunk's REPRESENTATIVE (c, first in run order)
+        # gets one fresh-JVM probe (r15 ADVICE — a shared-helper change
+        # can slow two same-chunk queries); its clean series corroborates
+        # the stall, so d is stamped chunk with no further runs. The
+        # genuine regression e (whose chunk ratio is diluted under
+        # CHUNK_STALL by its heavy flat neighbor f) must still be rerun
+        # and confirmed, so the exit is 1.
         names = [chr(ord("a") + k) for k in range(10)]
         old_warm = {q: 1.0 for q in names}
         old_warm["f"] = 10.0
@@ -246,24 +250,41 @@ def test_chunk_verdict_attributes_a_localized_stall_without_reruns():
         new["chunk_time_ratio_warm"] = [1.05, 3.05, 1.16, 1.0, 1.0]
         np_, op = write(d, "new.json", new), write(d, "old.json", old)
         rc, calls = run_main([np_, "--old", op],
-                             {"e": [5.0, 2.8, 2.8, 2.9]})
+                             {"c": [1.1, 1.0, 1.0, 1.1],
+                              "e": [5.0, 2.8, 2.8, 2.9]})
         assert rc == 1, rc  # the confirmed e outranks the chunk verdicts
-        assert [c[0] for c in calls] == ["e"], calls  # c, d never rerun
+        # c probed once (clean), d never rerun
+        assert [c[0] for c in calls] == ["c", "e"], calls
         arb = json.load(open(np_))["arbitration"]
         assert arb["c"]["verdict"] == "chunk" and arb["c"]["chunk"] == 1, arb
         assert arb["d"]["verdict"] == "chunk", arb
         assert arb["e"]["verdict"] == "confirmed", arb
 
-        # all-chunk flags with nothing confirmed exit 2 (window-tainted)
+        # all-chunk flags with nothing confirmed exit 2 (window-tainted);
+        # the flags-only probe (c, clean) is the only fresh-JVM run
         warm2 = dict(old_warm)
         warm2.update({"c": 3.0, "d": 3.1})
         new2 = record({q: 1.0 for q in names}, warm2)
         new2["canary_every"] = 2
         new2["chunk_time_ratio_warm"] = [1.05, 3.05, 1.0, 1.0, 1.0]
         np2, op2 = write(d, "new2.json", new2), write(d, "old2.json", old)
-        rc2, calls2 = run_main([np2, "--old", op2], {})
+        rc2, calls2 = run_main([np2, "--old", op2],
+                               {"c": [1.1, 1.0, 1.0, 1.1]})
         assert rc2 == 2, rc2
-        assert calls2 == [], calls2
+        assert [c[0] for c in calls2] == ["c"], calls2
+
+        # the probe REPRODUCING the slowdown rejects the flags-only
+        # corroboration: both members rerun individually (the probe
+        # series is reused for c — no double run) and confirm
+        np2b, op2b = write(d, "new2b.json", new2), write(d, "old2b.json", old)
+        rc2b, calls2b = run_main([np2b, "--old", op2b],
+                                 {"c": [5.0, 3.0, 3.0, 3.1],
+                                  "d": [5.0, 3.1, 3.1, 3.2]})
+        assert rc2b == 1, rc2b
+        assert [c[0] for c in calls2b] == ["c", "d"], calls2b
+        arb2b = json.load(open(np2b))["arbitration"]
+        assert arb2b["c"]["verdict"] == "confirmed", arb2b
+        assert arb2b["d"]["verdict"] == "confirmed", arb2b
 
         # a UNIFORM elevation (every chunk ~3x) is the box mode, not a
         # stall: chunk attribution must decline and the reruns happen
