@@ -536,13 +536,19 @@ object BenchGrowth {
           col("text"), col("lang"))
       val nSteps = sys.env.get("SPARK_GRAFT_STORELIFE_STEPS")
         .map(_.toInt).getOrElse(8)
-      val stepTimes = (1 to nSteps).map { k =>
+      val stepStats = (1 to nSteps).map { k =>
         val delta = staged(spark, s"storelife_delta_$k")(deltaAt(k))
         delta.count()
         val t0 = System.nanoTime()
         val cand = ext.Dedup.incrementalCandidatesFromStore(
           spark.table(tbl), delta)
-        val upd = ext.Dedup.incrementalClusters(clusters, cand)
+        // the composed form, so the delta-scale CC's converged round
+        // count is pinned per step (r15 VERDICT #5: the steps-1-3
+        // admission spike was ATTRIBUTED to hub-chain contraction; the
+        // round count makes a topology regression legible directly)
+        val (compN, ccRounds) =
+          ext.Dedup.contractedComponentsWithRounds(clusters, cand)
+        val upd = ext.Dedup.incrementalClustersFrom(clusters, compN)
         ccSumL(upd)
         val t = (System.nanoTime() - t0) / 1e9
         // persist the updated table (untimed, the daily artifact write;
@@ -552,8 +558,9 @@ object BenchGrowth {
         ext.Dedup.releaseScratch()
         clusters = spark.read.parquet(s"$clustersDir/step_$k")
         ext.Dedup.appendToSignatureStore(delta, tbl) // the lifecycle fold
-        System.err.println(f"[storelife] step $k%d admitted in $t%.2f s")
-        t
+        System.err.println(
+          f"[storelife] step $k%d admitted in $t%.2f s ($ccRounds%d cc rounds)")
+        (t, ccRounds)
       }
       val preRows = spark.table(tbl).count()
       // the re-measured admission: same-shaped ninth delta, full store
@@ -577,7 +584,7 @@ object BenchGrowth {
         s"admit-after-compact checksum $updCompact != full-store $updFull")
       spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
       report(f"storelife docs=$rows%d steps=" +
-        stepTimes.map(t => f"$t%.2f").mkString(",") +
+        stepStats.map { case (t, r) => f"$t%.2f@$r%d" }.mkString(",") +
         f" storeRows=$preRows%d->$postRows%d compact=$tCompact%.2f " +
         f"admitFull=$tFull%.2f admitCompacted=$tPost%.2f")
     }

@@ -7,6 +7,17 @@ import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions
 import graft.io.Sources.scatter
 
+/** [[Dedup.storeStats]] report. `entityFloor` is the row count a
+  * [[Dedup.compactSignatureStore]] rewrite would leave (clusters-aware
+  * when the probe had them); `redundancy` = rows ÷ that floor — 1.0
+  * means compaction would save nothing; `filesPerBucket` ≈ appends
+  * since the last rewrite (each [[Dedup.appendToSignatureStore]] lands
+  * one file set per bucket). */
+case class SignatureStoreStats(rows: Long, distinctDocs: Long,
+                               distinctBucketKeys: Long, entityFloor: Long,
+                               buckets: Int, files: Long,
+                               filesPerBucket: Double, redundancy: Double)
+
 /** Deduplication operators for training-data pipelines, each designed around
   * its shuffle profile at 100 TB:
   *
@@ -725,6 +736,207 @@ object Dedup {
       compacted, table, Seq("band", "sig"), buckets)
   }
 
+  /** HARD-DELETE documents from the persisted signature store — the
+    * lifecycle exit path ([[appendToSignatureStore]] admits,
+    * [[compactSignatureStore]] bounds growth, THIS removes): a
+    * compliance-deleted or retention-expired document must stop being a
+    * live admission target, and neither append nor compaction ever
+    * drops an id outright. Rewrites the store without the retired ids'
+    * rows and commits via [[graft.io.Sinks.replaceBucketedTable]]'s
+    * checked staged-table swap (bucket layout read from the catalog, so
+    * the admission plan shape never changes; the full old store
+    * survives until the purged copy is completely written).
+    *
+    * Compaction interplay: after [[compactSignatureStore]] an entity
+    * carries ONE member row per (band, sig) bucket — if that member is
+    * retired, its live cluster siblings' rows for the bucket were
+    * already compacted away, so the ENTITY loses that bucket's
+    * admission coverage. Pass the siblings (any live docs, typically
+    * the retired docs' surviving cluster members from the maintained
+    * cluster table) as `reinstate` and their signatures are re-hashed
+    * and folded into the same rewrite, restoring coverage that only
+    * live content justifies. Never reinstate by copying the RETIRED
+    * doc's rows to a sibling id — a signature only that document
+    * carried must die with it.
+    *
+    * O(store) rewrite per call, like compaction — at 100 TB, batch
+    * retirements (daily/weekly compliance queues) and run this on the
+    * same cadence as [[compactSignatureStore]] rather than per
+    * document; the maintained cluster/keep-best tables are repaired
+    * separately and cheaply by [[retireFromClusters]] /
+    * [[retireKeepBest]] (O(touched entities), no store scan). */
+  def retireFromSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                               table: String, retired: DataFrame,
+                               idCol: String = "doc_id",
+                               reinstate: Option[DataFrame] = None,
+                               k: Int = 8, stride: Int = 4): Unit = {
+    val buckets = org.apache.spark.sql.GraftShims
+      .tableBuckets(spark, table)
+      .getOrElse(throw new IllegalArgumentException(
+        s"retireFromSignatureStore: `$table` is not a bucketed store"))
+    val retiredIds = retired.select(col(idCol))
+    val kept = spark.table(table)
+      .join(broadcast(retiredIds), Seq(idCol), "left_anti")
+      .select(col("band"), col("sig"), col(idCol))
+    val purged = reinstate match {
+      case None => kept
+      case Some(docs) =>
+        // re-hash live siblings; anti-join keeps a reinstated doc from
+        // resurrecting a retired id by caller error, and the distinct
+        // collapses rows the store already carries (the rewrite is a
+        // full shuffle anyway — replaceBucketedTable re-buckets)
+        kept.unionByName(
+            minhashSignatures(docs, idCol, k, stride)
+              .select(col("band"), col("sig"), col(idCol))
+              .join(broadcast(retiredIds), Seq(idCol), "left_anti")
+              .select(col("band"), col("sig"), col(idCol)))
+          .distinct()
+    }
+    graft.io.Sinks.replaceBucketedTable(
+      purged, table, Seq("band", "sig"), buckets)
+  }
+
+  /** Repair the maintained CLUSTER table after retiring `retired` docs:
+    * drop the retired members' rows, re-point any cluster whose LABEL
+    * was retired at the min surviving member (labels are cluster-min
+    * ids, so the invariant is preserved), and drop clusters left with a
+    * single live member (the table's contract is clustered docs only —
+    * a lone survivor is a singleton entity again, exactly as if the
+    * pair had never matched). O(touched clusters) beyond one keyed
+    * anti-join: the relabel aggregate runs only on clusters that lost a
+    * member.
+    *
+    * Deletion semantics are CONSERVATIVE MERGE, the standard
+    * incremental-dedup posture: surviving members of a cluster stay
+    * together even if the retired doc was the only bridge between them
+    * (decremental connectivity would need the full edge history, which
+    * no maintained table keeps). A retired doc therefore never appears
+    * in the output, but a split that only its edges justified is not
+    * re-discovered until the next full re-cluster. */
+  def retireFromClusters(clusters: DataFrame, retired: DataFrame,
+                         idCol: String = "doc_id"): DataFrame = {
+    val retiredIds = retired.select(col(idCol).as("doc_id"))
+    val live = clusters.join(broadcast(retiredIds), Seq("doc_id"), "left_anti")
+    // clusters that lost a member: relabel at min live id, keep if ≥ 2
+    val touched = clusters.join(broadcast(retiredIds),
+        clusters("doc_id") === retiredIds("doc_id"))
+      .select(clusters("cluster_id")).distinct()
+    val repaired = live.join(broadcast(touched), Seq("cluster_id"))
+      .groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("new_label"), count(lit(1)).as("n_live"))
+      .filter(col("n_live") >= 2)
+      .select(col("cluster_id"), col("new_label"))
+    live.join(broadcast(touched), Seq("cluster_id"), "left_semi")
+      .join(repaired, Seq("cluster_id"))
+      .select(col("doc_id"), col("new_label").as("cluster_id"))
+      .unionByName(
+        live.join(broadcast(touched), Seq("cluster_id"), "left_anti")
+          .select(col("doc_id"), col("cluster_id")))
+  }
+
+  /** Repair the maintained KEEP-BEST table after retiring `retired`
+    * docs — the survivorship twin of [[retireFromClusters]], sharing
+    * its conservative-merge semantics. Untouched entities pass through
+    * byte-identical; entities that lost a member (or WERE a retired
+    * singleton) are re-adjudicated from the scores of their surviving
+    * members, because the keep-best row is a sufficient statistic only
+    * under growth — a deletion can demote best_score and keep_id to
+    * values the old row never carried (the second-best member), so the
+    * repair must re-read scores for exactly the touched entities.
+    *
+    * `scoredLive` = (idCol, scoreCol) covering at least the surviving
+    * members of touched clusters — pass the scored corpus; only
+    * touched-entity members are read (one keyed semi-join prunes it).
+    * Equivalence `retireKeepBest ≡ keepBest(scored live corpus,
+    * retireFromClusters(...))` for non-bridge retirements is
+    * spec-pinned in DedupSpec. O(touched entities + |scoredLive| keyed
+    * semi-join); the corpus-scale table is never rebuilt. */
+  def retireKeepBest(baseKeepBest: DataFrame, oldClusters: DataFrame,
+                     retired: DataFrame, scoredLive: DataFrame,
+                     idCol: String = "doc_id",
+                     scoreCol: String = "quality_score"): DataFrame = {
+    val retiredIds = retired.select(col(idCol))
+    // entities needing re-adjudication: labels of clusters that lost a
+    // member, plus every retired id (covers retired singleton entities;
+    // a retired CLUSTERED doc's id is an entity_id only when it was the
+    // cluster label — already in the first leg, so the union is a
+    // harmless superset and can never drop an untouched entity: every
+    // entity_id is some member's id, and a retired member ⇒ touched)
+    val touchedLabels = oldClusters
+      .join(broadcast(retiredIds.withColumnRenamed(idCol, "doc_id")),
+        Seq("doc_id"))
+      .select(col("cluster_id").as("entity_id")).distinct()
+      .unionByName(retiredIds.select(col(idCol).as("entity_id")))
+      .distinct()
+    val untouched = baseKeepBest
+      .join(broadcast(touchedLabels), Seq("entity_id"), "left_anti")
+    // surviving members of touched clusters, re-labeled and re-scored
+    val newClusters = retireFromClusters(oldClusters, retired, idCol)
+    val liveTouchedMembers = oldClusters
+      .join(broadcast(touchedLabels),
+        oldClusters("cluster_id") === touchedLabels("entity_id"), "left_semi")
+      .join(broadcast(retiredIds.withColumnRenamed(idCol, "doc_id")),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id").as(idCol))
+    val rescored = scoredLive.join(liveTouchedMembers, Seq(idCol), "left_semi")
+      .select(col(idCol), col(scoreCol))
+    untouched.unionByName(keepBest(rescored, newClusters, idCol, scoreCol))
+  }
+
+  /** Health report for a persisted signature store — the MECHANICAL
+    * compaction trigger [[appendToSignatureStore]]'s scaladoc promises:
+    * a daily pipeline compacts when `redundancy` (rows ÷ the
+    * post-compaction floor) or `filesPerBucket` (each append lands one
+    * file per bucket, so this ≈ appends since the last rewrite) crosses
+    * its threshold, instead of guessing. Measured guidance at sf0.1 is
+    * in SCALE.md (store lifecycle): compact at redundancy ≥ ~1.5 or
+    * filesPerBucket ≥ ~8 — the rewrite is O(store), so trigger on
+    * whichever bound the workload hits first.
+    *
+    * @param clusters the maintained cluster table; when supplied the
+    *   floor is distinct (band, sig, entity) — exactly what
+    *   [[compactSignatureStore]] would keep — otherwise distinct
+    *   (band, sig, doc), the floor with no clustering knowledge.
+    * One multi-distinct aggregate over the store (the expand is the
+    * cost of three exact distincts in one pass — a stats probe, not a
+    * hot path) plus one filesystem listing of the table location. */
+  def storeStats(spark: org.apache.spark.sql.SparkSession, table: String,
+                 clusters: Option[DataFrame] = None,
+                 idCol: String = "doc_id"): SignatureStoreStats = {
+    val buckets = org.apache.spark.sql.GraftShims
+      .tableBuckets(spark, table)
+      .getOrElse(throw new IllegalArgumentException(
+        s"storeStats: `$table` is not a bucketed store"))
+    val t = spark.table(table)
+    val withEntity = clusters match {
+      case None => t.withColumn("entity", col(idCol))
+      case Some(c) =>
+        t.join(c.withColumnRenamed("doc_id", idCol), Seq(idCol), "left")
+          .withColumn("entity", coalesce(col("cluster_id"), col(idCol)))
+    }
+    val r = withEntity.agg(
+      count(lit(1)).as("rows"),
+      countDistinct(col(idCol)).as("docs"),
+      countDistinct(col("band"), col("sig")).as("keys"),
+      countDistinct(col("band"), col("sig"), col("entity")).as("floor"))
+      .head()
+    val (rows, docs, keys, floor) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val loc = new org.apache.hadoop.fs.Path(
+      org.apache.spark.sql.GraftShims.tableLocation(spark, table))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var files = 0L
+    val it = fs.listFiles(loc, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) files += 1
+    }
+    SignatureStoreStats(rows, docs, keys, floor, buckets, files,
+      files.toDouble / buckets,
+      if (floor == 0L) 1.0 else rows.toDouble / floor)
+  }
+
   /** Store-reading overload of [[incrementalCandidates]]: the base side
     * is an already-built signature table — `spark.table` over a
     * [[writeSignatureStore]] snapshot (zero base-side hashing AND zero
@@ -843,7 +1055,18 @@ object Dedup {
     * delta-scale CC is the fixed cost of admission, paid once. */
   def contractedComponents(baseClusters: DataFrame,
                            candidates: DataFrame,
-                           maxIter: Int = defaultCcRounds): DataFrame = {
+                           maxIter: Int = defaultCcRounds): DataFrame =
+    contractedComponentsWithRounds(baseClusters, candidates, maxIter)._1
+
+  /** [[contractedComponents]] plus the delta-scale CC's converged round
+    * count ([[connectedComponentsWithRounds]]) — what an admission
+    * pipeline logs per step so adversarial topology growth (e.g. a
+    * jumbled-id hub chain accreting across daily deltas) surfaces as a
+    * round-count trend, not an unexplained wall-time bump. */
+  def contractedComponentsWithRounds(baseClusters: DataFrame,
+                                     candidates: DataFrame,
+                                     maxIter: Int = defaultCcRounds)
+      : (DataFrame, Int) = {
     val edges = candidates
       .join(baseClusters.select(col("doc_id").as("dup_of"),
         col("cluster_id").as("base_node")), Seq("dup_of"), "left")
@@ -852,8 +1075,9 @@ object Dedup {
       // many dup_of inside one cluster contract to one edge; the
       // distinct runs on the DELTA-sized contracted list, not the corpus
       .distinct()
-    connectedComponents(edges, maxIter)
-      .select(col("doc_id").as("node"), col("cluster_id").as("c"))
+    val (labeled, rounds) = connectedComponentsWithRounds(edges, maxIter)
+    (labeled.select(col("doc_id").as("node"), col("cluster_id").as("c")),
+      rounds)
   }
 
   /** Step 3 of [[incrementalClusters]] over a precomputed
@@ -1079,97 +1303,139 @@ object Dedup {
     * minutes to hours (caught live on the storelife axis;
     * stats-explosion bound pinned in DedupPropertiesSpec). */
   def connectedComponents(pairs: DataFrame,
-                          maxIter: Int = defaultCcRounds): DataFrame = {
+                          maxIter: Int = defaultCcRounds): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus its converged ROUND COUNT — the
+    * telemetry a maintenance pipeline (and the storelife growth axis)
+    * tracks per admission step so an adversarial-topology regression
+    * shows up as a round-count jump, not a mystery wall-time bump. The
+    * count is the number of large-star∘small-star iterations executed
+    * before the edge-set fingerprint stabilized (0 when the input has
+    * no non-self edge); the labeling is identical to
+    * [[connectedComponents]]. */
+  def connectedComponentsWithRounds(pairs: DataFrame,
+                                    maxIter: Int = defaultCcRounds)
+      : (DataFrame, Int) = {
+    // Gate the id columns BEFORE the long cast: a string id column
+    // would cast every non-numeric value to NULL and silently collapse
+    // all such nodes into one null-keyed component. Fail at plan time
+    // with the remedy instead.
+    locally {
+      import org.apache.spark.sql.types._
+      Seq("doc_a", "doc_b").foreach { c =>
+        pairs.schema(c).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => ()
+          case other => throw new IllegalArgumentException(
+            s"connectedComponents: id column `$c` must be integral, " +
+              s"got $other — map non-integral ids to longs (e.g. " +
+              "xxhash64) before clustering; a silent cast would merge " +
+              "every non-castable id into one null component")
+        }
+      }
+    }
     // persist the input FIRST: the node-domain scan and the first
     // iteration both consume it — without a persist the upstream (e.g.
     // LSH candidate) pipeline would run twice.
     val raw = pairs.select(col("doc_a").cast("long").as("u"),
       col("doc_b").cast("long").as("v")).persist()
-    // Edge invariant throughout: (u, v) = (CHILD, PARENT) with u > v —
-    // both star ops emit child-points-at-smaller-parent rows, so the
-    // canonical orientation is established once and preserved.
-    var edges = GraftShims.statsFreeLocalCheckpoint(
-      raw.filter(col("u") =!= col("v"))
-        .select(greatest(col("u"), col("v")).as("u"),
-          least(col("u"), col("v")).as("v"))
-        .distinct())
-    // cheap set fingerprint: order-independent count + XOR hash — the
-    // fixpoint test is edge-set stability (stars map to themselves)
-    def fingerprint(): (Long, Long) = {
-      val r = edges
-        .agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-    var prev = fingerprint() // also materializes the edge checkpoint
-    // the label domain: every endpoint, including self-loop-only nodes —
-    // checkpointed and materialized while `raw` is still cached, so the
-    // (lazy) output never re-runs the upstream after the unpersist
-    val nodes = GraftShims.statsFreeLocalCheckpoint(
-      raw.select(col("u").as("n"))
-        .union(raw.select(col("v").as("n"))).distinct())
-    nodes.count()
-    def largeStar(e: DataFrame): DataFrame = {
-      // per node x over its FULL neighborhood: m = min(Γ(x) ∪ {x});
-      // strictly larger neighbors re-point at m
-      val sym = e.select(col("u").as("x"), col("v").as("y"))
-        .unionAll(e.select(col("v").as("x"), col("u").as("y")))
-      val mins = sym.groupBy(col("x"))
-        .agg(min(col("y")).as("mny"))
-        .select(col("x"), least(col("x"), col("mny")).as("m"))
-      sym.join(mins, "x")
-        .filter(col("y") > col("x"))
-        .select(col("y").as("u"), col("m").as("v")) // y > x >= m
-        .filter(col("u") =!= col("v"))
-      // no distinct here: duplicates (same (y, m) via different x) are
-      // harmless to small-star's min aggregate and collapse in ITS
-      // distinct — one less shuffle per iteration
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      // per node x over its smaller-or-equal neighborhood (exactly the
-      // y's of the canonical rows): m = min(Γ≤(x) ∪ {x}) = min(y's);
-      // the smaller neighbors AND x itself re-point at m
-      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val joined = e.join(mins, "u")
-      joined.select(col("v").as("cu"), col("m").as("cv"))
-        .unionAll(joined.select(col("u").as("cu"), col("m").as("cv")))
-        .filter(col("cu") =!= col("cv"))
-        .select(col("cu").as("u"), col("cv").as("v")) // v >= m, u > m
-        .distinct()
-    }
-    var done = prev._1 == 0L // no non-self edges: domain labels itself
-    var iter = 0
-    while (!done && iter < maxIter) {
-      edges = GraftShims.statsFreeLocalCheckpoint(
-        smallStar(largeStar(edges)))
-      val s = fingerprint()
-      done = s == prev
-      prev = s
-      iter += 1
-    }
-    if (!done)
-      // A graph this budget cannot close would be returned SPLIT —
-      // applyClusters would then silently keep several "canonical"
-      // copies of one near-dup family. Fail loudly; star contraction
-      // is O(log² n) rounds, so the default budget covers any corpus
-      // that fits on hardware — hitting this means a bug, not data.
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds " +
-          "(edge set still changing); raise maxIter")
-    // fixpoint edges are (leaf, root) stars: a node's label is its root
-    // when it appears as a leaf, itself otherwise (roots, self-loop-only
-    // nodes) — ONE left join over the checkpointed domain, no distinct,
-    // no anti-join. The output is checkpointed so every consumer reads
-    // materialized labels instead of re-running the assembly — the
-    // invariant the old propagation core provided (its output was a
-    // select over the checkpointed fixpoint) and the shared-cluster
-    // memo documents relying on.
-    val leafRoot = edges.select(col("u").as("n"), col("v").as("root"))
-    val out = GraftShims.statsFreeLocalCheckpoint(
-      nodes.join(leafRoot, Seq("n"), "left")
-        .select(col("n").as("doc_id"),
-          coalesce(col("root"), col("n")).as("cluster_id")))
-    raw.unpersist()
-    out
+    try {
+      // Edge invariant throughout: (u, v) = (CHILD, PARENT) with u > v —
+      // both star ops emit child-points-at-smaller-parent rows, so the
+      // canonical orientation is established once and preserved.
+      var edges = GraftShims.statsFreeLocalCheckpoint(
+        raw.filter(col("u") =!= col("v"))
+          .select(greatest(col("u"), col("v")).as("u"),
+            least(col("u"), col("v")).as("v"))
+          .distinct())
+      // cheap set fingerprint: order-independent count + XOR hash — the
+      // fixpoint test is edge-set stability (stars map to themselves)
+      def fingerprint(): (Long, Long) = {
+        val r = edges
+          .agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))")).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      var prev = fingerprint() // also materializes the edge checkpoint
+      // the label domain: every endpoint, including self-loop-only nodes —
+      // checkpointed and materialized while `raw` is still cached, so the
+      // (lazy) output never re-runs the upstream after the unpersist
+      val nodes = GraftShims.statsFreeLocalCheckpoint(
+        raw.select(col("u").as("n"))
+          .union(raw.select(col("v").as("n"))).distinct())
+      nodes.count()
+      // genuinely NULL input ids survive the type gate (the long cast
+      // preserves them); one scan of the checkpointed node domain —
+      // trivial next to the contraction itself — keeps them loud too
+      require(nodes.filter(col("n").isNull).isEmpty,
+        "connectedComponents: NULL id among edge endpoints — drop or " +
+          "repair null doc ids before clustering")
+      def largeStar(e: DataFrame): DataFrame = {
+        // per node x over its FULL neighborhood: m = min(Γ(x) ∪ {x});
+        // strictly larger neighbors re-point at m
+        val sym = e.select(col("u").as("x"), col("v").as("y"))
+          .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+        val mins = sym.groupBy(col("x"))
+          .agg(min(col("y")).as("mny"))
+          .select(col("x"), least(col("x"), col("mny")).as("m"))
+        sym.join(mins, "x")
+          .filter(col("y") > col("x"))
+          .select(col("y").as("u"), col("m").as("v")) // y > x >= m
+          .filter(col("u") =!= col("v"))
+        // no distinct here: duplicates (same (y, m) via different x) are
+        // harmless to small-star's min aggregate and collapse in ITS
+        // distinct — one less shuffle per iteration
+      }
+      def smallStar(e: DataFrame): DataFrame = {
+        // per node x over its smaller-or-equal neighborhood (exactly the
+        // y's of the canonical rows): m = min(Γ≤(x) ∪ {x}) = min(y's);
+        // the smaller neighbors AND x itself re-point at m
+        val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val joined = e.join(mins, "u")
+        joined.select(col("v").as("cu"), col("m").as("cv"))
+          .unionAll(joined.select(col("u").as("cu"), col("m").as("cv")))
+          .filter(col("cu") =!= col("cv"))
+          .select(col("cu").as("u"), col("cv").as("v")) // v >= m, u > m
+          .distinct()
+      }
+      var done = prev._1 == 0L // no non-self edges: domain labels itself
+      var iter = 0
+      while (!done && iter < maxIter) {
+        edges = GraftShims.statsFreeLocalCheckpoint(
+          smallStar(largeStar(edges)))
+        val s = fingerprint()
+        done = s == prev
+        prev = s
+        iter += 1
+      }
+      if (!done)
+        // A graph this budget cannot close would be returned SPLIT —
+        // applyClusters would then silently keep several "canonical"
+        // copies of one near-dup family. Fail loudly; star contraction
+        // is O(log² n) rounds, so the default budget covers any corpus
+        // that fits on hardware — hitting this means a bug, not data.
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIter rounds " +
+            "(edge set still changing); raise maxIter")
+      // fixpoint edges are (leaf, root) stars: a node's label is its root
+      // when it appears as a leaf, itself otherwise (roots, self-loop-only
+      // nodes) — ONE left join over the checkpointed domain, no distinct,
+      // no anti-join. The output is checkpointed so every consumer reads
+      // materialized labels instead of re-running the assembly — the
+      // invariant the old propagation core provided (its output was a
+      // select over the checkpointed fixpoint) and the shared-cluster
+      // memo documents relying on.
+      val leafRoot = edges.select(col("u").as("n"), col("v").as("root"))
+      val out = GraftShims.statsFreeLocalCheckpoint(
+        nodes.join(leafRoot, Seq("n"), "left")
+          .select(col("n").as("doc_id"),
+            coalesce(col("root"), col("n")).as("cluster_id")))
+      (out, iter)
+      // finally (not success-path-only): the non-convergence throw above,
+      // or any mid-iteration failure, must not leak the persisted edge
+      // list for the session's lifetime. `out` only reads the
+      // materialized node/edge checkpoints, never `raw`, so unpersisting
+      // here is safe even though `out` is lazy.
+    } finally raw.unpersist()
   }
 
   /** Apply clustering to the corpus: keep documents that are in no near-dup

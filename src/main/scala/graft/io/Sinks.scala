@@ -67,7 +67,7 @@ object Sinks {
       .saveAsTable(name)
   }
 
-  /** Atomically REPLACE a bucketed managed table with `df` — the
+  /** Crash-safely REPLACE a bucketed managed table with `df` — the
     * bucketed-table twin of [[upsertParquet]]'s checked swap. The staged
     * twin table (`name__staged`) is written COMPLETELY first, so the
     * only full copy of the data is never dropped before its replacement
@@ -76,21 +76,53 @@ object Sinks {
     * directory with it, so the new table keeps a managed location).
     * `df` may read from `name` itself — store compaction does — because
     * the staged write consumes the old rows before anything is dropped.
-    * A crash between the drop and the rename leaves the complete staged
-    * table on disk and in the catalog for recovery; nothing is ever
-    * deleted that isn't already superseded. */
+    *
+    * Crash-safe, NOT atomic: the catalog commit is two statements, and
+    * a crash between the DROP and the RENAME leaves no table under
+    * `name` (the complete staged table survives on disk and in the
+    * catalog, so no DATA is ever lost — but the name is briefly
+    * unbound, and concurrent readers can observe the window). The next
+    * call to this method SELF-HEALS that state: on entry, if `name` is
+    * missing while `name__staged` exists, the interrupted rename is
+    * completed first (the staged table is by construction a fully
+    * written replacement — it is only ever created by this method,
+    * after its write finished), then the new replacement proceeds
+    * against the recovered table. [[recoverReplacedTable]] exposes the
+    * same recovery for READERS that hit the window. */
   def replaceBucketedTable(df: DataFrame, name: String,
                            bucketCols: Seq[String],
                            buckets: Int = 64): Unit = {
     require(!name.contains(".") && !name.contains("/"),
       s"replaceBucketedTable takes a simple table name, got: $name")
     val spark = df.sparkSession
+    recoverReplacedTable(spark, name)
     val staged = name + "__staged"
     bucketedTable(df, staged, bucketCols, buckets)
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     spark.sql(s"ALTER TABLE `$staged` RENAME TO `$name`")
     require(spark.catalog.tableExists(name),
       s"swap: rename $staged -> $name did not commit")
+  }
+
+  /** Complete an interrupted [[replaceBucketedTable]] swap: when `name`
+    * is absent but `name__staged` exists, the process died between the
+    * DROP and the RENAME — the staged table IS the fully written
+    * replacement, so finish the rename. Idempotent (no-op when `name`
+    * exists or no staged twin is present); returns true when a recovery
+    * was performed. Store readers call this before `spark.table(name)`
+    * to self-heal the crash window instead of failing on a missing
+    * table. */
+  def recoverReplacedTable(spark: org.apache.spark.sql.SparkSession,
+                           name: String): Boolean = {
+    val staged = name + "__staged"
+    val recover = !spark.catalog.tableExists(name) &&
+      spark.catalog.tableExists(staged)
+    if (recover) {
+      spark.sql(s"ALTER TABLE `$staged` RENAME TO `$name`")
+      require(spark.catalog.tableExists(name),
+        s"recovery: rename $staged -> $name did not commit")
+    }
+    recover
   }
 
   /** Keyed upsert (MERGE emulation) into a parquet location — the "upsert

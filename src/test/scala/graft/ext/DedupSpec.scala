@@ -596,4 +596,156 @@ class DedupSpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("retireFromClusters: member drop, label re-point, singleton drop, " +
+       "untouched pass-through") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // label 1 retired -> relabel to 2
+      (10L, 10L), (11L, 10L),         // untouched
+      (20L, 20L), (21L, 20L))         // 21 retired -> singleton, dropped
+      .toDF("doc_id", "cluster_id")
+    val retired = Seq(1L, 21L).toDF("doc_id")
+    val got = Dedup.retireFromClusters(clusters, retired)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L),
+      s"got $got")
+  }
+
+  test("retireKeepBest equals batch keep-best over the live corpus " +
+       "(non-bridge retirement)") {
+    // entity 1 = clique {1,2,3}; entity 10 = {10,11}; singletons 7, 8.
+    // Retire the entity-1 LABEL AND best scorer (1), a non-label member
+    // of 10 (11 -> singleton survivor), and singleton 7. Untouched: 8.
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val scored = Seq((1L, 0.9), (2L, 0.3), (3L, 0.7), (10L, 0.5),
+      (11L, 0.8), (7L, 0.4), (8L, 0.6)).toDF("doc_id", "quality_score")
+    val kb = Dedup.keepBest(scored, clusters).localCheckpoint(false)
+    kb.count()
+    val retired = Seq(1L, 11L, 7L).toDF("doc_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val got = rows(Dedup.retireKeepBest(kb, clusters, retired, scored))
+    // oracle: batch keep-best over the surviving corpus + repaired table
+    val liveScored = scored.join(retired, Seq("doc_id"), "left_anti")
+    val expect = rows(Dedup.keepBest(liveScored,
+      Dedup.retireFromClusters(clusters, retired)))
+    assert(got == expect, s"got $got expect $expect")
+    // the demotion is real: entity 1's keep falls to the second-best 3
+    assert(got.contains((2L, 3L, 2L, 0.7)), got)
+    // 10 lost its best member; the lone survivor keeps its own score
+    assert(got.contains((10L, 10L, 1L, 0.5)), got)
+    // retired singleton 7 vanished, untouched 8 passed through
+    assert(!got.exists(_._1 == 7L) && got.contains((8L, 8L, 1L, 0.6)), got)
+  }
+
+  test("store retire: a retired doc never reappears as dup_of; reinstate " +
+       "restores entity coverage after compaction") {
+    val tbl = "sig_retire_spec"
+    val dupText =
+      "the quick brown fox jumps over the lazy dog again and again"
+    val base = Seq((1L, dupText), (2L, dupText), (3L, dupText),
+      (7L, (0 until 12).map(j => s"lone7y$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureStore(base, tbl, buckets = 4)
+    val baseClusters = Dedup.connectedComponents(
+        Dedup.minhashCandidates(base)).localCheckpoint(false)
+    baseClusters.count()
+    Dedup.releaseScratch()
+
+    // pre-compaction retire of member 2: the class still has 1 and 3
+    Dedup.retireFromSignatureStore(spark, tbl, Seq(2L).toDF("doc_id"))
+    assert(spark.table(tbl).filter(col("doc_id") === 2L).count() == 0)
+    val delta = Seq((90L, dupText)).toDF("doc_id", "text")
+    val cand = Dedup.incrementalCandidatesFromStore(spark.table(tbl), delta)
+      .as[(Long, Long)].collect().toSet
+    assert(!cand.exists(_._2 == 2L),
+      s"retired doc resurfaced as dup_of: $cand")
+    assert(cand.exists(c => c._2 == 1L || c._2 == 3L),
+      s"live class members must still admit the dup: $cand")
+
+    // compact (keeps ONE member per (band, sig, entity) — the min, 1),
+    // then retire that representative WITH its live sibling reinstated
+    val liveClusters = Dedup.retireFromClusters(baseClusters,
+      Seq(2L).toDF("doc_id"))
+    Dedup.compactSignatureStore(spark, tbl, liveClusters)
+    Dedup.retireFromSignatureStore(spark, tbl, Seq(1L).toDF("doc_id"),
+      reinstate = Some(base.filter(col("doc_id") === 3L)))
+    Dedup.releaseScratch()
+    assert(spark.table(tbl).filter(col("doc_id") === 1L).count() == 0)
+    val cand2 = Dedup.incrementalCandidatesFromStore(spark.table(tbl), delta)
+      .as[(Long, Long)].collect().toSet
+    Dedup.releaseScratch()
+    assert(cand2 == Set((90L, 3L)),
+      s"reinstated sibling must carry the entity's coverage: $cand2")
+    // bucketed layout survived both retire rewrites
+    assert(org.apache.spark.sql.GraftShims.tableBuckets(spark, tbl)
+      .contains(4))
+    spark.sql(s"DROP TABLE `$tbl`")
+  }
+
+  test("storeStats: redundancy tracks appends and returns to 1 after " +
+       "compaction; filesPerBucket counts appends") {
+    val tbl = "sig_stats_spec"
+    val dupText =
+      "the quick brown fox jumps over the lazy dog again and again"
+    val base = Seq((1L, dupText), (2L, dupText),
+      (7L, (0 until 12).map(j => s"lone7z$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    Dedup.writeSignatureStore(base, tbl, buckets = 4)
+    val clusters = Dedup.connectedComponents(
+        Dedup.minhashCandidates(base)).localCheckpoint(false)
+    clusters.count()
+    Dedup.releaseScratch()
+    val s0 = Dedup.storeStats(spark, tbl, Some(clusters))
+    // {1,2} share every signature: 6 rows, entity floor 4, redundancy 1.5
+    assert(s0.rows == 6L && s0.entityFloor == 4L, s0)
+    assert(math.abs(s0.redundancy - 1.5) < 1e-9, s0)
+    assert(s0.buckets == 4 && s0.files > 0L, s0)
+
+    Dedup.appendToSignatureStore(Seq((50L, dupText)).toDF("doc_id", "text"),
+      tbl)
+    // the admitted dup joins cluster 1 — probe with the MAINTAINED
+    // table, as a daily pipeline would: its rows are pure redundancy
+    val clusters2 = Dedup.incrementalClusters(clusters,
+      Seq((50L, 1L)).toDF("new_id", "dup_of")).localCheckpoint(false)
+    clusters2.count()
+    Dedup.releaseScratch()
+    val s1 = Dedup.storeStats(spark, tbl, Some(clusters2))
+    assert(s1.rows == 8L && s1.entityFloor == 4L, s1)
+    assert(s1.redundancy > s0.redundancy, s"$s0 -> $s1")
+    assert(s1.filesPerBucket > s0.filesPerBucket,
+      s"each append lands a file set per bucket: $s0 -> $s1")
+
+    Dedup.compactSignatureStore(spark, tbl, clusters2)
+    val s2 = Dedup.storeStats(spark, tbl, Some(clusters2))
+    assert(s2.redundancy == 1.0 && s2.rows == s2.entityFloor,
+      s"compaction must reach the floor: $s2")
+    spark.sql(s"DROP TABLE `$tbl`")
+  }
+
+  test("connectedComponentsWithRounds: labeling matches, rounds visible; " +
+       "non-integral and null ids fail loudly") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val (labeled, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val got = labeled.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(rounds >= 1 && rounds <= Dedup.defaultCcRounds, s"rounds=$rounds")
+    // self-loop-only input converges in zero rounds
+    val selfOnly = Seq((5L, 5L)).toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponentsWithRounds(selfOnly)._2 == 0)
+    // string ids: plan-time rejection, not a silent null-merge
+    val strPairs = Seq(("a", "b")).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(strPairs)
+    }
+    assert(e.getMessage.contains("must be integral"), e.getMessage)
+    // genuinely null ids: loud runtime rejection
+    val nullPairs = Seq[(java.lang.Long, java.lang.Long)]((1L, null))
+      .toDF("doc_a", "doc_b")
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nullPairs)
+    }
+    assert(e2.getMessage.contains("NULL id"), e2.getMessage)
+  }
 }

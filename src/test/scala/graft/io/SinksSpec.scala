@@ -83,6 +83,39 @@ class SinksSpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).isEmpty)
   }
 
+  test("replaceBucketedTable: crash between DROP and RENAME self-heals " +
+       "on the next entry; readers recover explicitly") {
+    val tbl = "swap_crash_spec"
+    Sinks.bucketedTable(Seq((1L, "v1")).toDF("id", "v"), tbl, Seq("id"),
+      buckets = 2)
+    // simulate the crash window: the staged replacement is fully
+    // written, the old table is dropped, the process dies before the
+    // RENAME — exactly the two committed statements, stopped midway
+    Sinks.bucketedTable(Seq((2L, "v2")).toDF("id", "v"), tbl + "__staged",
+      Seq("id"), buckets = 2)
+    spark.sql(s"DROP TABLE `$tbl`")
+    assert(!spark.catalog.tableExists(tbl))
+
+    // a reader self-heals via the explicit recovery entry point
+    assert(Sinks.recoverReplacedTable(spark, tbl))
+    assert(spark.table(tbl).as[(Long, String)].collect().toSet ==
+      Set((2L, "v2")))
+    // idempotent: nothing staged left, second call is a no-op
+    assert(!Sinks.recoverReplacedTable(spark, tbl))
+
+    // and the writer self-heals on entry: re-create the crash state,
+    // then let the next replace run end-to-end
+    Sinks.bucketedTable(Seq((3L, "v3")).toDF("id", "v"), tbl + "__staged",
+      Seq("id"), buckets = 2)
+    spark.sql(s"DROP TABLE `$tbl`")
+    Sinks.replaceBucketedTable(Seq((4L, "v4")).toDF("id", "v"), tbl,
+      Seq("id"), buckets = 2)
+    assert(spark.table(tbl).as[(Long, String)].collect().toSet ==
+      Set((4L, "v4")))
+    assert(!spark.catalog.tableExists(tbl + "__staged"))
+    spark.sql(s"DROP TABLE `$tbl`")
+  }
+
   test("connectedComponents labels clusters with their min doc id") {
     // two chains: {1-2, 2-3} and {10-11}; singleton edges only
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
