@@ -93,6 +93,38 @@ object BenchGrowth {
     spark.read.parquet(path)
   }
 
+  /** Accumulated executor task volumes (spilled-in-memory, spilled-to-
+    * disk, shuffle-write bytes) across a code region — axes report these
+    * next to wall time so a superlinear TIME step with linear COUNTS is
+    * attributable (spill) rather than mysterious (r15 VERDICT #4: the
+    * setsim uniform 80 k step read 6× wall for 4× volume while every
+    * counted quantity was exactly linear). The listener bus is async, so
+    * the region is drained before reading the counters. */
+  private def withTaskVolumes[A](spark: SparkSession)(body: => A)
+      : (A, Long, Long, Long) = {
+    import java.util.concurrent.atomic.AtomicLong
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val mem = new AtomicLong; val disk = new AtomicLong
+    val shuf = new AtomicLong
+    val l = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          mem.addAndGet(m.memoryBytesSpilled)
+          disk.addAndGet(m.diskBytesSpilled)
+          shuf.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+    }
+    org.apache.spark.sql.GraftShims.drainListenerBus(spark) // flush priors
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val a = body
+      org.apache.spark.sql.GraftShims.drainListenerBus(spark)
+      (a, mem.get(), disk.get(), shuf.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   private val abc = "abcdefghijklmnopqrstuvwxyz"
   private val letters = abc + abc.toUpperCase
 
@@ -467,12 +499,14 @@ object BenchGrowth {
           else replicateDocsSkewed(docs1, n))
         val rows = d.count()
         var nOut = -1L
-        val ts = (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          nOut = ext.Dedup.setSimilarityPairs(d).count()
-          val t = (System.nanoTime() - t0) / 1e9
-          ext.Dedup.releaseScratch()
-          t
+        val (ts, spillMem, spillDisk, shufW) = withTaskVolumes(spark) {
+          (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            nOut = ext.Dedup.setSimilarityPairs(d).count()
+            val t = (System.nanoTime() - t0) / 1e9
+            ext.Dedup.releaseScratch()
+            t
+          }
         }
         // stage volumes (untimed diagnostics; ranked scratch shared
         // within this plan, released after)
@@ -483,7 +517,9 @@ object BenchGrowth {
         val pruneRate = if (nRaw == 0) 0.0 else 1.0 - nCand.toDouble / nRaw
         report(f"setsim $tag%s docs=$rows%d raw=$nRaw%d cand=$nCand%d " +
           f"verified=$nOut%d prune=$pruneRate%.3f " +
-          f"ss=${ts(0)}%.2f/${ts(1)}%.2f")
+          f"ss=${ts(0)}%.2f/${ts(1)}%.2f " +
+          f"spillMB=${spillMem / 1048576}%d/${spillDisk / 1048576}%d " +
+          f"shufWMB=${shufW / 1048576}%d")
       }
     }
 
@@ -562,7 +598,10 @@ object BenchGrowth {
           f"[storelife] step $k%d admitted in $t%.2f s ($ccRounds%d cc rounds)")
         (t, ccRounds)
       }
-      val preRows = spark.table(tbl).count()
+      // the compaction-trigger probe, untimed: what a daily pipeline
+      // would consult (SCALE.md records the measured trigger point)
+      val preStats = ext.Dedup.storeStats(spark, tbl, Some(clusters))
+      val preRows = preStats.rows
       // the re-measured admission: same-shaped ninth delta, full store
       val delta9 = staged(spark, "storelife_delta_9")(deltaAt(9))
       delta9.count()
@@ -586,7 +625,9 @@ object BenchGrowth {
       report(f"storelife docs=$rows%d steps=" +
         stepStats.map { case (t, r) => f"$t%.2f@$r%d" }.mkString(",") +
         f" storeRows=$preRows%d->$postRows%d compact=$tCompact%.2f " +
-        f"admitFull=$tFull%.2f admitCompacted=$tPost%.2f")
+        f"admitFull=$tFull%.2f admitCompacted=$tPost%.2f " +
+        f"preRedundancy=${preStats.redundancy}%.2f " +
+        f"preFilesPerBucket=${preStats.filesPerBucket}%.1f")
     }
 
     if (which == "all" || which == "simhash") {

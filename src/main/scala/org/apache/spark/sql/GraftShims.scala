@@ -110,4 +110,12 @@ object GraftShims {
       f.get(execution.streaming.state.StateStore)
         .asInstanceOf[scala.collection.mutable.HashMap[_, _]].size
     } catch { case scala.util.control.NonFatal(_) => -1 }
+
+  /** Block until the async listener bus has delivered every queued
+    * event. A SparkListener accumulating task metrics over a code
+    * region reads ZEROS (or a prior region's stragglers) without this —
+    * task-end events are posted asynchronously. `listenerBus` is
+    * private[spark], hence the shim. */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }
