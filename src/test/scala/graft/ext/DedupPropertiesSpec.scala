@@ -404,4 +404,62 @@ class DedupPropertiesSpec extends SparkSpec {
       assert(got == want, s"seed $seedNo: got ${got.size} want ${want.size}")
     }
   }
+
+  test("retirement repair equals the live-corpus rebuild (4 seeds)") {
+    // The maintained cluster table is a PARTITION (membership rows, no
+    // edge history), so conservative-merge deletion and a rebuild from
+    // the live partition coincide EXACTLY — making the rebuild a strict
+    // oracle here (bridge divergence only exists for edge-defined
+    // clusterings; that caveat is documented on retireFromClusters and
+    // exercised in DedupSpec). Random partitions over 30 ids, random
+    // scores with a null stripe (id % 7 == 3), random retired subsets
+    // hitting labels, non-label members, and singletons alike.
+    (1L to 4L).foreach { seedNo =>
+      val rnd = new scala.util.Random(seedNo)
+      val ids = (0L until 30L).toSeq
+      val groupOf = ids.map(i => i -> rnd.nextInt(8)).toMap
+      val groups = ids.groupBy(groupOf).values.toSeq
+      val clusterRows = groups.filter(_.size >= 2)
+        .flatMap(ms => ms.map(m => (m, ms.min)))
+      val clusters = clusterRows.toDF("doc_id", "cluster_id")
+      val scored = ids.map(i => (i,
+          if (i % 7 == 3) null.asInstanceOf[java.lang.Double]
+          else java.lang.Double.valueOf(rnd.nextDouble())))
+        .toDF("doc_id", "quality_score")
+      val retiredSeq = {
+        val r = ids.filter(_ => rnd.nextBoolean())
+        if (r.isEmpty) Seq(0L) else r
+      }
+      val retiredSet = retiredSeq.toSet
+      val retired = retiredSeq.toDF("doc_id")
+
+      // cluster repair vs the in-memory rebuild of the live partition
+      val repaired = Dedup.retireFromClusters(clusters, retired)
+      val repairedRows = repaired.as[(Long, Long)].collect().toSet
+      val expectClusters = groups
+        .map(_.filterNot(retiredSet))
+        .filter(_.size >= 2)
+        .flatMap(ms => ms.map(m => (m, ms.min))).toSet
+      assert(repairedRows == expectClusters,
+        s"seed $seedNo: repaired $repairedRows expect $expectClusters")
+
+      // keep-best repair vs batch keep-best over the live corpus
+      val kb = Dedup.keepBest(scored, clusters).localCheckpoint(false)
+      kb.count()
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .as[(Long, Long, Long, Option[Double])].collect().toSet
+      val got = rows(Dedup.retireKeepBest(kb, clusters, retired, scored))
+      val liveScored = scored.join(retired, Seq("doc_id"), "left_anti")
+      val expect = rows(Dedup.keepBest(liveScored, repaired))
+      assert(got == expect,
+        s"seed $seedNo: got-expect=${got -- expect} " +
+          s"expect-got=${expect -- got}")
+
+      // and no retired id survives anywhere in either table
+      assert(!repairedRows.exists(r =>
+        retiredSet(r._1) || retiredSet(r._2)), s"seed $seedNo")
+      assert(!got.exists(r => retiredSet(r._1) || retiredSet(r._2)),
+        s"seed $seedNo: retired id in keep-best $got")
+    }
+  }
 }
