@@ -677,7 +677,9 @@ object Dedup {
     * no-base-shuffle admission plan intact. Each append lands one file
     * set per bucket — run [[compactSignatureStore]] on a threshold
     * before per-bucket file counts (and the dup-heavy rows deltas
-    * accumulate) amplify the admission scan. */
+    * accumulate) amplify the admission scan; [[storeStats]] computes
+    * that threshold mechanically (redundancy vs the entity floor,
+    * files per bucket — measured trigger guidance in SCALE.md). */
   def appendToSignatureStore(delta: DataFrame, table: String,
                              idCol: String = "doc_id", k: Int = 8,
                              stride: Int = 4): Unit = {
