@@ -814,7 +814,10 @@ object Dedup {
     * (decremental connectivity would need the full edge history, which
     * no maintained table keeps). A retired doc therefore never appears
     * in the output, but a split that only its edges justified is not
-    * re-discovered until the next full re-cluster. */
+    * re-discovered until the next full re-cluster — or until
+    * [[clusterSplitAudit]] is run against the pipeline's own pair
+    * evidence, which detects exactly those splits at O(touched) and
+    * emits the subcluster relabeling to apply. */
   def retireFromClusters(clusters: DataFrame, retired: DataFrame,
                          idCol: String = "doc_id"): DataFrame = {
     val retiredIds = retired.select(col(idCol).as("doc_id"))
@@ -834,6 +837,60 @@ object Dedup {
       .unionByName(
         live.join(broadcast(touched), Seq("cluster_id"), "left_anti")
           .select(col("doc_id"), col("cluster_id")))
+  }
+
+  /** Audit [[retireFromClusters]]'s conservative-merge caveat: given
+    * PAIR EVIDENCE among surviving documents (`livePairs` as (doc_a,
+    * doc_b) — LSH candidates, or better the exact-verified pairs the
+    * pipeline already computes), report every retired-touched cluster
+    * whose survivors are NO LONGER connected once the retired docs'
+    * edges are gone — i.e. the bridge splits conservative merge keeps
+    * silent. Output: (cluster_id, doc_id, subcluster_id), one row per
+    * surviving member of each SPLIT cluster, where subcluster_id labels
+    * the connected component the member falls into (min surviving id) —
+    * exactly the relabeling a caller applies to re-point those clusters,
+    * or the work-list for a scoped re-cluster. Non-split clusters (and
+    * untouched ones, which cannot split) emit nothing.
+    *
+    * Pair evidence is restricted to WITHIN-cluster pairs among
+    * survivors, so the audit runs at O(touched members + their pairs):
+    * feed pairs for the touched clusters only if you have them indexed;
+    * feeding a corpus-wide pair set is correct too (the join prunes
+    * it). The audit is exact relative to its evidence — with verified
+    * pairs it reports true connectivity, with banded candidates it
+    * reports LSH-candidate connectivity (the same evidence the original
+    * clustering was built from). */
+  def clusterSplitAudit(clusters: DataFrame, retired: DataFrame,
+                        livePairs: DataFrame,
+                        idCol: String = "doc_id",
+                        maxIter: Int = defaultCcRounds): DataFrame = {
+    val retiredIds = retired.select(col(idCol).as("doc_id"))
+    val touched = clusters.join(broadcast(retiredIds), Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+    val survivors = clusters
+      .join(broadcast(touched), Seq("cluster_id"), "left_semi")
+      .join(broadcast(retiredIds), Seq("doc_id"), "left_anti")
+    // evidence restricted to surviving same-cluster endpoints
+    val sa = survivors.select(col("doc_id").as("doc_a"),
+      col("cluster_id").as("ca"))
+    val sb = survivors.select(col("doc_id").as("doc_b"),
+      col("cluster_id").as("cb"))
+    val within = livePairs.select(col("doc_a"), col("doc_b"))
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .filter(col("ca") === col("cb"))
+      .select(col("doc_a"), col("doc_b"))
+    // survivors with no surviving edge are their own subcluster, so the
+    // label domain is ALL touched survivors, not just paired ones
+    val comp = connectedComponents(within, maxIter)
+      .select(col("doc_id"), col("cluster_id").as("sub"))
+    val labeled = survivors.join(comp, Seq("doc_id"), "left")
+      .select(col("cluster_id"), col("doc_id"),
+        coalesce(col("sub"), col("doc_id")).as("subcluster_id"))
+    val split = labeled.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("subcluster_id")).as("n_sub"))
+      .filter(col("n_sub") > 1)
+      .select(col("cluster_id"))
+    labeled.join(broadcast(split), Seq("cluster_id"), "left_semi")
   }
 
   /** Repair the maintained KEEP-BEST table after retiring `retired`

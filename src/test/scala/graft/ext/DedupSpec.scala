@@ -639,6 +639,37 @@ class DedupSpec extends SparkSpec {
     assert(!got.exists(_._1 == 7L) && got.contains((8L, 8L, 1L, 0.6)), got)
   }
 
+  test("clusterSplitAudit: bridge retirement splits surface with their " +
+       "relabeling; cliques and untouched clusters stay silent") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),   // chain 1-2-3; retiring 2 splits it
+      (10L, 10L), (11L, 10L), (12L, 10L), // clique; retiring 11 is safe
+      (20L, 20L), (21L, 20L))         // untouched
+      .toDF("doc_id", "cluster_id")
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),              // the bridge evidence
+      (10L, 11L), (11L, 12L), (10L, 12L), // the clique evidence
+      (20L, 21L)).toDF("doc_a", "doc_b")
+    val retired = Seq(2L, 11L).toDF("doc_id")
+    val got = Dedup.clusterSplitAudit(clusters, retired, pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    // only cluster 1 splits: survivors 1 and 3 have no surviving edge
+    assert(got == Set((1L, 1L, 1L), (1L, 3L, 3L)), got)
+
+    // stale evidence listing the retired doc's own edges must not
+    // reconnect the survivors (both endpoints must survive)
+    val got2 = Dedup.clusterSplitAudit(clusters, retired,
+        pairs.unionAll(Seq((2L, 2L)).toDF("doc_a", "doc_b")))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == got, got2)
+
+    // with a direct surviving 1-3 edge, nothing splits at all
+    val healed = Dedup.clusterSplitAudit(clusters, retired,
+        pairs.unionAll(Seq((1L, 3L)).toDF("doc_a", "doc_b")))
+      .count()
+    assert(healed == 0L)
+  }
+
   test("store retire: a retired doc never reappears as dup_of; reinstate " +
        "restores entity coverage after compaction") {
     val tbl = "sig_retire_spec"
