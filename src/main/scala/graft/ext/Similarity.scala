@@ -294,6 +294,113 @@ object Similarity {
       .distinct()
   }
 
+  /** Materialize the corpus's banded sign-LSH signatures as a persisted
+    * EMBEDDING SIGNATURE STORE — the artifact [[incrementalCandidates]]'s
+    * scaladoc promises at 100 TB, now with the same lifecycle the text
+    * side grew in r15-16: a managed parquet table of (table, sig, idCol)
+    * bucketed AND sorted by (table, sig), so daily admission band-joins
+    * read it with NO base-side shuffle and never re-hash the corpus. */
+  def writeSignatureStore(emb: DataFrame, table: String, tables: Int = 4,
+                          planesPerTable: Int = 8, idCol: String = "vec_id",
+                          vecCol: String = "embedding", dims: Int = -1,
+                          buckets: Int = 64): Unit =
+    graft.io.Sinks.bucketedTable(
+      signLshBanded(emb, tables, planesPerTable, idCol, vecCol, dims)
+        .select(col("table"), col("sig"), col(idCol)),
+      table, Seq("table", "sig"), buckets)
+
+  /** Store-reading overload of [[incrementalCandidates]]: the base side
+    * is an already-built (table, sig, idCol) signature frame —
+    * `spark.table` over a [[writeSignatureStore]] snapshot (bucketed
+    * scan, zero base-side hashing or shuffle). Admission cost is
+    * O(delta) hashing plus one bucket-keyed join, independent of corpus
+    * size. */
+  def incrementalCandidatesFromStore(sigStore: DataFrame, delta: DataFrame,
+                                     tables: Int = 4,
+                                     planesPerTable: Int = 8,
+                                     idCol: String = "vec_id",
+                                     vecCol: String = "embedding",
+                                     dims: Int = -1): DataFrame = {
+    val bs = sigStore.select(col("table"), col("sig"),
+      col(idCol).as("dup_of"))
+    val ds = signLshBanded(delta, tables, planesPerTable, idCol, vecCol,
+        dims)
+      .select(col("table"), col("sig"), col(idCol).as("new_id"))
+    ds.join(bs, Seq("table", "sig"))
+      .select(col("new_id"), col("dup_of"))
+      .distinct()
+  }
+
+  /** Fold an admitted delta's signatures into the persisted embedding
+    * store — tomorrow's delta must band-join against today's arrivals.
+    * Bucket count read from the catalog so appends cannot drift from
+    * the store's layout (the [[graft.ext.Dedup.appendToSignatureStore]]
+    * discipline). */
+  def appendToSignatureStore(delta: DataFrame, table: String,
+                             tables: Int = 4, planesPerTable: Int = 8,
+                             idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             dims: Int = -1): Unit = {
+    val spark = delta.sparkSession
+    val buckets = org.apache.spark.sql.GraftShims
+      .tableBuckets(spark, table)
+      .getOrElse(throw new IllegalArgumentException(
+        s"appendToSignatureStore: `$table` is not a bucketed store"))
+    signLshBanded(delta, tables, planesPerTable, idCol, vecCol, dims)
+      .select(col("table"), col("sig"), col(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, "table", "sig").sortBy("table", "sig")
+      .format("parquet").saveAsTable(table)
+  }
+
+  /** HARD-DELETE vectors from the embedding signature store — the
+    * compliance/retention exit path, twin of
+    * [[graft.ext.Dedup.retireFromSignatureStore]] (same checked
+    * staged-swap commit, same reinstate side re-hashing live sibling
+    * VECTORS whose bucket rows earlier maintenance may have dropped,
+    * same anti-join so a reinstate can never resurrect a retired id).
+    *
+    * No compaction counterpart is offered for THIS store, by design:
+    * the text store's compaction is lossless because its admission
+    * consumers contract every store-side endpoint to its cluster label
+    * before anything reads the edge — but embedding admission verifies
+    * candidates by COSINE AGAINST THE WITNESS VECTOR (`dup_of` names
+    * whose embedding gets compared), and near-dup cluster members are
+    * not interchangeable under that verify: a new vector can clear the
+    * threshold against a dropped sibling yet miss against the kept
+    * representative. Until an embedding pipeline contracts to labels
+    * pre-verify, a compacted store would silently change admissions —
+    * so the store stays one row per (table, sig, vector) and growth is
+    * bounded by retiring + snapshot rebuilds instead. */
+  def retireFromSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                               table: String, retired: DataFrame,
+                               idCol: String = "vec_id",
+                               reinstate: Option[DataFrame] = None,
+                               tables: Int = 4, planesPerTable: Int = 8,
+                               vecCol: String = "embedding",
+                               dims: Int = -1): Unit = {
+    val buckets = org.apache.spark.sql.GraftShims
+      .tableBuckets(spark, table)
+      .getOrElse(throw new IllegalArgumentException(
+        s"retireFromSignatureStore: `$table` is not a bucketed store"))
+    val retiredIds = retired.select(col(idCol))
+    val kept = spark.table(table)
+      .join(broadcast(retiredIds), Seq(idCol), "left_anti")
+      .select(col("table"), col("sig"), col(idCol))
+    val purged = reinstate match {
+      case None => kept
+      case Some(emb) =>
+        kept.unionByName(
+            signLshBanded(emb, tables, planesPerTable, idCol, vecCol, dims)
+              .select(col("table"), col("sig"), col(idCol))
+              .join(broadcast(retiredIds), Seq(idCol), "left_anti")
+              .select(col("table"), col("sig"), col(idCol)))
+          .distinct()
+    }
+    graft.io.Sinks.replaceBucketedTable(
+      purged, table, Seq("table", "sig"), buckets)
+  }
+
   /** Embedding near-duplicates via banded sign-LSH: candidate pairs share
     * at least one table's bucket, then the exact (rounded) cosine filter
     * keeps true near-dups. The hash-bucketed alternative to the IVF-cell

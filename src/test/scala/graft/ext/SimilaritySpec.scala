@@ -123,6 +123,48 @@ class SimilaritySpec extends SparkSpec {
     assert(!got.toMap.contains(51L))
   }
 
+  test("embedding signature store: store-path admission equals recompute; " +
+       "append admits tomorrow's twin; retire never reappears") {
+    val tbl = "emb_sig_store_spec"
+    val vA = randVec(101)
+    val base = Seq((1L, vA), (2L, vA), (3L, randVec(202)))
+      .toDF("vec_id", "embedding")
+    Similarity.writeSignatureStore(base, tbl, buckets = 4)
+    val delta = Seq((50L, vA)).toDF("vec_id", "embedding")
+    def candFromStore(d: org.apache.spark.sql.DataFrame) =
+      Similarity.incrementalCandidatesFromStore(spark.table(tbl), d)
+        .as[(Long, Long)].collect().toSet
+    val fromStore = candFromStore(delta)
+    val recompute = Similarity.incrementalCandidates(base, delta)
+      .as[(Long, Long)].collect().toSet
+    assert(fromStore == recompute &&
+      fromStore.contains((50L, 1L)) && fromStore.contains((50L, 2L)),
+      s"store $fromStore recompute $recompute")
+
+    // day 2: a twin of the admitted vector must see day 1's arrival
+    Similarity.appendToSignatureStore(delta, tbl)
+    val cand2 = candFromStore(Seq((60L, vA)).toDF("vec_id", "embedding"))
+    assert(cand2.contains((60L, 50L)), s"append not visible: $cand2")
+
+    // retire 1 (reinstating live sibling 2 exercises the anti-join +
+    // distinct mechanics — its rows are already present and must not
+    // duplicate); the retired id never reappears as dup_of
+    val rows2 = spark.table(tbl).filter(col("vec_id") === 2L).count()
+    Similarity.retireFromSignatureStore(spark, tbl,
+      Seq(1L).toDF("vec_id"),
+      reinstate = Some(base.filter(col("vec_id") === 2L)))
+    assert(spark.table(tbl).filter(col("vec_id") === 1L).count() == 0)
+    assert(spark.table(tbl).filter(col("vec_id") === 2L).count() == rows2,
+      "reinstating an already-present sibling must not duplicate rows")
+    val cand3 = candFromStore(Seq((70L, vA)).toDF("vec_id", "embedding"))
+    assert(!cand3.exists(_._2 == 1L), s"retired id resurfaced: $cand3")
+    assert(cand3.contains((70L, 2L)) && cand3.contains((70L, 50L)), cand3)
+    // bucketed layout survived the retire rewrite
+    assert(org.apache.spark.sql.GraftShims.tableBuckets(spark, tbl)
+      .contains(4))
+    spark.sql(s"DROP TABLE `$tbl`")
+  }
+
   test("nearDupLsh hot-bucket chunked path equals brute force (one giant bucket)") {
     // 600 distinct vectors = base + per-id tiny perturbations, all with
     // pairwise cosine ≈ 1: every vector lands in the SAME signature bucket
