@@ -621,13 +621,44 @@ object BenchGrowth {
       ext.Dedup.releaseScratch()
       require(updCompact == updFull,
         s"admit-after-compact checksum $updCompact != full-store $updFull")
+      // lifecycle EXIT leg on the compacted store: retire 1,000 store
+      // docs (deterministic min-id slice — post-compaction those are
+      // mostly entity representatives, the hardest case) with their
+      // live cluster siblings reinstated, then re-admit the ninth delta
+      // and REQUIRE no retired id resurfaces as dup_of. Times the
+      // O(store) rewrite and the post-retire admission at sf0.1.
+      spark.table(tbl).select(col("doc_id")).distinct()
+        .orderBy(col("doc_id")).limit(1000)
+        .write.mode("overwrite").parquet(s"$tmpRoot/storelife_retired")
+      val retiredIds = spark.read.parquet(s"$tmpRoot/storelife_retired")
+      val siblings = clusters
+        .join(retiredIds.withColumnRenamed("doc_id", "cluster_id"),
+          Seq("cluster_id"), "left_semi")
+        .join(retiredIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+      val siblingDocs = base.join(siblings, Seq("doc_id"), "left_semi")
+      val t0r = System.nanoTime()
+      ext.Dedup.retireFromSignatureStore(spark, tbl, retiredIds,
+        reinstate = Some(siblingDocs))
+      val tRetire = (System.nanoTime() - t0r) / 1e9
+      val t0a = System.nanoTime()
+      val candPost = ext.Dedup.incrementalCandidatesFromStore(
+        spark.table(tbl), delta9)
+      val resurfaced = candPost
+        .join(retiredIds.withColumnRenamed("doc_id", "dup_of"),
+          Seq("dup_of"), "left_semi").count()
+      val tAdmitRetired = (System.nanoTime() - t0a) / 1e9
+      require(resurfaced == 0L,
+        s"$resurfaced retired ids resurfaced as dup_of after retire")
+      ext.Dedup.releaseScratch()
       spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
       report(f"storelife docs=$rows%d steps=" +
         stepStats.map { case (t, r) => f"$t%.2f@$r%d" }.mkString(",") +
         f" storeRows=$preRows%d->$postRows%d compact=$tCompact%.2f " +
         f"admitFull=$tFull%.2f admitCompacted=$tPost%.2f " +
         f"preRedundancy=${preStats.redundancy}%.2f " +
-        f"preFilesPerBucket=${preStats.filesPerBucket}%.1f")
+        f"preFilesPerBucket=${preStats.filesPerBucket}%.1f " +
+        f"retire1k=$tRetire%.2f admitPostRetire=$tAdmitRetired%.2f")
     }
 
     if (which == "all" || which == "simhash") {
