@@ -359,6 +359,55 @@ object Multimodal {
     asMedia(raw, "media_id", "wav", "audio")
   }
 
+  /** The JDK's registered audio-container readers, resolved ONCE per JVM.
+    *
+    * Why not `AudioSystem.getAudioInputStream` per row: that entry point
+    * re-resolves the SPI provider list on EVERY call —
+    * `JDK13Services.getProviders` takes a global lock and rescans the
+    * classpath for service-config entries (measured r16 by in-task stack
+    * sampling: 2,620 of ~2,700 samples inside
+    * `JSSecurityManager.getProviders`/jar-entry scans, 32 decode tasks
+    * serialized on the lock; multimodal_decode_audio reported 46 task-wall
+    * seconds against 2 CPU seconds). Loading the
+    * `javax.sound.sampled.spi.AudioFileReader` providers once and
+    * dispatching directly is exactly the per-task-heavyweight-state rule
+    * (optimization guide §4.5) — the SAME JDK codec classes AudioSystem
+    * would pick run the actual parse. */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    val all = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .asScala.toList
+    // Probe MIDI readers LAST: SoftMidiAudioFileReader's PROBE internally
+    // calls MidiSystem.getSequence, which re-runs the synchronized
+    // JDK13Services classpath rescan per call — the very cost this cache
+    // exists to hoist (stack-sampled r16: it dominated even with the
+    // outer lookup cached, because JDK provider order puts it before
+    // WaveFileReader). Container magics (RIFF/FORM/.snd/MThd) are
+    // disjoint, so probe order cannot change which reader ACCEPTS.
+    val (midi, rest) = all.partition(_.getClass.getName.contains("Midi"))
+    rest ++ midi
+  }
+
+  /** AudioSystem.getAudioInputStream semantics over the cached provider
+    * list: first reader that accepts the container wins; resettable
+    * streams are rewound between probes exactly as AudioSystem does. */
+  private def audioInputStreamCached(bytes: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    val bais = new java.io.ByteArrayInputStream(bytes)
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try return r.getAudioInputStream(bais)
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          bais.reset()
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "Stream of unsupported format")
+  }
+
   /** REAL audio decode — JDK `javax.sound.sampled`, no external codecs.
     * WAV/PCM bytes → actual format metadata (sample rate, channels, frame
     * count) plus an 8-dim feature vector: mean amplitude over 8 equal time
@@ -379,8 +428,7 @@ object Multimodal {
             if (bytes == null) null
             else
               try {
-                val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                  new java.io.ByteArrayInputStream(bytes))
+                val in = audioInputStreamCached(bytes)
                 val fmt = in.getFormat
                 val data = in.readAllBytes()
                 (fmt.getSampleRate.toInt, fmt.getChannels,
