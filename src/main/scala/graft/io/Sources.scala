@@ -76,8 +76,23 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/$name.parquet"
-    normalizeTs(spark.read.parquet(path), tsIsNanosAnnotated(spark, path))
+    // Explicit schema per the object scaladoc's no-inference-pass rule —
+    // which this entry point itself violated until r16: a schema-less
+    // spark.read.parquet runs a ~40 ms schema-inference JOB per call
+    // ("parquet at Sources.scala" in the job listener), and the bench
+    // pays it once per table reference per query per pass. The schema is
+    // a pure function of the on-disk file (read once under the same
+    // nanosAsLong conf the scan uses), memoized exactly like the footer
+    // annotation below — metadata, not data: every query still computes
+    // from the parquet bytes.
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    normalizeTs(spark.read.schema(schema).parquet(path),
+      tsIsNanosAnnotated(spark, path))
   }
+
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   /** Normalize a `ts` column (if present) to session-zoned TimestampType —
     * see [[table]] for the three physical shapes this absorbs.
