@@ -94,6 +94,16 @@ object Sources {
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
+  /** The memoized on-disk schema of a fixture parquet path — for callers
+    * that need a schema WITHOUT a scan (the streaming sources must pass
+    * one to `readStream`), so they stop paying the per-call
+    * schema-inference job `table` no longer pays. Read under the same
+    * nanosAsLong conf every consumer uses. */
+  def parquetSchema(spark: SparkSession, path: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+  }
+
   /** Normalize a `ts` column (if present) to session-zoned TimestampType —
     * see [[table]] for the three physical shapes this absorbs.
     *

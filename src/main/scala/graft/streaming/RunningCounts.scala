@@ -87,11 +87,11 @@ object RunningCounts {
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
     try {
-      // nanos-vintage fixtures need this even though `ts` is never
-      // selected: the schema probe itself rejects TIMESTAMP(NANOS)
-      // columns otherwise (PARQUET_TYPE_ILLEGAL) — see Sources.table
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      // nanos-vintage fixtures need the nanosAsLong conf even though `ts`
+      // is never selected (PARQUET_TYPE_ILLEGAL otherwise) — the memoized
+      // Sources.parquetSchema sets it and skips the per-call inference job
+      val schema =
+        graft.io.Sources.parquetSchema(spark, s"$dir/events.parquet")
       implicit val inEnc: Encoder[(Long, String)] =
         Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
       val pairs = spark.readStream.schema(schema).parquet(s"$dir/events.*")
@@ -190,9 +190,9 @@ object RunningCounts {
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
     try {
-      // see runTypesAvailableNow: the schema probe needs the nanos conf
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = spark.read.parquet(s"$dir/events.parquet").schema
+      // see runTypesAvailableNow: memoized probe, nanos conf inside
+      val schema =
+        graft.io.Sources.parquetSchema(spark, s"$dir/events.parquet")
       implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
       val users = spark.readStream.schema(schema).parquet(s"$dir/events.*")
         .select(col("user_id")).as[Long]

@@ -52,7 +52,8 @@ object StreamAdmission {
     * the verdict aggregate is tiny (one row per delta doc). */
   def runAvailableNow(spark: SparkSession, dir: String): DataFrame =
     StreamConf.sized(spark) {
-      val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+      val schema =
+        graft.io.Sources.parquetSchema(spark, s"$dir/documents.parquet")
       val store = graft.ext.Dedup.minhashSignatures(
           spark.read.parquet(s"$dir/documents.parquet")
             .filter(col("doc_id") % 3 =!= 0))

@@ -39,7 +39,8 @@ object StreamDedup {
     * eviction path (duplicates beyond the horizon surviving) is covered in
     * StreamDedupSpec; this entry data-checks the dedup itself. */
   def runAvailableNow(spark: SparkSession, dir: String): DataFrame = StreamConf.sized(spark) {
-    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val schema =
+      graft.io.Sources.parquetSchema(spark, s"$dir/documents.parquet")
     // +1 day: a row whose event time equals the initial watermark (epoch 0)
     // would be filtered as late before reaching the dedup state.
     val docs = spark.readStream.schema(schema).parquet(s"$dir/documents.*")

@@ -239,9 +239,8 @@ object StreamingKpis {
     * µs-NTZ, and µs-UTC vintages, and `withWatermark` requires
     * TimestampType (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise). */
   private def eventStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
+    val schema = graft.io.Sources.parquetSchema(spark, path)
     graft.io.Sources.normalizeTs(
       spark.readStream.schema(schema).parquet(s"$dir/events.*"),
       graft.io.Sources.tsIsNanosAnnotated(spark, path))
