@@ -1,0 +1,28 @@
+package graft
+/** Temporary diagnostic: warm-pass Janino recompilation volume. */
+object CodegenProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = HarnessSession.build()
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val q = SparkEntry.queries
+    val names = q.keys.toSeq.sorted.take(args.headOption.map(_.toInt).getOrElse(70))
+    def compileMs: Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_SOURCE_CODE_SIZE.getCount // placeholder replaced below
+    def hist = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME
+    (1 to 2).foreach { pass =>
+      val c0 = hist.getCount
+      val t0 = System.nanoTime
+      names.foreach { n =>
+        try q(n)(spark, dir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => println(s"FAIL $n ${e.getMessage}") }
+        ext.Dedup.releaseScratch()
+        if (n.startsWith("streaming_")) streaming.StreamHygiene.release(spark)
+      }
+      val wall = (System.nanoTime - t0) / 1e9
+      println(f"CG pass $pass wall=$wall%.1f compiles=${hist.getCount - c0}")
+    }
+    spark.stop()
+  }
+}

@@ -43,6 +43,19 @@ object HarnessSession {
       .config("spark.local.dir",
         sys.props.getOrElse("spark.local.dir",
           localDir.getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))))
+      // Codegen class cache sized for a MULTI-QUERY session (r16): the
+      // default 100-entry LRU is sized for one query's worth of codegen
+      // units; a 221-query suite generates ~1,300 distinct units per
+      // pass, so the "warm" pass thrashed the cache and re-ran Janino on
+      // 1,119 of them (measured via CodegenMetrics: 70-query mini-suite,
+      // warm pass 1,119 compiles / 50.4 s at 100 entries vs 35 compiles /
+      // 32.9 s at a large cache). 5000 holds two full passes with slack
+      // (~1,300 classes ≈ tens of MB of metaspace); any long-lived
+      // multi-query deployment (Thrift server, notebook cluster) wants
+      // the same. Env-overridable; an explicit -D wins.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.props.getOrElse("spark.sql.codegen.cache.maxEntries",
+          sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000")))
       .config("spark.sql.session.timeZone", "UTC")
       // overridable default (builder .config beats -D; see Verify)
       .config("spark.sql.adaptive.enabled",
