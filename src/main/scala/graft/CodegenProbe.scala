@@ -1,14 +1,14 @@
 package graft
-/** Temporary diagnostic: warm-pass Janino recompilation volume. */
+/** Diagnostic arbiter: Janino (re)compilation volume per suite pass via
+  * CodegenMetrics — `CodegenProbe [nQueries]`. Found the r16 codegen
+  * cache thrash (warm pass recompiled 1,119 of ~1,300 units at the
+  * 100-entry default). */
 object CodegenProbe {
   def main(args: Array[String]): Unit = {
     val spark = HarnessSession.build()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val q = SparkEntry.queries
     val names = q.keys.toSeq.sorted.take(args.headOption.map(_.toInt).getOrElse(70))
-    def compileMs: Long =
-      org.apache.spark.metrics.source.CodegenMetrics
-        .METRIC_SOURCE_CODE_SIZE.getCount // placeholder replaced below
     def hist = org.apache.spark.metrics.source.CodegenMetrics
       .METRIC_COMPILATION_TIME
     (1 to 2).foreach { pass =>

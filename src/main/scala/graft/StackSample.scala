@@ -1,5 +1,8 @@
 package graft
-/** Temporary diagnostic: sample executor-task stacks during one query. */
+/** Diagnostic arbiter: in-process sampling of executor-task stacks
+  * during one query — `StackSample <name>`. The sandbox blocks jstack
+  * attach to backgrounded JVMs; this histograms Thread.getAllStackTraces
+  * every 20 ms instead. Found the r16 audio SPI classpath-rescan lock. */
 object StackSample {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("multimodal_decode_audio")

@@ -1,5 +1,8 @@
 package graft
-/** Temporary diagnostic: per-query task wall vs CPU vs GC attribution. */
+/** Diagnostic arbiter: per-query task WALL vs CPU vs GC attribution —
+  * `TaskAttr <name>[,<name>…]`. A wall≫CPU gap means tasks are BLOCKED
+  * (lock, I/O), not computing; found the r16 audio-SPI serialization
+  * (46 task-wall s vs 2 CPU s) and the shuffle-file syscall share. */
 object TaskAttr {
   def main(args: Array[String]): Unit = {
     import org.apache.spark.scheduler._
