@@ -66,6 +66,22 @@ object HarnessSession {
       // session, and an explicit -D restores the default.
       .config("spark.sql.codegen.useIdInClassName",
         sys.props.getOrElse("spark.sql.codegen.useIdInClassName", "false"))
+      // Session-artifact isolation OFF (r17): Spark 4 keys the codegen
+      // cache on (context classloader, source), and with isolation on,
+      // EVERY streaming query start clones the session into a fresh
+      // sessionUUID-keyed JobArtifactState whose tasks run under a new
+      // ExecutorClassLoader — so each of the ~12 streaming runs per
+      // bench pass re-Janino'd its full plan (~130 units/pass; measured
+      // via CodegenMetrics: 12 compiles per repeat run → 0 with
+      // isolation off, CgDiffProbe), and one classloader + metaspace
+      // footprint accumulated per run. The isolation exists to fence
+      // per-session third-party artifacts (Spark Connect multi-tenancy);
+      // this engine adds none, so the single-tenant deployment setting
+      // is OFF — same class of fix as the codegen cache sizing above.
+      // Env-overridable; an explicit -D wins.
+      .config("spark.sql.artifact.isolation.enabled",
+        sys.props.getOrElse("spark.sql.artifact.isolation.enabled",
+          sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISOLATION", "false")))
       .config("spark.sql.session.timeZone", "UTC")
       // overridable default (builder .config beats -D; see Verify)
       .config("spark.sql.adaptive.enabled",
