@@ -95,16 +95,29 @@ object EngineQueries extends QueryGroup {
     * claim: Spark emits the comparison as a boolean next to the exact
     * count, DuckDB emits the exact count and literal TRUE — the row
     * hash-matches iff the sketch held its bound. */
-  private def approxDistinct(s: SparkSession, dir: String): DataFrame =
-    Sources.table(s, dir, "events")
-      .groupBy(col("event_type"))
+  private def approxDistinct(s: SparkSession, dir: String): DataFrame = {
+    // Dedup-then-aggregate (r17): fused `countDistinct + approx_cd` in
+    // one agg plants the HLL partials into the distinct-rewrite's dedup
+    // HashAggregate, allocating an HLL register array PER (event_type,
+    // user_id) GROUP — O(distinct pairs)·~1 KB of aggregation buffer.
+    // Deduplicating first leaves the dedup buffers empty and feeds ONE
+    // sketch per event_type on the second (tiny) aggregate. HLL is
+    // duplicate-insensitive and fixed-seed, so the estimate over the
+    // deduped user_ids is register-for-register the estimate over the
+    // raw stream; exact_users = count of deduped non-null user_ids.
+    // Same exchanges (pair-grain, then type-grain), strictly smaller
+    // buffers — the shape that survives a high-cardinality key at 100 TB.
+    val dd = Sources.table(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    dd.groupBy(col("event_type"))
       .agg(
-        countDistinct(col("user_id")).as("exact_users"),
+        count(col("user_id")).as("exact_users"),
         (abs(approx_count_distinct(col("user_id"), 0.02) -
-          countDistinct(col("user_id"))) <=
-          countDistinct(col("user_id")) * lit(0.05))
+          count(col("user_id"))) <=
+          count(col("user_id")) * lit(0.05))
           .as("approx_within_5pct"))
       .orderBy("event_type")
+  }
 
   /** Count-Min point-frequency estimates over the user_id key: the sketch
     * is a fixed d×w long matrix with element-wise merge, so the exchange

@@ -120,20 +120,40 @@ object ProfilingQueries extends QueryGroup {
     * entry additionally computes the exact counts so the oracle can pin
     * each sketch estimate within 5% (bound as data, same pattern as
     * a_approx_distinct) — the Expand here belongs to the CHECK, not the
-    * operator. */
+    * operator.
+    *
+    * The sketches live in their OWN single-group aggregate, broadcast
+    * back over the exact side (r17). Mixing them into the exact
+    * multi-distinct `agg` plants partial_approx_count_distinct into the
+    * Expand-dedup HashAggregate, which keys on (gid, event_id, user_id,
+    * value) — millions of groups — and so allocates THREE ~1 KB HLL
+    * register arrays PER DEDUP GROUP: gigabytes of aggregation buffer
+    * at any scale, measured 11.3 CPU-s at sf0.1 (SuiteAttr r17) for a
+    * ~1 M-row input. Split, the dedup buffers are a bare count and the
+    * sketch aggregate keeps 3 registers total with map-side partials;
+    * the second scan of the 3-column pruned parquet is the cheap side
+    * of that trade at every scale. HLL++ is deterministic (fixed-seed
+    * xxhash64 over the same column values), so the estimates — and
+    * every output row — are bit-identical to the fused form's. */
   private def profileColumnsApprox(s: SparkSession, dir: String): DataFrame = {
     val e = Sources.table(s, dir, "events")
-    def within(c: String) =
-      (abs(approx_count_distinct(col(c), 0.02) - countDistinct(col(c))) <=
-        countDistinct(col(c)) * lit(0.05)).as(s"ok_$c")
-    val one = e.agg(
+    val exact = e.agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col("event_id")).as("d_event_id"),
-      within("event_id"),
       countDistinct(col("user_id")).as("d_user_id"),
-      within("user_id"),
-      countDistinct(col("value")).as("d_value"),
-      within("value"))
+      countDistinct(col("value")).as("d_value"))
+    val sketch = e.agg(
+      approx_count_distinct(col("event_id"), 0.02).as("a_event_id"),
+      approx_count_distinct(col("user_id"), 0.02).as("a_user_id"),
+      approx_count_distinct(col("value"), 0.02).as("a_value"))
+    def within(c: String) =
+      (abs(col(s"a_$c") - col(s"d_$c")) <= col(s"d_$c") * lit(0.05))
+        .as(s"ok_$c")
+    val one = exact.crossJoin(broadcast(sketch))
+      .select(col("n_rows"),
+        col("d_event_id"), within("event_id"),
+        col("d_user_id"), within("user_id"),
+        col("d_value"), within("value"))
     one.selectExpr("n_rows", s"""stack(3,
         'event_id', d_event_id, ok_event_id,
         'user_id',  d_user_id,  ok_user_id,
