@@ -109,6 +109,17 @@ object HarnessSession {
       .config("spark.sql.artifact.isolation.enabled",
         sys.props.getOrElse("spark.sql.artifact.isolation.enabled",
           sys.env.getOrElse("SPARK_GRAFT_ARTIFACT_ISOLATION", "false")))
+      // Fork-free local checkpoint I/O (r17): with no native Hadoop lib,
+      // every checkpoint mkdir/create shells out a `chmod` (60 forks per
+      // AvailableNow run measured) and writes a `.crc` twin per file.
+      // GraftCheckpointFileManager keeps the atomic-rename commit
+      // contract over java.nio instead; local paths only (it rejects
+      // non-file schemes loudly — unset for HDFS/object-store
+      // checkpoints). Env-overridable; explicit -D wins.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        sys.props.getOrElse("spark.sql.streaming.checkpointFileManagerClass",
+          sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
+            "org.apache.spark.sql.GraftCheckpointFileManager")))
       .config("spark.sql.session.timeZone", "UTC")
       // overridable default (builder .config beats -D; see Verify)
       .config("spark.sql.adaptive.enabled",

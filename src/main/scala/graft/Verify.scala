@@ -93,6 +93,14 @@ object Verify {
       // was re-run after this fix)
       .config("spark.sql.adaptive.enabled",
         sys.props.getOrElse("spark.sql.adaptive.enabled", "true"))
+      // same fork-free local checkpoint manager the bench session uses
+      // (HarnessSession) — the differential must validate the exact
+      // streaming checkpoint path the bench times; overridable the same
+      // way for sweeps against the stock manager
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        sys.props.getOrElse("spark.sql.streaming.checkpointFileManagerClass",
+          sys.env.getOrElse("SPARK_GRAFT_CKPT_FM",
+            "org.apache.spark.sql.GraftCheckpointFileManager")))
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster")) {
       // Executor JVMs are forked by the in-process Worker from SPARK_HOME's
