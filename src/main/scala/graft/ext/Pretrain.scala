@@ -35,12 +35,13 @@ object Pretrain {
              wantLang: String = "en", idCol: String = "doc_id"): DataFrame = {
     val normed = scatter(docs.select(col(idCol),
         TextAnalysis.normalize(col("text")).as("norm")))
+      .withColumn("pn", TextAnalysis.padded(col("norm")))
       .withColumn("n_tokens",
         size(TextAnalysis.tokens(col("norm"))).cast("long"))
       .withColumn("stop_hits",
-        expr(TextAnalysis.langScoreSql.find(_._1 == "en").get._2))
-    val scored = TextAnalysis.langScoreSql.foldLeft(normed) {
-      case (d, (l, sql)) => d.withColumn(s"score_$l", expr(sql))
+        TextAnalysis.langScoreCols(col("pn")).find(_._1 == "en").get._2)
+    val scored = TextAnalysis.langScoreCols(col("pn")).foldLeft(normed) {
+      case (d, (l, c)) => d.withColumn(s"score_$l", c)
     }
     val gated = scored
       .filter(col("n_tokens") >= minTokens &&

@@ -104,6 +104,35 @@ object TextAnalysis {
     l -> ws.map(w => countSql(s"'$w'")).mkString("(", " + ", ")")
   }
 
+  /** Padded-document column `' ' || norm || ' '`, built ONCE per row.
+    * [[countSql]] inlines this padding into every marker term (twice per
+    * term: the `length` arg and the `replace` arg), so a 25-marker score
+    * block carries ~50 copies of the padded-concat subtree — the
+    * expression tree (driver: analysis, codegen source size, Janino cold
+    * compile) and the per-row work both scale with marker count. The
+    * Column twins below take the padded document as a projected column
+    * instead. Values are identical (same replace identity, same integer
+    * lengths, same `/` double division); the oracle SQL keeps the
+    * self-contained [[countSql]] fragments, which DuckDB runs once per
+    * correctness check. */
+  def padded(norm: Column): Column = concat(lit(" "), norm, lit(" "))
+
+  /** Column twin of [[countSql]] over a pre-padded document `pn`:
+    * non-overlapping occurrence count of `' w '` via length-of-replace.
+    * `length(' w ')` is a Scala-side constant where [[countSql]] leaves
+    * `length($p)` for ConstantFolding — same value either way. */
+  def countCol(pn: Column, w: String): Column = {
+    val p = s" $w "
+    (length(pn) - length(replace(pn, lit(p), lit("")))) / lit(p.length)
+  }
+
+  /** Column twin of [[langScoreSql]] over a pre-padded document column.
+    * Same left-associated marker sum, term for term. */
+  def langScoreCols(pn: Column): Seq[(String, Column)] =
+    langMarkers.map { case (l, ws) =>
+      l -> ws.map(w => countCol(pn, w)).reduce(_ + _)
+    }
+
   /** Deterministic argmax CASE chain (ties resolve in language-code order). */
   def langCaseSql: String = {
     val scores = langScoreSql.map { case (l, _) => s"score_$l" }
@@ -129,10 +158,11 @@ object TextAnalysis {
     * combined by one identical expression per engine. */
   def qualityScore(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val base = scatter(docs.select(col(idCol), normalize(col("text")).as("norm")))
+      .withColumn("pn", padded(col("norm")))
       .withColumn("n_tokens", size(tokens(col("norm"))).cast("long"))
       .withColumn("n_chars", length(col("norm")).cast("long"))
       .withColumn("stop_hits",
-        expr(TextAnalysis.langScoreSql.find(_._1 == "en").get._2))
+        langScoreCols(col("pn")).find(_._1 == "en").get._2)
     base.select(col(idCol), col("n_tokens"), col("n_chars"),
       (col("stop_hits") / col("n_tokens")).as("stopword_ratio"),
       // try_divide: an empty/whitespace-only doc has length(norm) = 0 and
@@ -179,10 +209,11 @@ object TextAnalysis {
 
   /** Language ID over the marker heuristic. */
   def languageId(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val scored = langScoreSql.foldLeft(
+    val scored = langScoreCols(col("pn")).foldLeft(
       scatter(docs.select(col(idCol), col("lang"),
-        normalize(col("text")).as("norm")))) {
-      case (d, (l, sql)) => d.withColumn(s"score_$l", expr(sql))
+        normalize(col("text")).as("norm")))
+        .withColumn("pn", padded(col("norm")))) {
+      case (d, (l, c)) => d.withColumn(s"score_$l", c)
     }
     scored.select(col(idCol), expr(langCaseSql).as("pred_lang"), col("lang"),
       (expr(langCaseSql) === col("lang")).as("matches_label"))
