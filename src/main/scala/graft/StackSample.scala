@@ -6,6 +6,9 @@ package graft
 object StackSample {
   def main(args: Array[String]): Unit = {
     val name = args.headOption.getOrElse("multimodal_decode_audio")
+    // optional 2nd arg: thread-name prefix to sample instead of executor
+    // task threads ("main" → the driver's action path incl. AQE threads)
+    val prefix = if (args.length > 1) args(1) else "Executor task launch"
     val spark = HarnessSession.build()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val q = SparkEntry.queries
@@ -18,7 +21,7 @@ object StackSample {
       def run(): Unit = while (sampling) {
         import scala.jdk.CollectionConverters._
         Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
-          if (t.getName.startsWith("Executor task launch") && st.nonEmpty) {
+          if (t.getName.startsWith(prefix) && st.nonEmpty) {
             val key = st.take(8).mkString(" <- ")
             hist.computeIfAbsent(key,
               _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
