@@ -791,6 +791,16 @@ object ExtensionQueries extends QueryGroup {
     val n = d.select(col("doc_id"),
       TextAnalysis.normalize(col("text")).as("norm"))
     sharedCandidates(s, dir)
+      // The banded-DP verify is CPU-DENSE per row while the candidate
+      // set is tiny in BYTES, so AQE's byte-based coalescing (and the
+      // checkpointed memo's few partitions) would run ~1 CPU-second of
+      // Levenshtein on a handful of tasks (measured r17: 4 tasks, exec
+      // 1.08 s ≈ serial). Spread the id pairs round-robin to session
+      // parallelism first: an O(candidates) two-long-row exchange, paid
+      // once, dwarfed by the O(len·bound) DP per pair it parallelizes —
+      // the standard explicit-repartition-before-a-CPU-dense-stage
+      // pattern (AQE cannot see CPU cost, only bytes).
+      .repartition(s.sparkContext.defaultParallelism)
       .join(n.select(col("doc_id").as("doc_a"), col("norm").as("na")), "doc_a")
       .join(n.select(col("doc_id").as("doc_b"), col("norm").as("nb")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
