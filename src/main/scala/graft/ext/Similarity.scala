@@ -238,11 +238,12 @@ object Similarity {
         s"a non-empty '$vecCol' array; pass dims explicitly")
       probe(0).getInt(0)
     }
+    // codegen'd dot (bitwise twin of the HOF formulation — see
+    // VectorFunctions.dot): `planes` interpreted lambda walks per row was
+    // the top CPU term of the sign-LSH consumers (multimodal_neardup task
+    // CPU 4.6 s warm at sf0.1 before the swap)
     val sigBits = planeWeights(planes, d).zipWithIndex.map { case (w, p) =>
-      val dot = aggregate(
-        zip_with(col(vecCol).cast("array<double>"),
-          lit(w).cast("array<double>"), (x, y) => x * y),
-        lit(0.0d), (acc, x) => acc + x)
+      val dot = graft.functions.VectorFunctions.dot(col(vecCol), lit(w))
       when(dot > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
     emb.select(col(idCol), sigBits.as("lsh_sig"))

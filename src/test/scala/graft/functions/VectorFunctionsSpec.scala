@@ -23,6 +23,25 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(diffs.isEmpty)
   }
 
+  test("codegen dot is bitwise identical to the HOF formula, incl. literal side") {
+    val pairs = vecs.select($"id".as("ia"), $"v".as("va"))
+      .crossJoin(vecs.select($"id".as("ib"), $"v".as("vb")))
+      .filter($"ia" < $"ib").limit(5000)
+    val diffs = pairs.select(
+      VectorFunctions.dot($"va", $"vb").as("fast"),
+      VectorFunctions.dotHof($"va", $"vb").as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(diffs.isEmpty)
+    // the signLsh shape: int-literal plane weights on the right
+    val w = Array(1, -1, 1, 1, -1, 1, -1, 1)
+    val d8 = vecs.select($"id", slice($"v", 1, 8).as("v8"))
+    val diffs2 = d8.select(
+      VectorFunctions.dot($"v8", lit(w)).as("fast"),
+      VectorFunctions.dotHof($"v8", lit(w)).as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(diffs2.isEmpty)
+  }
+
   test("cosine of a vector with itself is 1.0; orthogonal is 0.0") {
     val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 3.0f)))
       .toDF("a", "a2", "b")

@@ -38,7 +38,7 @@ class RewriteVectorOpsSpec extends SparkSpec {
 
   test("HOF dot product rewrites to DotProductExpr") {
     val df = vecs(s2).select(
-      VectorFunctions.dot(org.apache.spark.sql.functions.col("a"),
+      VectorFunctions.dotHof(org.apache.spark.sql.functions.col("a"),
         org.apache.spark.sql.functions.col("b")).as("d"))
     assert(exprsOf(df).exists(_.isInstanceOf[DotProductExpr]),
       df.queryExecution.optimizedPlan.toString)
@@ -70,11 +70,11 @@ class RewriteVectorOpsSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val plain = vecs(spark)
       .select(col("id"), VectorFunctions.cosineHof(col("a"), col("b")).as("c"),
-        VectorFunctions.dot(col("a"), col("b")).as("d"))
+        VectorFunctions.dotHof(col("a"), col("b")).as("d"))
       .orderBy("id").collect().toSeq
     val rewritten = vecs(s2)
       .select(col("id"), VectorFunctions.cosineHof(col("a"), col("b")).as("c"),
-        VectorFunctions.dot(col("a"), col("b")).as("d"))
+        VectorFunctions.dotHof(col("a"), col("b")).as("d"))
       .orderBy("id").collect().toSeq
     assert(rewritten == plain)
   }
